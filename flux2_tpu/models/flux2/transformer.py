@@ -1,0 +1,375 @@
+"""FLUX.2 diffusion transformer (DiT) as a functional JAX model.
+
+Architecture parity with the reference
+(``Sources/Flux2Core/Transformer/Flux2Transformer.swift:22-327`` and the
+block files cited per-function below), re-designed TPU-first:
+
+  - Parameters are a pytree of stacked per-layer arrays (leading axis =
+    layer), and the double/single-stream stacks run under ``lax.scan`` — one
+    compiled block body each, fast XLA compiles, and a natural per-block
+    ``jax.checkpoint`` (remat) boundary replacing the reference's Cmlx
+    gradient-checkpoint binding (MLXCheckpoint.swift:24).
+  - All linear weights are stored [in, out] so ``x @ w`` hits the MXU
+    directly; attention Q/K/V keep separate leaves so tensor parallelism
+    shards heads on the output axis without resharding (the reference's
+    fused single-stream projection is stored split for the same reason, and
+    recombined arithmetically: concat-matmul == sum of partial matmuls).
+  - RoPE cos/sin are precomputed once per schedule (f32) and passed in —
+    the lax.scan hoists them out of the 56-block loop; the reference's LRU
+    cache (Flux2RoPE.swift:65-120) dissolves into jit.
+  - Modulation is computed once per forward (the reference hoists it out of
+    the block loop the same way, Flux2Transformer.swift:160-166).
+
+The reference's intra-forward ``eval()`` graph segmentation
+(Flux2Transformer.swift:228-236) has no TPU analogue — XLA compiles the whole
+forward as one program; memory pressure is handled by sharding + remat.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from flux2_tpu.models.flux2.config import Flux2TransformerConfig
+from flux2_tpu.ops.attention import sdpa
+from flux2_tpu.ops.normalization import gate, layer_norm, modulate, rms_norm
+from flux2_tpu.ops.rope import apply_rope
+
+Params = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# Parameter initialization
+# ---------------------------------------------------------------------------
+
+
+def _linear(key, d_in, d_out, dtype, scale=None):
+    scale = scale if scale is not None else d_in**-0.5
+    return jax.random.normal(key, (d_in, d_out), dtype=jnp.float32).astype(dtype) * scale
+
+
+def init_params(
+    key: jax.Array, config: Flux2TransformerConfig, dtype: jnp.dtype = jnp.bfloat16
+) -> Params:
+    """Random-init parameter pytree (shape-identical to checkpoint weights)."""
+    d = config.inner_dim
+    hd = config.attention_head_dim
+    mlp = config.mlp_hidden_dim
+    nl, ns = config.num_layers, config.num_single_layers
+    keys = iter(jax.random.split(key, 64))
+
+    def stack(n, f):
+        return jnp.stack([f(next(keys)) for _ in range(n)])
+
+    params: Params = {
+        "x_embedder": {"kernel": _linear(next(keys), config.in_channels, d, dtype)},
+        "context_embedder": {"kernel": _linear(next(keys), config.joint_attention_dim, d, dtype)},
+        "time_embed": {
+            "linear1": _linear(next(keys), config.time_embed_channels, d, dtype),
+            "linear2": _linear(next(keys), d, d, dtype),
+        },
+        "double_mod_img": {"kernel": _linear(next(keys), d, 6 * d, dtype)},
+        "double_mod_txt": {"kernel": _linear(next(keys), d, 6 * d, dtype)},
+        "single_mod": {"kernel": _linear(next(keys), d, 3 * d, dtype)},
+        "double_blocks": {
+            "to_q": stack(nl, lambda k: _linear(k, d, d, dtype)),
+            "to_k": stack(nl, lambda k: _linear(k, d, d, dtype)),
+            "to_v": stack(nl, lambda k: _linear(k, d, d, dtype)),
+            "to_out": stack(nl, lambda k: _linear(k, d, d, dtype)),
+            "add_q": stack(nl, lambda k: _linear(k, d, d, dtype)),
+            "add_k": stack(nl, lambda k: _linear(k, d, d, dtype)),
+            "add_v": stack(nl, lambda k: _linear(k, d, d, dtype)),
+            "add_out": stack(nl, lambda k: _linear(k, d, d, dtype)),
+            "norm_q": jnp.ones((nl, hd), dtype=dtype),
+            "norm_k": jnp.ones((nl, hd), dtype=dtype),
+            "norm_added_q": jnp.ones((nl, hd), dtype=dtype),
+            "norm_added_k": jnp.ones((nl, hd), dtype=dtype),
+            "ff_in": stack(nl, lambda k: _linear(k, d, 2 * mlp, dtype)),
+            "ff_out": stack(nl, lambda k: _linear(k, mlp, d, dtype)),
+            "ff_ctx_in": stack(nl, lambda k: _linear(k, d, 2 * mlp, dtype)),
+            "ff_ctx_out": stack(nl, lambda k: _linear(k, mlp, d, dtype)),
+        },
+        "single_blocks": {
+            "to_q": stack(ns, lambda k: _linear(k, d, d, dtype)),
+            "to_k": stack(ns, lambda k: _linear(k, d, d, dtype)),
+            "to_v": stack(ns, lambda k: _linear(k, d, d, dtype)),
+            "mlp_gate": stack(ns, lambda k: _linear(k, d, mlp, dtype)),
+            "mlp_up": stack(ns, lambda k: _linear(k, d, mlp, dtype)),
+            "norm_q": jnp.ones((ns, hd), dtype=dtype),
+            "norm_k": jnp.ones((ns, hd), dtype=dtype),
+            "out_attn": stack(ns, lambda k: _linear(k, d, d, dtype)),
+            "out_mlp": stack(ns, lambda k: _linear(k, mlp, d, dtype)),
+        },
+        "norm_out": {"kernel": _linear(next(keys), d, 2 * d, dtype)},
+        "proj_out": {"kernel": _linear(next(keys), d, config.out_channels, dtype)},
+    }
+    if config.guidance_embeds:
+        params["guidance_embed"] = {
+            "linear1": _linear(next(keys), config.time_embed_channels, d, dtype),
+            "linear2": _linear(next(keys), d, d, dtype),
+        }
+    return params
+
+
+def param_count(params: Params) -> int:
+    return sum(int(x.size) for x in jax.tree_util.tree_leaves(params))
+
+
+# ---------------------------------------------------------------------------
+# Embeddings
+# ---------------------------------------------------------------------------
+
+
+def sinusoidal_embedding(t: jnp.ndarray, num_channels: int = 256) -> jnp.ndarray:
+    """Diffusers-style sinusoidal timestep embedding, flip_sin_to_cos=True.
+
+    Parity: Timesteps in Flux2Embeddings.swift:28-45 — exponent
+    ``-ln(10000) * arange(half) / half``, concat [cos, sin].
+    """
+    half = num_channels // 2
+    exponent = -jnp.log(10000.0) * jnp.arange(half, dtype=jnp.float32) / half
+    freqs = jnp.exp(exponent)
+    args = t.astype(jnp.float32)[:, None] * freqs[None, :]
+    return jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)  # [B, C]
+
+
+def _mlp_embed(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    h = x.astype(p["linear1"].dtype) @ p["linear1"]
+    return jax.nn.silu(h) @ p["linear2"]
+
+
+def time_guidance_embedding(
+    params: Params,
+    config: Flux2TransformerConfig,
+    timestep: jnp.ndarray,
+    guidance: Optional[jnp.ndarray],
+) -> jnp.ndarray:
+    """Timestep (+ optional guidance) embedding [B, D].
+
+    The x1000 input scaling (sigma in [0,1] -> [0,1000]) matches
+    Flux2Transformer.swift:141-146.
+    """
+    temb = _mlp_embed(params["time_embed"], sinusoidal_embedding(timestep * 1000.0, config.time_embed_channels))
+    if config.guidance_embeds and guidance is not None and "guidance_embed" in params:
+        gemb = _mlp_embed(params["guidance_embed"], sinusoidal_embedding(guidance * 1000.0, config.time_embed_channels))
+        temb = temb + gemb
+    return temb
+
+
+def _modulation(kernel: jnp.ndarray, temb: jnp.ndarray, num_sets: int, dim: int) -> jnp.ndarray:
+    """linear(silu(temb)) -> [B, num_sets, 3, D] of (shift, scale, gate)."""
+    out = jax.nn.silu(temb) @ kernel
+    return out.reshape(out.shape[0], num_sets, 3, dim)
+
+
+# ---------------------------------------------------------------------------
+# Blocks
+# ---------------------------------------------------------------------------
+
+
+def _heads(x: jnp.ndarray, num_heads: int) -> jnp.ndarray:
+    """[B, S, H*D] -> [B, H, S, D]."""
+    b, s, _ = x.shape
+    return x.reshape(b, s, num_heads, -1).transpose(0, 2, 1, 3)
+
+
+def _unheads(x: jnp.ndarray) -> jnp.ndarray:
+    """[B, H, S, D] -> [B, S, H*D]."""
+    b, h, s, d = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, s, h * d)
+
+
+def _swiglu_ff(x: jnp.ndarray, w_in: jnp.ndarray, w_out: jnp.ndarray) -> jnp.ndarray:
+    """SwiGLU FFN: proj to 2*inner, split (gate, value), silu(gate)*value, out.
+
+    Parity: SwiGLU/Flux2FeedForward (Flux2FeedForward.swift:42-108).
+    """
+    proj = x @ w_in
+    g, v = jnp.split(proj, 2, axis=-1)
+    return (jax.nn.silu(g) * v) @ w_out
+
+
+def double_block(
+    bp: Params,
+    img: jnp.ndarray,
+    txt: jnp.ndarray,
+    img_mod: jnp.ndarray,  # [B, 2, 3, D]
+    txt_mod: jnp.ndarray,
+    rope_cos: jnp.ndarray,  # [S_txt+S_img, hd] f32
+    rope_sin: jnp.ndarray,
+    num_heads: int,
+    extra_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+    attn_bias: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One double-stream block (Flux2TransformerBlock.swift:80-168).
+
+    Two streams (img, txt) each with affine-less LayerNorm + AdaLN modulation,
+    a joint attention over the concatenated [txt ; img] sequence, and
+    per-stream SwiGLU FFNs. ``extra_kv`` prepends post-RoPE cached reference
+    K/V between the txt and img segments (klein-9b-kv path).
+    """
+    s_txt = txt.shape[1]
+
+    # --- attention sub-block ---
+    img_n = modulate(layer_norm(img), bp_shift(img_mod, 0), bp_scale(img_mod, 0))
+    txt_n = modulate(layer_norm(txt), bp_shift(txt_mod, 0), bp_scale(txt_mod, 0))
+
+    q_img = _heads(img_n @ bp["to_q"], num_heads)
+    k_img = _heads(img_n @ bp["to_k"], num_heads)
+    v_img = _heads(img_n @ bp["to_v"], num_heads)
+    q_txt = _heads(txt_n @ bp["add_q"], num_heads)
+    k_txt = _heads(txt_n @ bp["add_k"], num_heads)
+    v_txt = _heads(txt_n @ bp["add_v"], num_heads)
+
+    q_img = rms_norm(q_img, bp["norm_q"])
+    k_img = rms_norm(k_img, bp["norm_k"])
+    q_txt = rms_norm(q_txt, bp["norm_added_q"])
+    k_txt = rms_norm(k_txt, bp["norm_added_k"])
+
+    # Joint sequence is [txt ; img]; RoPE ids were built in the same order.
+    q = jnp.concatenate([q_txt, q_img], axis=2)
+    k = jnp.concatenate([k_txt, k_img], axis=2)
+    v = jnp.concatenate([v_txt, v_img], axis=2)
+    q = apply_rope(q, rope_cos, rope_sin)
+    k = apply_rope(k, rope_cos, rope_sin)
+
+    if extra_kv is not None:
+        ck, cv = extra_kv  # post-RoPE cached reference K/V [B, H, S_ref, hd]
+        k = jnp.concatenate([k[:, :, :s_txt], ck, k[:, :, s_txt:]], axis=2)
+        v = jnp.concatenate([v[:, :, :s_txt], cv, v[:, :, s_txt:]], axis=2)
+
+    attn = sdpa(q, k, v, bias=attn_bias)
+    txt_attn, img_attn = attn[:, :, :s_txt], attn[:, :, s_txt:]
+
+    img = img + gate(_unheads(img_attn) @ bp["to_out"], bp_gate(img_mod, 0))
+    txt = txt + gate(_unheads(txt_attn) @ bp["add_out"], bp_gate(txt_mod, 0))
+
+    # --- FFN sub-block ---
+    img_n2 = modulate(layer_norm(img), bp_shift(img_mod, 1), bp_scale(img_mod, 1))
+    txt_n2 = modulate(layer_norm(txt), bp_shift(txt_mod, 1), bp_scale(txt_mod, 1))
+    img = img + gate(_swiglu_ff(img_n2, bp["ff_in"], bp["ff_out"]), bp_gate(img_mod, 1))
+    txt = txt + gate(_swiglu_ff(txt_n2, bp["ff_ctx_in"], bp["ff_ctx_out"]), bp_gate(txt_mod, 1))
+    return img, txt
+
+
+def single_block(
+    bp: Params,
+    x: jnp.ndarray,  # [B, S, D] concatenated [txt ; img]
+    mod: jnp.ndarray,  # [B, 1, 3, D]
+    rope_cos: jnp.ndarray,
+    rope_sin: jnp.ndarray,
+    num_heads: int,
+    extra_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+    txt_len: int = 0,
+    attn_bias: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """One single-stream block (Flux2SingleBlock.swift:59-98).
+
+    One norm + AdaLN set, then fused-parallel attention + SwiGLU MLP
+    (Flux2ParallelAttention.swift:80-123). The reference's single fused
+    D->(3i+2m) projection is stored as separate Q/K/V/gate/up leaves (clean
+    tensor-parallel sharding); the fused output projection likewise splits
+    into out_attn + out_mlp whose results sum (same arithmetic).
+    """
+    x_n = modulate(layer_norm(x), bp_shift(mod, 0), bp_scale(mod, 0))
+
+    q = rms_norm(_heads(x_n @ bp["to_q"], num_heads), bp["norm_q"])
+    k = rms_norm(_heads(x_n @ bp["to_k"], num_heads), bp["norm_k"])
+    v = _heads(x_n @ bp["to_v"], num_heads)
+
+    q = apply_rope(q, rope_cos, rope_sin)
+    k = apply_rope(k, rope_cos, rope_sin)
+
+    if extra_kv is not None:
+        ck, cv = extra_kv
+        k = jnp.concatenate([k[:, :, :txt_len], ck, k[:, :, txt_len:]], axis=2)
+        v = jnp.concatenate([v[:, :, :txt_len], cv, v[:, :, txt_len:]], axis=2)
+
+    attn = _unheads(sdpa(q, k, v, bias=attn_bias))
+    mlp = jax.nn.silu(x_n @ bp["mlp_gate"]) * (x_n @ bp["mlp_up"])
+    out = attn @ bp["out_attn"] + mlp @ bp["out_mlp"]
+    return x + gate(out, bp_gate(mod, 0))
+
+
+def bp_shift(mod: jnp.ndarray, s: int) -> jnp.ndarray:
+    return mod[:, s, 0]
+
+
+def bp_scale(mod: jnp.ndarray, s: int) -> jnp.ndarray:
+    return mod[:, s, 1]
+
+
+def bp_gate(mod: jnp.ndarray, s: int) -> jnp.ndarray:
+    return mod[:, s, 2]
+
+
+# ---------------------------------------------------------------------------
+# Full forward
+# ---------------------------------------------------------------------------
+
+
+def forward(
+    params: Params,
+    config: Flux2TransformerConfig,
+    hidden_states: jnp.ndarray,  # [B, S_img, 128]
+    encoder_hidden_states: jnp.ndarray,  # [B, S_txt, joint_dim]
+    timestep: jnp.ndarray,  # [B] sigma in [0, 1]
+    rope_cos: jnp.ndarray,  # [S_txt+S_img, head_dim] f32 (combined [txt;img] ids)
+    rope_sin: jnp.ndarray,
+    guidance: Optional[jnp.ndarray] = None,  # [B]
+    remat: bool = False,
+) -> jnp.ndarray:
+    """DiT forward: [B, S_img, 128] velocity prediction.
+
+    Parity: Flux2Transformer.swift:123-327. Set ``remat=True`` for training
+    (per-block rematerialization; replaces MLXCheckpoint.swift's Cmlx
+    binding).
+    """
+    d = config.inner_dim
+    nh = config.num_attention_heads
+    s_txt = encoder_hidden_states.shape[1]
+
+    img = hidden_states @ params["x_embedder"]["kernel"]
+    txt = encoder_hidden_states.astype(params["context_embedder"]["kernel"].dtype) @ params["context_embedder"]["kernel"]
+
+    temb = time_guidance_embedding(params, config, timestep, guidance)
+
+    img_mod = _modulation(params["double_mod_img"]["kernel"], temb, 2, d)
+    txt_mod = _modulation(params["double_mod_txt"]["kernel"], temb, 2, d)
+    single_mod = _modulation(params["single_mod"]["kernel"], temb, 1, d)
+
+    rope_cos = rope_cos.astype(jnp.float32)
+    rope_sin = rope_sin.astype(jnp.float32)
+
+    def double_body(carry, bp):
+        i, t = carry
+        fn = functools.partial(double_block, num_heads=nh)
+        if remat:
+            fn = jax.checkpoint(fn)
+        i, t = fn(bp, i, t, img_mod, txt_mod, rope_cos, rope_sin)
+        return (i, t), None
+
+    (img, txt), _ = jax.lax.scan(double_body, (img, txt), params["double_blocks"])
+
+    x = jnp.concatenate([txt, img], axis=1)
+
+    def single_body(carry, bp):
+        fn = functools.partial(single_block, num_heads=nh)
+        if remat:
+            fn = jax.checkpoint(fn)
+        return fn(bp, carry, single_mod, rope_cos, rope_sin), None
+
+    x, _ = jax.lax.scan(single_body, x, params["single_blocks"])
+
+    img = x[:, s_txt:]
+
+    # Final AdaLN-continuous: linear(silu(temb)) -> (scale, shift) in
+    # diffusers order (Flux2Modulation.swift:142-155).
+    cond = jax.nn.silu(temb) @ params["norm_out"]["kernel"]
+    scale, shift = jnp.split(cond, 2, axis=-1)
+    img = modulate(layer_norm(img), shift, scale)
+    return img @ params["proj_out"]["kernel"]

@@ -1,0 +1,70 @@
+"""Scaled dot-product attention dispatch for the DiT and text encoders.
+
+Layout convention is [B, H, S, D] (matching the reference's SDPA call sites,
+``Flux2Attention.swift:168-174`` / ``Flux2ParallelAttention.swift:104-111``).
+
+Two paths:
+  - ``xla``: einsum attention with float32 softmax. Correct everywhere (CPU
+    test meshes included); XLA fuses the scale/softmax chain but materializes
+    the [B, H, S, S] logits.
+  - ``flash``: a Pallas TPU flash-attention kernel (tiled online softmax, no
+    S x S materialization) — see ``flux2_tpu.ops.flash_attention``. Used
+    automatically on TPU for shapes that satisfy its tiling constraints.
+
+Set ``FLUX2_DISABLE_FLASH=1`` to force the XLA path (mirrors the reference's
+``FLUX2_DISABLE_FUSED_KERNELS`` kill-switch).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def _flash_enabled() -> bool:
+    return os.environ.get("FLUX2_DISABLE_FLASH", "0") != "1"
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover - backend probing must never fail
+        return False
+
+
+def sdpa_xla(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: Optional[float] = None,
+    bias: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Reference einsum attention. q/k/v: [B, H, S, D]; bias: additive [.., S_q, S_k]."""
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+    logits = logits * jnp.float32(scale)
+    if bias is not None:
+        logits = logits + bias.astype(jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v)
+
+
+def sdpa(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: Optional[float] = None,
+    bias: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Dispatching scaled dot-product attention ([B, H, S, D])."""
+    if bias is None and _flash_enabled() and _on_tpu():
+        from flux2_tpu.ops import flash_attention as fa
+
+        if fa.supported(q, k, v):
+            return fa.flash_attention(q, k, v, scale=scale)
+    return sdpa_xla(q, k, v, scale=scale, bias=bias)

@@ -1,0 +1,151 @@
+"""Pallas TPU flash attention for the FLUX.2 DiT.
+
+The DiT's joint attention is full bidirectional (no causal mask) over the
+concatenated [txt ; img(; ref)] sequence — up to ~45k tokens with multiple
+reference images. The XLA path materializes [B, H, S, S] logits (2 GB bf16 at
+S=4608 for Dev-32B), which turns the hot loop HBM-bound. This kernel computes
+attention with a tiled online softmax so only [block_q, block_k] tiles ever
+exist in VMEM — the TPU-native replacement for the reference's
+``MLXFast.scaledDotProductAttention`` (Flux2Attention.swift:168).
+
+Grid: (B*H, num_q_blocks, num_k_blocks), with the k axis innermost so the
+accumulator scratch carries across k blocks for a fixed q block. Logits
+accumulate in f32 on the MXU; the m/l online-softmax state lives in VMEM
+scratch. Sequence lengths not divisible by the block size are handled by
+padding with masked (ignored) keys.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_BLOCK_Q = 512
+DEFAULT_BLOCK_K = 512
+NEG_INF = -1e30
+
+
+def supported(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> bool:
+    """Shape gate for the kernel: 4D [B,H,S,D], D multiple of 128, S >= 128."""
+    if q.ndim != 4 or k.shape != v.shape:
+        return False
+    d = q.shape[-1]
+    return d % 128 == 0 and q.shape[2] >= 128 and k.shape[2] >= 128
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale, kv_len, block_k):
+    """One (q_block, k_block) tile of online-softmax attention."""
+    kb = pl.program_id(2)
+    num_kb = pl.num_programs(2)
+
+    @pl.when(kb == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0]  # [block_q, d]
+    k = k_ref[0]  # [block_k, d]
+    v = v_ref[0]  # [block_k, d]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [block_q, block_k]
+    s = s * scale
+
+    # Mask out-of-range (padding) keys in the last k block.
+    k_start = kb * block_k
+    col = k_start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(col < kv_len, s, NEG_INF)
+
+    m_prev = m_ref[:]  # [block_q, 1]
+    m_cur = jnp.max(s, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+
+    p = jnp.exp(s - m_new)  # [block_q, block_k]
+    alpha = jnp.exp(m_prev - m_new)  # [block_q, 1]
+
+    l_new = alpha * l_ref[:] + jnp.sum(p, axis=-1, keepdims=True)
+    acc = acc_ref[:] * alpha + jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+    m_ref[:] = m_new
+    l_ref[:] = l_new
+    acc_ref[:] = acc
+
+    @pl.when(kb == num_kb - 1)
+    def _finalize():
+        o_ref[0] = (acc_ref[:] / l_ref[:]).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k"))
+def flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: Optional[float] = None,
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = DEFAULT_BLOCK_K,
+) -> jnp.ndarray:
+    """Non-causal flash attention. q/k/v: [B, H, S, D] -> [B, H, S_q, D]."""
+    b, h, s_q, d = q.shape
+    s_k = k.shape[2]
+    if scale is None:
+        scale = d**-0.5
+
+    block_q = min(block_q, _round_up(s_q, 128))
+    block_k = min(block_k, _round_up(s_k, 128))
+
+    q_pad = _pad_seq(q, block_q)
+    k_pad = _pad_seq(k, block_k)
+    v_pad = _pad_seq(v, block_k)
+    s_qp, s_kp = q_pad.shape[2], k_pad.shape[2]
+
+    bh = b * h
+    q3 = q_pad.reshape(bh, s_qp, d)
+    k3 = k_pad.reshape(bh, s_kp, d)
+    v3 = v_pad.reshape(bh, s_kp, d)
+
+    grid = (bh, s_qp // block_q, s_kp // block_k)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _flash_kernel, scale=jnp.float32(scale), kv_len=s_k, block_k=block_k
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda g, i, j: (g, i, 0)),
+            pl.BlockSpec((1, block_k, d), lambda g, i, j: (g, j, 0)),
+            pl.BlockSpec((1, block_k, d), lambda g, i, j: (g, j, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda g, i, j: (g, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, s_qp, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+    )(q3, k3, v3)
+
+    return out.reshape(b, h, s_qp, d)[:, :, :s_q, :]
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _pad_seq(x: jnp.ndarray, block: int) -> jnp.ndarray:
+    s = x.shape[2]
+    pad = _round_up(s, block) - s
+    if pad == 0:
+        return x
+    return jnp.pad(x, ((0, 0), (0, 0), (0, pad), (0, 0)))

@@ -1,0 +1,22 @@
+"""Hermetic test configuration.
+
+Tests run on CPU with 8 virtual devices so mesh/sharding tests exercise real
+multi-device SPMD partitioning without TPU hardware (the "fake backend" tier
+the reference lacks — SURVEY.md §4). The runtime ``jax_platforms`` update
+overrides any TPU/axon plugin the host environment auto-registers at
+interpreter startup.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+assert jax.default_backend() == "cpu"
+assert len(jax.devices()) == 8

@@ -1,0 +1,106 @@
+"""Generic GQA decoder tests (Mistral/Qwen3 shapes, hidden-state recipe)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flux2_tpu.models.text_encoders import config as tc
+from flux2_tpu.models.text_encoders import decoder as dec
+
+CFG = tc.TINY_DECODER
+
+
+@pytest.fixture(scope="module")
+def params():
+    return dec.init_params(jax.random.PRNGKey(0), CFG, dtype=jnp.float32)
+
+
+def test_hidden_states_shape(params):
+    ids = jnp.array([[1, 2, 3, 4, 5, 6, 7, 8]], dtype=jnp.int32)
+    mask = jnp.ones_like(ids)
+    hs = dec.forward_hidden_states(params, CFG, ids, mask)
+    assert hs.shape == (CFG.num_hidden_layers + 1, 1, 8, CFG.hidden_size)
+    assert np.isfinite(np.asarray(hs)).all()
+
+
+def test_extract_layers_concat(params):
+    ids = jnp.array([[1, 2, 3, 4]], dtype=jnp.int32)
+    mask = jnp.ones_like(ids)
+    emb = dec.extract_hidden_layers(params, CFG, ids, mask, (1, 2, 3))
+    assert emb.shape == (1, 4, 3 * CFG.hidden_size)
+    hs = dec.forward_hidden_states(params, CFG, ids, mask)
+    np.testing.assert_array_equal(np.asarray(emb[..., : CFG.hidden_size]), np.asarray(hs[1]))
+
+
+def test_left_padding_invariance(params):
+    """Left-padded encode must match unpadded encode on the real tokens.
+
+    This is the core correctness property of the FLUX.2 conditioning recipe
+    (LEFT-pad + attention mask, EmbeddingExtractor.swift:230-252): padding
+    tokens are masked out of attention so real-token hidden states match
+    up to RoPE position offset... but the reference (like HF with left pad
+    and no position-id shift) keeps absolute positions, so real tokens DO
+    see different RoPE positions. We therefore check the weaker property the
+    implementation must guarantee: pad positions do not contribute to
+    real-token attention (changing pad token content changes nothing).
+    """
+    ids_a = jnp.array([[9, 9, 1, 2, 3]], dtype=jnp.int32)
+    ids_b = jnp.array([[7, 5, 1, 2, 3]], dtype=jnp.int32)  # different pad junk
+    mask = jnp.array([[0, 0, 1, 1, 1]], dtype=jnp.int32)
+    hs_a = dec.forward_hidden_states(params, CFG, ids_a, mask)
+    hs_b = dec.forward_hidden_states(params, CFG, ids_b, mask)
+    np.testing.assert_allclose(
+        np.asarray(hs_a[:, :, 2:]), np.asarray(hs_b[:, :, 2:]), atol=1e-5
+    )
+
+
+def test_causal_masking(params):
+    """Changing a future token must not change past hidden states."""
+    ids_a = jnp.array([[1, 2, 3, 4]], dtype=jnp.int32)
+    ids_b = jnp.array([[1, 2, 3, 9]], dtype=jnp.int32)
+    mask = jnp.ones_like(ids_a)
+    hs_a = dec.forward_hidden_states(params, CFG, ids_a, mask)
+    hs_b = dec.forward_hidden_states(params, CFG, ids_b, mask)
+    np.testing.assert_allclose(
+        np.asarray(hs_a[:, :, :3]), np.asarray(hs_b[:, :, :3]), atol=1e-5
+    )
+    assert np.abs(np.asarray(hs_a[-1][:, 3]) - np.asarray(hs_b[-1][:, 3])).max() > 1e-4
+
+
+def test_logits_tied_embeddings(params):
+    ids = jnp.array([[1, 2, 3]], dtype=jnp.int32)
+    logits = dec.forward_logits(params, CFG, ids)
+    assert logits.shape == (1, 3, CFG.vocab_size)
+    # TINY_DECODER ties embeddings; there must be no separate lm_head.
+    assert "lm_head" not in params
+
+
+def test_prefill_then_decode_matches_full_forward(params):
+    """KV-cached decode must agree with the full forward."""
+    ids = jnp.array([[1, 2, 3, 4, 5]], dtype=jnp.int32)
+    full = dec.forward_logits(params, CFG, ids)
+
+    cache = dec.init_kv_cache(CFG, batch=1, max_len=8, dtype=jnp.float32)
+    logits_p, cache = dec.prefill(params, CFG, ids[:, :4], cache)
+    np.testing.assert_allclose(np.asarray(logits_p), np.asarray(full[:, 3]), atol=1e-3)
+
+    logits_d, cache = dec.decode_step(params, CFG, ids[:, 4:5], cache)
+    np.testing.assert_allclose(np.asarray(logits_d), np.asarray(full[:, 4]), atol=1e-3)
+    assert int(cache.length) == 5
+
+
+def test_llama4_scaling_identity_below_threshold():
+    s = dec.llama4_attention_scale(jnp.arange(512), beta=0.1, original_max=16384)
+    np.testing.assert_allclose(np.asarray(s), 1.0)
+    s2 = dec.llama4_attention_scale(jnp.array([20000]), beta=0.1, original_max=16384)
+    assert np.asarray(s2)[0, 0] == pytest.approx(1.0 + 0.1 * np.log(2.0))
+
+
+def test_real_configs_have_expected_dims():
+    assert tc.MISTRAL_SMALL_3_2.hidden_size * 3 == 15360
+    assert tc.QWEN3_4B.hidden_size * 3 == 7680
+    assert tc.QWEN3_8B.hidden_size * 3 == 12288
+    assert tc.MISTRAL_HIDDEN_LAYERS == (10, 20, 30)
+    assert tc.QWEN3_HIDDEN_LAYERS == (9, 18, 27)
+    assert tc.QWEN3_4B.head_dim == 80
