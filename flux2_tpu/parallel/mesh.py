@@ -1,0 +1,63 @@
+"""Device mesh construction for flux2-tpu.
+
+The reference is strictly single-device (SURVEY.md §2.6); parallelism is a
+new first-class subsystem here. One mesh, three axes:
+
+  - ``data``: data parallelism (batch > 1 generation, LoRA training).
+  - ``fsdp``: weight sharding for the 32B DiT / 24B encoder (ZeRO-3 style —
+    parameters sharded at rest, all-gathered per layer by XLA).
+  - ``tp``  : tensor parallelism inside each DiT block (attention heads and
+    MLP hidden sharded; XLA inserts the psum on the row-parallel output
+    projections).
+
+Axes are sized so ``data * fsdp * tp == len(devices)``; collectives ride ICI
+when the mesh is built from a contiguous slice (jax's default device order).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+DATA_AXIS = "data"
+FSDP_AXIS = "fsdp"
+TP_AXIS = "tp"
+AXIS_NAMES = (DATA_AXIS, FSDP_AXIS, TP_AXIS)
+
+
+def make_mesh(
+    data: int = 1,
+    fsdp: int = 1,
+    tp: int = -1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Build a (data, fsdp, tp) mesh. ``-1`` sizes one axis from the rest."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    sizes = [data, fsdp, tp]
+    if sizes.count(-1) > 1:
+        raise ValueError("at most one axis may be -1")
+    if -1 in sizes:
+        known = int(np.prod([s for s in sizes if s != -1]))
+        if n % known:
+            raise ValueError(f"{n} devices not divisible by fixed axes {known}")
+        sizes[sizes.index(-1)] = n // known
+    if int(np.prod(sizes)) != n:
+        raise ValueError(f"mesh {sizes} does not cover {n} devices")
+    arr = np.asarray(devices).reshape(sizes)
+    return Mesh(arr, AXIS_NAMES)
+
+
+def single_device_mesh(device: Optional[jax.Device] = None) -> Mesh:
+    dev = device if device is not None else jax.devices()[0]
+    return Mesh(np.asarray([dev]).reshape(1, 1, 1), AXIS_NAMES)
+
+
+def best_mesh_for_inference(n_devices: Optional[int] = None) -> Mesh:
+    """Default inference layout: all devices on tp (batch-1 latency)."""
+    devices = jax.devices()
+    n = n_devices if n_devices is not None else len(devices)
+    return make_mesh(data=1, fsdp=1, tp=n, devices=devices[:n])

@@ -1,0 +1,358 @@
+"""FLUX.2 generation pipeline: T2I, multi-reference I2I, img2img strength.
+
+Capability parity with ``Sources/Flux2Core/Pipeline/Flux2Pipeline.swift``
+(T2I :1857-2117, I2I :1455-1855, step hooks :42-64, classical CFG :1955-1973,
+reference encoding :2143-2252), re-architected for TPU:
+
+  - The reference's memory-first two-phase choreography (load encoder ->
+    encode -> unload -> load transformer; Flux2Pipeline.swift:89-98)
+    dissolves: on a TPU mesh both models stay resident, sharded. The phase
+    *structure* (encode -> denoise -> decode) and its API survive.
+  - The denoising loop is ONE compiled ``lax.scan`` over the sigma schedule:
+    per-step state (latents, RNG key) is the carry; sigmas are the xs. Step
+    hooks (chains) are jittable latent transforms folded into the scan body —
+    the functional replacement for ``Flux2StepHook``.
+  - Classical CFG (base models) runs cond/uncond as batch rows of one
+    forward, not two sequential passes.
+  - Multi-reference I2I concatenates clean reference tokens after the output
+    tokens each step and slices the velocity back out — same conditioning
+    semantics as the reference's standard path (:1685-1810).
+
+Everything under ``generate`` jit-compiles once per (resolution, step-count,
+model) and is cached.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from flux2_tpu.models.flux2 import transformer as tfm
+from flux2_tpu.models.flux2 import vae as vae_mod
+from flux2_tpu.models.flux2.config import Flux2Model, Flux2TransformerConfig
+from flux2_tpu.ops import latents as lu
+from flux2_tpu.ops import scheduler as sch
+from flux2_tpu.ops.rope import rope_embeddings
+
+# A step hook mutates the latent sequence inside the compiled scan:
+#   hook(latents_seq [B,S,128], sigma, sigma_next, step_index) -> latents_seq
+StepHook = Callable[[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray], jnp.ndarray]
+
+
+@dataclasses.dataclass
+class GenerationResult:
+    image: np.ndarray  # [H, W, 3] float32 in [0, 1]
+    latents: np.ndarray  # final packed latents [B, S, 128]
+    seed: int
+    num_steps: int
+    duration_s: float
+    phase_timings: Dict[str, float]
+
+
+@dataclasses.dataclass
+class Flux2Pipeline:
+    """Holds params + configs; exposes generate()."""
+
+    model: Flux2Model
+    transformer_params: Any
+    transformer_config: Flux2TransformerConfig
+    vae_params: Any
+    vae_config: vae_mod.VAEConfig
+    text_encoder: Optional[Any] = None  # EmbeddingExtractor (callable prompt -> emb)
+    max_pixels: int = 4096 * 4096
+
+    # ------------------------------------------------------------------
+    # Construction helpers
+    # ------------------------------------------------------------------
+
+    @classmethod
+    def from_random(
+        cls,
+        model: Flux2Model = Flux2Model.KLEIN_4B,
+        key: Optional[jax.Array] = None,
+        dtype: jnp.dtype = jnp.bfloat16,
+        transformer_config: Optional[Flux2TransformerConfig] = None,
+        vae_config: Optional[vae_mod.VAEConfig] = None,
+    ) -> "Flux2Pipeline":
+        """Random-init pipeline (tests / benchmarks without checkpoints)."""
+        key = key if key is not None else jax.random.PRNGKey(0)
+        k1, k2 = jax.random.split(key)
+        tc = transformer_config or model.transformer_config
+        vc = vae_config or vae_mod.FLUX2_VAE
+        return cls(
+            model=model,
+            transformer_params=tfm.init_params(k1, tc, dtype=dtype),
+            transformer_config=tc,
+            vae_params=vae_mod.init_params(k2, vc, dtype=jnp.float32),
+            vae_config=vc,
+        )
+
+    # ------------------------------------------------------------------
+    # Phase 1: text encoding
+    # ------------------------------------------------------------------
+
+    def encode_prompt(self, prompt: str) -> jnp.ndarray:
+        if self.text_encoder is None:
+            raise ValueError("no text encoder attached; pass `embeddings=` to generate()")
+        return self.text_encoder(prompt)
+
+    # ------------------------------------------------------------------
+    # Phase 2+3: denoise + decode
+    # ------------------------------------------------------------------
+
+    def generate(
+        self,
+        prompt: Optional[str] = None,
+        embeddings: Optional[jnp.ndarray] = None,
+        negative_embeddings: Optional[jnp.ndarray] = None,
+        height: int = 1024,
+        width: int = 1024,
+        num_steps: Optional[int] = None,
+        guidance: Optional[float] = None,
+        seed: int = 0,
+        reference_latents: Optional[jnp.ndarray] = None,  # [B, S_ref, 128] packed+normalized
+        reference_ids: Optional[np.ndarray] = None,  # [S_ref, 4]
+        strength: float = 1.0,
+        init_latents: Optional[jnp.ndarray] = None,  # [B, S_img, 128] packed+normalized
+        custom_sigmas: Optional[Sequence[float]] = None,
+        step_hook: Optional[StepHook] = None,
+        decode: bool = True,
+    ) -> GenerationResult:
+        """Generate an image. T2I by default; I2I via reference_latents;
+        img2img via init_latents + strength < 1."""
+        t0 = time.perf_counter()
+        timings: Dict[str, float] = {}
+
+        height, width = lu.validate_dimensions(height, width)
+        if height * width > self.max_pixels:
+            raise ValueError(f"{width}x{height} exceeds max pixels {self.max_pixels}")
+        num_steps = num_steps if num_steps is not None else self.model.default_steps
+        guidance = guidance if guidance is not None else self.model.default_guidance
+
+        # --- Phase 1: text encoding ---
+        t = time.perf_counter()
+        if embeddings is None:
+            embeddings = self.encode_prompt(prompt or "")
+        if self.model.uses_classical_cfg and negative_embeddings is None and self.text_encoder is not None:
+            negative_embeddings = self.encode_prompt("")
+        timings["text_encoding"] = time.perf_counter() - t
+
+        # --- schedule ---
+        _, _, num_patches = lu.latent_dims(height, width)
+        if custom_sigmas is not None:
+            schedule = sch.set_custom_sigmas(custom_sigmas)
+        else:
+            schedule = sch.set_timesteps(num_steps, image_seq_len=num_patches, strength=strength)
+
+        # --- initial latents ---
+        key = jax.random.PRNGKey(seed)
+        key, noise_key = jax.random.split(key)
+        noise = lu.generate_patchified_latents(noise_key, height, width)
+        noise_seq = lu.pack_patchified_to_sequence(noise)
+        if init_latents is not None and strength < 1.0:
+            # img2img: mix encoded image with noise at the starting sigma.
+            latents_seq = sch.scale_noise(init_latents, schedule.initial_sigma, noise_seq)
+        else:
+            latents_seq = noise_seq
+
+        # --- position ids + rope ---
+        # Transformer sequence order is [txt ; output-img ; ref-img]: the
+        # denoise body appends clean reference tokens after the output tokens
+        # and ids follow the same order. (The reference concatenates
+        # [output, reference] the same way; RoPE depends only on per-token
+        # ids, not their order in the sequence.)
+        s_txt = embeddings.shape[1]
+        ids = [lu.text_position_ids(s_txt), lu.image_position_ids(height, width)]
+        if reference_latents is not None:
+            if reference_ids is None:
+                raise ValueError("reference_latents requires reference_ids")
+            ids.append(np.asarray(reference_ids))
+        combined_ids = np.concatenate(ids, axis=0)
+        cos, sin = rope_embeddings(jnp.asarray(combined_ids))
+
+        # --- denoise (one compiled scan) ---
+        t = time.perf_counter()
+        final_seq = _denoise(
+            self.transformer_params,
+            self.transformer_config,
+            latents_seq,
+            embeddings,
+            negative_embeddings if self.model.uses_classical_cfg else None,
+            jnp.asarray(schedule.sigma_pairs()),
+            jnp.float32(guidance),
+            cos,
+            sin,
+            reference_latents,
+            step_hook,
+            self.model.uses_guidance_embeds,
+            self.model.uses_classical_cfg,
+        )
+        final_seq.block_until_ready()
+        timings["denoising"] = time.perf_counter() - t
+
+        # --- decode ---
+        t = time.perf_counter()
+        image = None
+        if decode:
+            image = np.asarray(self.decode_latents(final_seq, height, width))[0]
+        timings["vae_decoding"] = time.perf_counter() - t
+
+        return GenerationResult(
+            image=image,
+            latents=np.asarray(final_seq),
+            seed=seed,
+            num_steps=schedule.num_steps,
+            duration_s=time.perf_counter() - t0,
+            phase_timings=timings,
+        )
+
+    # ------------------------------------------------------------------
+
+    def decode_latents(self, latents_seq: jnp.ndarray, height: int, width: int) -> jnp.ndarray:
+        """Packed sequence -> image [B, H, W, 3] in [0, 1]."""
+        return _decode_latents_jit(
+            self.vae_params, self.vae_config, latents_seq, height, width
+        )
+
+    def encode_image_to_packed_sequence(
+        self, image: np.ndarray, sample_posterior: bool = False, key: Optional[jax.Array] = None
+    ) -> jnp.ndarray:
+        """Image [H, W, 3] in [0,1] -> packed normalized latents [1, S, 128].
+
+        The chain-helper surface (Flux2Pipeline+ChainHelpers.swift:75-101).
+        """
+        x = jnp.asarray(image, jnp.float32)[None].transpose(0, 3, 1, 2) * 2.0 - 1.0
+        z = vae_mod.encode(self.vae_params, x, self.vae_config, sample_posterior=sample_posterior, key=key)
+        patched = lu.patchify_latents(z)
+        mean, var = vae_mod.get_batchnorm_stats(self.vae_params)
+        normed = lu.normalize_with_batchnorm(patched, mean, var)
+        return lu.pack_patchified_to_sequence(normed)
+
+    def encode_reference_images(
+        self,
+        images: Sequence[np.ndarray],
+        max_pixels: int = 1024 * 1024,
+    ) -> Tuple[jnp.ndarray, np.ndarray]:
+        """VAE-encode reference images for I2I conditioning.
+
+        Returns (packed reference latents [1, S_ref, 128], position ids
+        [S_ref, 4] with per-image T coordinates) — parity with
+        encodeReferenceImages (Flux2Pipeline.swift:2143-2252).
+        """
+        if len(images) > self.model.max_reference_images:
+            raise ValueError(
+                f"{len(images)} reference images > max {self.model.max_reference_images}"
+            )
+        seqs, hs, ws = [], [], []
+        for img in images:
+            img = _downscale_to_max_pixels(img, max_pixels, multiple=32)
+            seqs.append(self.encode_image_to_packed_sequence(img))
+            hs.append(img.shape[0] // 16)
+            ws.append(img.shape[1] // 16)
+        ids = lu.reference_image_position_ids(hs, ws)
+        return jnp.concatenate(seqs, axis=1), ids
+
+
+# ---------------------------------------------------------------------------
+# Jitted cores
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("config", "hook", "use_guidance_embeds", "use_cfg"),
+)
+def _denoise(
+    params,
+    config: Flux2TransformerConfig,
+    latents_seq: jnp.ndarray,  # [B, S_img, 128]
+    embeddings: jnp.ndarray,  # [B, S_txt, joint]
+    negative_embeddings: Optional[jnp.ndarray],
+    sigma_pairs: jnp.ndarray,  # [n, 2]
+    guidance: jnp.ndarray,  # scalar
+    rope_cos: jnp.ndarray,
+    rope_sin: jnp.ndarray,
+    reference_latents: Optional[jnp.ndarray],  # [B, S_ref, 128] or None
+    hook: Optional[StepHook],
+    use_guidance_embeds: bool,
+    use_cfg: bool,
+):
+    b = latents_seq.shape[0]
+    s_img = latents_seq.shape[1]
+    dtype = params["x_embedder"]["kernel"].dtype
+    latents_seq = latents_seq.astype(jnp.float32)
+
+    if use_cfg and negative_embeddings is None:
+        raise ValueError("classical CFG requires negative embeddings")
+
+    def model_fn(lat, sigma):
+        x = lat.astype(dtype)
+        if reference_latents is not None:
+            x = jnp.concatenate([x, reference_latents.astype(dtype)], axis=1)
+        tstep = jnp.full((b,), sigma, jnp.float32)
+        g = jnp.full((b,), guidance, jnp.float32) if use_guidance_embeds else None
+        if use_cfg:
+            # cond/uncond as batch rows of one forward.
+            x2 = jnp.concatenate([x, x], axis=0)
+            emb2 = jnp.concatenate([embeddings, negative_embeddings], axis=0)
+            t2 = jnp.concatenate([tstep, tstep], axis=0)
+            g2 = jnp.concatenate([g, g], axis=0) if g is not None else None
+            v2 = tfm.forward(params, config, x2, emb2, t2, rope_cos, rope_sin, guidance=g2)
+            v_cond, v_uncond = v2[:b], v2[b:]
+            v = v_uncond + guidance.astype(v2.dtype) * (v_cond - v_uncond)
+        else:
+            v = tfm.forward(params, config, x, embeddings, tstep, rope_cos, rope_sin, guidance=g)
+        return v[:, :s_img].astype(jnp.float32)  # slice off reference tokens
+
+    def body(carry, inp):
+        lat, step_idx = carry
+        sigma, sigma_next = inp[0], inp[1]
+        v = model_fn(lat, sigma)
+        lat = sch.euler_step(lat, v, sigma, sigma_next)
+        if hook is not None:
+            lat = hook(lat, sigma, sigma_next, step_idx)
+        return (lat, step_idx + 1), None
+
+    (final, _), _ = jax.lax.scan(body, (latents_seq, jnp.int32(0)), sigma_pairs)
+    return final
+
+
+@functools.partial(jax.jit, static_argnames=("vae_config", "height", "width"))
+def _decode_latents_jit(vae_params, vae_config, latents_seq, height: int, width: int):
+    patched = lu.unpack_sequence_to_patchified(latents_seq, height, width)
+    mean, var = vae_mod.get_batchnorm_stats(vae_params)
+    denormed = lu.denormalize_with_batchnorm(patched, mean, var)
+    z = lu.unpatchify_latents(denormed)
+    img = vae_mod.decode(vae_params, z.astype(jnp.float32), vae_config)
+    img = jnp.clip(img * 0.5 + 0.5, 0.0, 1.0)
+    return img.transpose(0, 2, 3, 1)  # NCHW -> NHWC
+
+
+def _downscale_to_max_pixels(image: np.ndarray, max_pixels: int, multiple: int = 32) -> np.ndarray:
+    """Area-downscale so H*W <= max_pixels, dims rounded down to a multiple.
+
+    Pixel-exact PIL/np replacement for the reference's CoreGraphics resize
+    (Flux2Pipeline.swift:2159-2192).
+    """
+    h, w = image.shape[:2]
+    scale = min(1.0, (max_pixels / (h * w)) ** 0.5)
+    nh = max(multiple, int(h * scale) // multiple * multiple)
+    nw = max(multiple, int(w * scale) // multiple * multiple)
+    if (nh, nw) == (h, w):
+        return image
+    try:
+        from PIL import Image
+
+        im = Image.fromarray((np.clip(image, 0, 1) * 255).astype(np.uint8))
+        return np.asarray(im.resize((nw, nh), Image.LANCZOS), dtype=np.float32) / 255.0
+    except ImportError:
+        # numpy fallback: nearest sampling
+        ys = (np.arange(nh) * h / nh).astype(int)
+        xs = (np.arange(nw) * w / nw).astype(int)
+        return image[ys][:, xs]

@@ -1,0 +1,153 @@
+"""End-to-end pipeline tests on tiny random-init models (hermetic, CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flux2_tpu.models.flux2 import config as cfg
+from flux2_tpu.models.flux2 import vae as vae_mod
+from flux2_tpu.pipeline.pipeline import Flux2Pipeline
+
+
+def tiny_pipeline(model=cfg.Flux2Model.KLEIN_4B):
+    tc = cfg.Flux2TransformerConfig(
+        num_layers=1,
+        num_single_layers=2,
+        num_attention_heads=2,
+        attention_head_dim=128,
+        joint_attention_dim=96,
+        guidance_embeds=(model is cfg.Flux2Model.DEV),
+    )
+    # latent_channels must be 32 for the 128-channel patchified format and
+    # 4 levels for the x8 pixel/latent scale the latent geometry assumes.
+    vc = vae_mod.VAEConfig(
+        block_out_channels=(8, 8, 16, 16), layers_per_block=1, norm_num_groups=4
+    )
+    return Flux2Pipeline.from_random(
+        model=model, dtype=jnp.float32, transformer_config=tc, vae_config=vc
+    )
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    return tiny_pipeline()
+
+
+def _emb(pipe, s_txt=8, b=1, seed=3):
+    return jax.random.normal(
+        jax.random.PRNGKey(seed), (b, s_txt, pipe.transformer_config.joint_attention_dim)
+    )
+
+
+def test_t2i_end_to_end(pipe):
+    res = pipe.generate(embeddings=_emb(pipe), height=64, width=64, num_steps=2, seed=7)
+    assert res.image.shape == (64, 64, 3)
+    assert res.image.min() >= 0.0 and res.image.max() <= 1.0
+    assert np.isfinite(res.image).all()
+    assert res.num_steps == 2
+    assert set(res.phase_timings) == {"text_encoding", "denoising", "vae_decoding"}
+
+
+def test_t2i_seed_determinism(pipe):
+    a = pipe.generate(embeddings=_emb(pipe), height=64, width=64, num_steps=2, seed=7)
+    b = pipe.generate(embeddings=_emb(pipe), height=64, width=64, num_steps=2, seed=7)
+    c = pipe.generate(embeddings=_emb(pipe), height=64, width=64, num_steps=2, seed=8)
+    np.testing.assert_array_equal(a.image, b.image)
+    assert np.abs(a.image - c.image).max() > 0
+
+
+def test_dimension_rounding(pipe):
+    res = pipe.generate(embeddings=_emb(pipe), height=60, width=70, num_steps=1, seed=0)
+    assert res.image.shape == (64, 80, 3)  # rounded up to x16
+
+
+def test_i2i_with_reference(pipe):
+    ref_img = np.random.RandomState(0).rand(64, 64, 3).astype(np.float32)
+    ref_lat, ref_ids = pipe.encode_reference_images([ref_img])
+    assert ref_lat.shape == (1, 16, 128)
+    assert ref_ids.shape == (16, 4)
+    assert (ref_ids[:, 0] == 10).all()  # first reference: T=10
+    res = pipe.generate(
+        embeddings=_emb(pipe),
+        height=64,
+        width=64,
+        num_steps=2,
+        seed=7,
+        reference_latents=ref_lat,
+        reference_ids=ref_ids,
+    )
+    assert res.image.shape == (64, 64, 3)
+    # conditioning must change the output vs plain T2I
+    t2i = pipe.generate(embeddings=_emb(pipe), height=64, width=64, num_steps=2, seed=7)
+    assert np.abs(res.image - t2i.image).max() > 1e-6
+
+
+def test_img2img_strength(pipe):
+    init_img = np.random.RandomState(1).rand(64, 64, 3).astype(np.float32)
+    init_seq = pipe.encode_image_to_packed_sequence(init_img)
+    res = pipe.generate(
+        embeddings=_emb(pipe),
+        height=64,
+        width=64,
+        num_steps=4,
+        seed=7,
+        strength=0.5,
+        init_latents=init_seq,
+    )
+    assert res.num_steps == 2  # strength 0.5 skips half the steps
+    # strength ~0 keeps the init image's latents nearly intact
+    res_low = pipe.generate(
+        embeddings=_emb(pipe), height=64, width=64, num_steps=4, seed=7,
+        strength=0.01, init_latents=init_seq,
+    )
+    init_np = np.asarray(init_seq)
+    assert np.abs(res_low.latents - init_np).mean() < np.abs(res.latents - init_np).mean()
+
+
+def test_step_hook_runs_inside_scan(pipe):
+    """RePaint-style hook: force the first half of tokens to a constant."""
+
+    def hook(lat, sigma, sigma_next, step_idx):
+        return lat.at[:, : lat.shape[1] // 2].set(0.0)
+
+    res = pipe.generate(
+        embeddings=_emb(pipe), height=64, width=64, num_steps=2, seed=7, step_hook=hook
+    )
+    assert np.abs(res.latents[:, :8]).max() == 0.0
+    assert np.abs(res.latents[:, 8:]).max() > 0.0
+
+
+def test_classical_cfg_base_model():
+    pipe = tiny_pipeline(model=cfg.Flux2Model.KLEIN_4B_BASE)
+    neg = jax.random.normal(jax.random.PRNGKey(9), (1, 8, pipe.transformer_config.joint_attention_dim))
+    res = pipe.generate(
+        embeddings=_emb(pipe),
+        negative_embeddings=neg,
+        height=64,
+        width=64,
+        num_steps=2,
+        guidance=3.5,
+        seed=7,
+    )
+    assert res.image.shape == (64, 64, 3)
+    # guidance scale must matter for CFG models
+    res2 = pipe.generate(
+        embeddings=_emb(pipe), negative_embeddings=neg,
+        height=64, width=64, num_steps=2, guidance=1.0, seed=7,
+    )
+    assert np.abs(res.image - res2.image).max() > 1e-6
+
+
+def test_custom_sigmas(pipe):
+    res = pipe.generate(
+        embeddings=_emb(pipe), height=64, width=64, seed=7,
+        custom_sigmas=[1.0, 0.5, 0.25],
+    )
+    assert res.num_steps == 3  # terminal 0.0 appended
+
+
+def test_max_reference_images_enforced(pipe):
+    imgs = [np.zeros((32, 32, 3), np.float32)] * (pipe.model.max_reference_images + 1)
+    with pytest.raises(ValueError):
+        pipe.encode_reference_images(imgs)
