@@ -63,7 +63,7 @@ def init_params(
     keys = iter(jax.random.split(key, 64))
 
     def stack(n, f):
-        return jnp.stack([f(next(keys)) for _ in range(n)])
+        return jnp.stack([f(k) for k in jax.random.split(next(keys), n)])
 
     params: Params = {
         "x_embedder": {"kernel": _linear(next(keys), config.in_channels, d, dtype)},

@@ -116,7 +116,7 @@ def flash_attention(
 
     out = pl.pallas_call(
         functools.partial(
-            _flash_kernel, scale=jnp.float32(scale), kv_len=s_k, block_k=block_k
+            _flash_kernel, scale=float(scale), kv_len=s_k, block_k=block_k
         ),
         grid=grid,
         in_specs=[

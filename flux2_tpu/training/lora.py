@@ -1,0 +1,115 @@
+"""LoRA adapters for the FLUX.2 DiT: init, merge, target selection.
+
+Capability parity with the reference's inference-side LoRA
+(``Sources/Flux2Core/LoRA/LoRALoader.swift``, merge semantics
+``WeightLoader.swift:736-856``: W += scale * (B @ A)) and the training-side
+injection (``Training/Model/LoRALinear.swift:117-197``): adapters target the
+attention Q/K/V(+added)/out projections and FFN projections of double blocks
+and the fused projections of single blocks; embedders and modulation layers
+are intentionally NOT adapted.
+
+TPU-first shape: because DiT weights are stacked per layer ([L, in, out]),
+one LoRA leaf pair covers ALL layers of a kind: a [L, in, r], b [L, r, out].
+``b`` initializes to zeros so training starts at the identity; ``a`` uses
+uniform Kaiming-style init (LoRALinear.swift:20-60).
+
+Two application modes:
+  - ``merge_into_params``: returns params with W + scale*(a@b) folded in —
+    the inference path (load -> merge -> generate), differentiable w.r.t.
+    the LoRA leaves, which is also how the trainer computes its forward.
+  - scale can be recomputed per-adapter: scale = alpha / rank * user_scale
+    (LoRALoader.swift:75-94).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+Params = Dict[str, Any]
+
+# DiT leaves that take LoRA adapters, keyed (block_group, leaf).
+DEFAULT_TARGETS: Tuple[Tuple[str, str], ...] = (
+    ("double_blocks", "to_q"),
+    ("double_blocks", "to_k"),
+    ("double_blocks", "to_v"),
+    ("double_blocks", "to_out"),
+    ("double_blocks", "add_q"),
+    ("double_blocks", "add_k"),
+    ("double_blocks", "add_v"),
+    ("double_blocks", "add_out"),
+    ("double_blocks", "ff_in"),
+    ("double_blocks", "ff_out"),
+    ("double_blocks", "ff_ctx_in"),
+    ("double_blocks", "ff_ctx_out"),
+    ("single_blocks", "to_q"),
+    ("single_blocks", "to_k"),
+    ("single_blocks", "to_v"),
+    ("single_blocks", "mlp_gate"),
+    ("single_blocks", "mlp_up"),
+    ("single_blocks", "out_attn"),
+    ("single_blocks", "out_mlp"),
+)
+
+ATTENTION_ONLY_TARGETS: Tuple[Tuple[str, str], ...] = tuple(
+    t for t in DEFAULT_TARGETS if t[1] not in ("ff_in", "ff_out", "ff_ctx_in", "ff_ctx_out", "mlp_gate", "mlp_up", "out_mlp")
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class LoRAConfig:
+    rank: int = 16
+    alpha: float = 16.0
+    targets: Tuple[Tuple[str, str], ...] = DEFAULT_TARGETS
+
+    @property
+    def scale(self) -> float:
+        return self.alpha / self.rank
+
+
+def init_lora(
+    key: jax.Array,
+    params: Params,
+    config: LoRAConfig,
+    dtype: jnp.dtype = jnp.float32,
+) -> Params:
+    """LoRA pytree mirroring the targeted leaves: {group: {leaf: {a, b}}}."""
+    lora: Params = {}
+    keys = iter(jax.random.split(key, len(config.targets)))
+    for group, leaf in config.targets:
+        w = params[group][leaf]  # [L, in, out]
+        nl, d_in, d_out = w.shape
+        bound = 1.0 / (d_in**0.5)
+        a = jax.random.uniform(next(keys), (nl, d_in, config.rank), jnp.float32, -bound, bound)
+        b = jnp.zeros((nl, config.rank, d_out), jnp.float32)
+        lora.setdefault(group, {})[leaf] = {"a": a.astype(dtype), "b": b.astype(dtype)}
+    return lora
+
+
+def merge_into_params(params: Params, lora: Params, scale: float) -> Params:
+    """Return params with W' = W + scale * (a @ b) on every adapted leaf.
+
+    Matches the reference merge W += scale*(B@A) (WeightLoader.swift:793-819;
+    the transpose difference is layout only — weights here are [in, out]).
+    """
+    out = jax.tree_util.tree_map(lambda x: x, params)  # shallow-ish copy
+    merged = {**out}
+    for group, leaves in lora.items():
+        new_group = dict(merged[group])
+        for leaf, ab in leaves.items():
+            w = new_group[leaf]
+            delta = jnp.einsum("lir,lro->lio", ab["a"].astype(jnp.float32), ab["b"].astype(jnp.float32))
+            new_group[leaf] = (w.astype(jnp.float32) + scale * delta).astype(w.dtype)
+        merged[group] = new_group
+    return merged
+
+
+def num_lora_params(lora: Params) -> int:
+    return sum(int(x.size) for x in jax.tree_util.tree_leaves(lora))
+
+
+def lora_zeros_like(lora: Params) -> Params:
+    return jax.tree_util.tree_map(jnp.zeros_like, lora)

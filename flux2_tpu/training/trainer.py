@@ -1,0 +1,328 @@
+"""Flow-matching LoRA trainer for the FLUX.2 DiT.
+
+Capability parity with ``Sources/Flux2Core/Training/Loop/SimpleLoRATrainer.swift``
+(Ostris-compatible, no EMA): rectified-flow velocity loss with optional
+bell-shaped timestep weighting, timestep samplers
+(uniform / content t^3 / style 1-t^3 / balanced), DOP regularization,
+gradient accumulation, grad-norm clip 1.0, AdamW or Lion, I2I control-token
+training, checkpoint/resume with optimizer state (full state — optax has no
+mlx-swift restore limitation, ResumableAdamW.swift:93-101).
+
+TPU-first: the train step is ONE jitted SPMD program — LoRA merge, forward
+(with per-block remat), backward, clip, optimizer update — sharded over the
+(data, fsdp, tp) mesh. Gradient accumulation is a lax.scan over micro-batches
+inside the same program.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import json
+import os
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from flux2_tpu.models.flux2 import transformer as tfm
+from flux2_tpu.models.flux2.config import Flux2TransformerConfig
+from flux2_tpu.ops import scheduler as sch
+from flux2_tpu.training import lora as lora_mod
+
+Params = Dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    rank: int = 16
+    alpha: float = 16.0
+    learning_rate: float = 1e-4
+    weight_decay: float = 0.01
+    optimizer: str = "adamw"  # or "lion"
+    timestep_sampling: str = "balanced"  # uniform|content|style|balanced
+    loss_weighting: str = "none"  # none|bell
+    max_grad_norm: float = 1.0
+    grad_accumulation: int = 1
+    dop_weight: float = 0.0  # >0 enables DOP
+    remat: bool = True
+    seed: int = 42
+
+
+# ---------------------------------------------------------------------------
+# Timestep sampling (SimpleLoRATrainer.swift:1191-1222); returns sigmas [B]
+# in [0, 1) (timesteps/1000).
+# ---------------------------------------------------------------------------
+
+
+def sample_timesteps(key: jax.Array, batch: int, mode: str) -> jnp.ndarray:
+    if mode == "uniform":
+        t = jax.random.randint(key, (batch,), 0, 1000).astype(jnp.float32)
+        return t / 1000.0
+    k1, k2 = jax.random.split(key)
+    u = jax.random.uniform(k1, (batch,))
+    cubic = u**3
+    if mode == "content":  # favors low t (fine detail)
+        t = cubic * 1000.0
+    elif mode == "style":  # favors high t (global structure)
+        t = (1.0 - cubic) * 1000.0
+    elif mode == "balanced":  # 50/50 mix (Ostris default)
+        style_mask = jax.random.uniform(k2, (batch,)) > 0.5
+        t = jnp.where(style_mask, (1.0 - cubic) * 1000.0, cubic * 1000.0)
+    else:
+        raise ValueError(f"unknown timestep sampling mode {mode}")
+    return jnp.clip(t, 0.0, 999.0) / 1000.0
+
+
+def bell_weights(sigmas: jnp.ndarray) -> jnp.ndarray:
+    """Ostris bell curve: exp(-2 ((t - 500)/1000)^2) with t = sigma*1000."""
+    centered = (sigmas * 1000.0 - 500.0) / 1000.0
+    return jnp.exp(-2.0 * centered * centered)
+
+
+# ---------------------------------------------------------------------------
+# Loss
+# ---------------------------------------------------------------------------
+
+
+def flow_matching_loss(
+    base_params: Params,
+    lora_params: Params,
+    config: Flux2TransformerConfig,
+    train_cfg: TrainConfig,
+    latents_seq: jnp.ndarray,  # [B, S, 128] clean packed+normalized latents
+    embeddings: jnp.ndarray,  # [B, S_txt, joint]
+    noise_seq: jnp.ndarray,  # [B, S, 128]
+    sigmas: jnp.ndarray,  # [B]
+    rope_cos: jnp.ndarray,
+    rope_sin: jnp.ndarray,
+    guidance: Optional[jnp.ndarray] = None,
+    control_seq: Optional[jnp.ndarray] = None,  # [B, S_ctl, 128] clean control tokens (I2I)
+) -> jnp.ndarray:
+    """MSE(model(noisy, t), noise - latents), optionally bell-weighted.
+
+    I2I training concatenates clean control tokens after the output tokens
+    and slices the loss back to the output portion
+    (SimpleLoRATrainer.swift:949-979).
+    """
+    merged = lora_mod.merge_into_params(
+        base_params, lora_params, lora_mod.LoRAConfig(train_cfg.rank, train_cfg.alpha).scale
+    )
+    s_out = latents_seq.shape[1]
+    noisy = (1.0 - sigmas[:, None, None]) * latents_seq + sigmas[:, None, None] * noise_seq
+    x = noisy
+    if control_seq is not None:
+        x = jnp.concatenate([noisy, control_seq], axis=1)
+    pred = tfm.forward(
+        merged, config, x, embeddings, sigmas, rope_cos, rope_sin,
+        guidance=guidance, remat=train_cfg.remat,
+    )[:, :s_out]
+    target = sch.get_velocity(latents_seq, noise_seq)
+    sq = jnp.square(pred.astype(jnp.float32) - target.astype(jnp.float32))
+    if train_cfg.loss_weighting == "bell":
+        w = bell_weights(sigmas)[:, None, None]
+        return jnp.sum(w * sq) / (jnp.sum(w) * sq.shape[1] * sq.shape[2])
+    return jnp.mean(sq)
+
+
+def dop_loss(
+    base_params: Params,
+    lora_params: Params,
+    config: Flux2TransformerConfig,
+    train_cfg: TrainConfig,
+    latents_seq: jnp.ndarray,
+    preservation_embeddings: jnp.ndarray,  # caption with trigger -> class swap
+    noise_seq: jnp.ndarray,
+    sigmas: jnp.ndarray,
+    rope_cos: jnp.ndarray,
+    rope_sin: jnp.ndarray,
+    guidance: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Differential Output Preservation: MSE(LoRA out, stop_grad(base out))
+    on preservation captions (SimpleLoRATrainer.swift:524-605)."""
+    merged = lora_mod.merge_into_params(
+        base_params, lora_params, lora_mod.LoRAConfig(train_cfg.rank, train_cfg.alpha).scale
+    )
+    noisy = (1.0 - sigmas[:, None, None]) * latents_seq + sigmas[:, None, None] * noise_seq
+    pred_lora = tfm.forward(
+        merged, config, noisy, preservation_embeddings, sigmas, rope_cos, rope_sin,
+        guidance=guidance, remat=train_cfg.remat,
+    )
+    pred_base = tfm.forward(
+        base_params, config, noisy, preservation_embeddings, sigmas, rope_cos, rope_sin,
+        guidance=guidance, remat=train_cfg.remat,
+    )
+    return jnp.mean(jnp.square(pred_lora.astype(jnp.float32) - jax.lax.stop_gradient(pred_base).astype(jnp.float32)))
+
+
+# ---------------------------------------------------------------------------
+# Optimizer / train step
+# ---------------------------------------------------------------------------
+
+
+def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    if cfg.optimizer == "adamw":
+        opt = optax.adamw(cfg.learning_rate, weight_decay=cfg.weight_decay)
+    elif cfg.optimizer == "lion":
+        opt = optax.lion(cfg.learning_rate, weight_decay=cfg.weight_decay)
+    else:
+        raise ValueError(f"unknown optimizer {cfg.optimizer}")
+    return optax.chain(optax.clip_by_global_norm(cfg.max_grad_norm), opt)
+
+
+@dataclasses.dataclass
+class TrainState:
+    lora: Params
+    opt_state: Any
+    step: int
+
+
+def init_train_state(key: jax.Array, base_params: Params, cfg: TrainConfig) -> Tuple[TrainState, optax.GradientTransformation]:
+    lora = lora_mod.init_lora(key, base_params, lora_mod.LoRAConfig(cfg.rank, cfg.alpha))
+    opt = make_optimizer(cfg)
+    return TrainState(lora=lora, opt_state=opt.init(lora), step=0), opt
+
+
+def make_train_step(
+    base_params: Params,
+    config: Flux2TransformerConfig,
+    train_cfg: TrainConfig,
+    optimizer: optax.GradientTransformation,
+) -> Callable:
+    """Build the jitted train step.
+
+    Signature: step(lora, opt_state, batch, key) -> (lora, opt_state, metrics)
+    where batch = dict(latents [B,S,128], embeddings [B,S_txt,J],
+    rope_cos/rope_sin, optional guidance / control / dop_embeddings).
+
+    Gradient accumulation: when cfg.grad_accumulation > 1, the leading batch
+    axis is split into micro-batches scanned inside the same program.
+    """
+
+    def loss_fn(lora, batch, key):
+        k_t, k_n = jax.random.split(key)
+        b = batch["latents"].shape[0]
+        sigmas = sample_timesteps(k_t, b, train_cfg.timestep_sampling)
+        noise = jax.random.normal(k_n, batch["latents"].shape, jnp.float32)
+        main = flow_matching_loss(
+            base_params, lora, config, train_cfg,
+            batch["latents"], batch["embeddings"], noise, sigmas,
+            batch["rope_cos"], batch["rope_sin"],
+            guidance=batch.get("guidance"),
+            control_seq=batch.get("control"),
+        )
+        total = main
+        dop = jnp.float32(0.0)
+        if train_cfg.dop_weight > 0.0 and "dop_embeddings" in batch:
+            dop = dop_loss(
+                base_params, lora, config, train_cfg,
+                batch["latents"], batch["dop_embeddings"], noise, sigmas,
+                batch["rope_cos"], batch["rope_sin"], guidance=batch.get("guidance"),
+            )
+            total = main + train_cfg.dop_weight * dop
+        return total, {"loss": main, "dop_loss": dop}
+
+    def step(lora, opt_state, batch, key):
+        if train_cfg.grad_accumulation > 1:
+            n = train_cfg.grad_accumulation
+
+            def micro(carry, inp):
+                g_acc, l_acc = carry
+                mb, k = inp
+                (l, aux), g = jax.value_and_grad(loss_fn, has_aux=True)(lora, mb, k)
+                return (jax.tree_util.tree_map(jnp.add, g_acc, g), l_acc + l), aux
+
+            batched_keys = {"latents", "embeddings", "guidance", "control", "dop_embeddings"}
+            micro_batches = {
+                k: (v.reshape(n, v.shape[0] // n, *v.shape[1:]) if k in batched_keys
+                    else jnp.broadcast_to(v, (n, *v.shape)))
+                for k, v in batch.items()
+            }
+            keys = jax.random.split(key, n)
+            zeros = jax.tree_util.tree_map(jnp.zeros_like, lora)
+            (grads, loss_sum), auxs = jax.lax.scan(micro, (zeros, jnp.float32(0.0)), (micro_batches, keys))
+            grads = jax.tree_util.tree_map(lambda g: g / n, grads)
+            metrics = {"loss": loss_sum / n, "dop_loss": jnp.mean(auxs["dop_loss"])}
+        else:
+            (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(lora, batch, key)
+        updates, opt_state = optimizer.update(grads, opt_state, lora)
+        lora = optax.apply_updates(lora, updates)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return lora, opt_state, metrics
+
+    return jax.jit(step)
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint save/resume (TrainingState.swift:67-120 + optimizer state)
+# ---------------------------------------------------------------------------
+
+
+def save_checkpoint(path: str, state: TrainState, train_cfg: TrainConfig, extra: Optional[dict] = None) -> None:
+    os.makedirs(path, exist_ok=True)
+    from flux2_tpu.io import safetensors_io
+
+    flat_lora = _flatten(state.lora)
+    safetensors_io.save_file({k: np.asarray(v) for k, v in flat_lora.items()}, os.path.join(path, "lora.safetensors"))
+    opt_leaves, opt_def = jax.tree_util.tree_flatten(state.opt_state)
+    opt_arrays = {f"opt_{i}": np.asarray(x) for i, x in enumerate(opt_leaves) if hasattr(x, "shape")}
+    safetensors_io.save_file(opt_arrays, os.path.join(path, "optimizer.safetensors"))
+    meta = {
+        "step": state.step,
+        "rank": train_cfg.rank,
+        "alpha": train_cfg.alpha,
+        "optimizer": train_cfg.optimizer,
+        "learning_rate": train_cfg.learning_rate,
+    }
+    if extra:
+        meta.update(extra)
+    with open(os.path.join(path, "training_state.json"), "w") as f:
+        json.dump(meta, f, indent=2)
+
+
+def load_checkpoint(path: str, base_params: Params, cfg: TrainConfig) -> TrainState:
+    from flux2_tpu.io import safetensors_io
+
+    with open(os.path.join(path, "training_state.json")) as f:
+        meta = json.load(f)
+    flat = safetensors_io.load_file(os.path.join(path, "lora.safetensors"))
+    lora = _unflatten({k: jnp.asarray(v) for k, v in flat.items()})
+    opt = make_optimizer(cfg)
+    opt_state = opt.init(lora)
+    opt_file = os.path.join(path, "optimizer.safetensors")
+    if os.path.exists(opt_file):
+        saved = safetensors_io.load_file(opt_file)
+        leaves, treedef = jax.tree_util.tree_flatten(opt_state)
+        new_leaves, i = [], 0
+        for leaf in leaves:
+            if hasattr(leaf, "shape") and f"opt_{i}" in saved:
+                new_leaves.append(jnp.asarray(saved[f"opt_{i}"]).astype(leaf.dtype).reshape(leaf.shape))
+            else:
+                new_leaves.append(leaf)
+            i += 1
+        opt_state = jax.tree_util.tree_unflatten(treedef, new_leaves)
+    return TrainState(lora=lora, opt_state=opt_state, step=int(meta["step"]))
+
+
+def _flatten(tree: Params, prefix: str = "") -> Dict[str, Any]:
+    out: Dict[str, Any] = {}
+    for k, v in tree.items():
+        key = f"{prefix}.{k}" if prefix else k
+        if isinstance(v, dict):
+            out.update(_flatten(v, key))
+        else:
+            out[key] = v
+    return out
+
+
+def _unflatten(flat: Dict[str, Any]) -> Params:
+    tree: Params = {}
+    for k, v in flat.items():
+        parts = k.split(".")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = v
+    return tree
