@@ -36,6 +36,7 @@ import jax.numpy as jnp
 
 from flux2_tpu.models.flux2.config import Flux2TransformerConfig
 from flux2_tpu.ops.attention import sdpa
+from flux2_tpu.ops.quant import q_matmul as mm
 from flux2_tpu.ops.normalization import gate, layer_norm, modulate, rms_norm
 from flux2_tpu.ops.rope import apply_rope
 
@@ -138,8 +139,10 @@ def sinusoidal_embedding(t: jnp.ndarray, num_channels: int = 256) -> jnp.ndarray
 
 
 def _mlp_embed(p: Params, x: jnp.ndarray) -> jnp.ndarray:
-    h = x.astype(p["linear1"].dtype) @ p["linear1"]
-    return jax.nn.silu(h) @ p["linear2"]
+    w1 = p["linear1"]
+    if hasattr(w1, "dtype"):
+        x = x.astype(w1.dtype)
+    return mm(jax.nn.silu(mm(x, w1)), p["linear2"])
 
 
 def time_guidance_embedding(
@@ -162,7 +165,7 @@ def time_guidance_embedding(
 
 def _modulation(kernel: jnp.ndarray, temb: jnp.ndarray, num_sets: int, dim: int) -> jnp.ndarray:
     """linear(silu(temb)) -> [B, num_sets, 3, D] of (shift, scale, gate)."""
-    out = jax.nn.silu(temb) @ kernel
+    out = mm(jax.nn.silu(temb), kernel)
     return out.reshape(out.shape[0], num_sets, 3, dim)
 
 
@@ -188,9 +191,9 @@ def _swiglu_ff(x: jnp.ndarray, w_in: jnp.ndarray, w_out: jnp.ndarray) -> jnp.nda
 
     Parity: SwiGLU/Flux2FeedForward (Flux2FeedForward.swift:42-108).
     """
-    proj = x @ w_in
+    proj = mm(x, w_in)
     g, v = jnp.split(proj, 2, axis=-1)
-    return (jax.nn.silu(g) * v) @ w_out
+    return mm(jax.nn.silu(g) * v, w_out)
 
 
 def double_block(
@@ -218,12 +221,12 @@ def double_block(
     img_n = modulate(layer_norm(img), bp_shift(img_mod, 0), bp_scale(img_mod, 0))
     txt_n = modulate(layer_norm(txt), bp_shift(txt_mod, 0), bp_scale(txt_mod, 0))
 
-    q_img = _heads(img_n @ bp["to_q"], num_heads)
-    k_img = _heads(img_n @ bp["to_k"], num_heads)
-    v_img = _heads(img_n @ bp["to_v"], num_heads)
-    q_txt = _heads(txt_n @ bp["add_q"], num_heads)
-    k_txt = _heads(txt_n @ bp["add_k"], num_heads)
-    v_txt = _heads(txt_n @ bp["add_v"], num_heads)
+    q_img = _heads(mm(img_n, bp["to_q"]), num_heads)
+    k_img = _heads(mm(img_n, bp["to_k"]), num_heads)
+    v_img = _heads(mm(img_n, bp["to_v"]), num_heads)
+    q_txt = _heads(mm(txt_n, bp["add_q"]), num_heads)
+    k_txt = _heads(mm(txt_n, bp["add_k"]), num_heads)
+    v_txt = _heads(mm(txt_n, bp["add_v"]), num_heads)
 
     q_img = rms_norm(q_img, bp["norm_q"])
     k_img = rms_norm(k_img, bp["norm_k"])
@@ -245,8 +248,8 @@ def double_block(
     attn = sdpa(q, k, v, bias=attn_bias)
     txt_attn, img_attn = attn[:, :, :s_txt], attn[:, :, s_txt:]
 
-    img = img + gate(_unheads(img_attn) @ bp["to_out"], bp_gate(img_mod, 0))
-    txt = txt + gate(_unheads(txt_attn) @ bp["add_out"], bp_gate(txt_mod, 0))
+    img = img + gate(mm(_unheads(img_attn), bp["to_out"]), bp_gate(img_mod, 0))
+    txt = txt + gate(mm(_unheads(txt_attn), bp["add_out"]), bp_gate(txt_mod, 0))
 
     # --- FFN sub-block ---
     img_n2 = modulate(layer_norm(img), bp_shift(img_mod, 1), bp_scale(img_mod, 1))
@@ -277,9 +280,9 @@ def single_block(
     """
     x_n = modulate(layer_norm(x), bp_shift(mod, 0), bp_scale(mod, 0))
 
-    q = rms_norm(_heads(x_n @ bp["to_q"], num_heads), bp["norm_q"])
-    k = rms_norm(_heads(x_n @ bp["to_k"], num_heads), bp["norm_k"])
-    v = _heads(x_n @ bp["to_v"], num_heads)
+    q = rms_norm(_heads(mm(x_n, bp["to_q"]), num_heads), bp["norm_q"])
+    k = rms_norm(_heads(mm(x_n, bp["to_k"]), num_heads), bp["norm_k"])
+    v = _heads(mm(x_n, bp["to_v"]), num_heads)
 
     q = apply_rope(q, rope_cos, rope_sin)
     k = apply_rope(k, rope_cos, rope_sin)
@@ -290,8 +293,8 @@ def single_block(
         v = jnp.concatenate([v[:, :, :txt_len], cv, v[:, :, txt_len:]], axis=2)
 
     attn = _unheads(sdpa(q, k, v, bias=attn_bias))
-    mlp = jax.nn.silu(x_n @ bp["mlp_gate"]) * (x_n @ bp["mlp_up"])
-    out = attn @ bp["out_attn"] + mlp @ bp["out_mlp"]
+    mlp = jax.nn.silu(mm(x_n, bp["mlp_gate"])) * (mm(x_n, bp["mlp_up"]))
+    out = mm(attn, bp["out_attn"]) + mm(mlp, bp["out_mlp"])
     return x + gate(out, bp_gate(mod, 0))
 
 
@@ -333,8 +336,10 @@ def forward(
     nh = config.num_attention_heads
     s_txt = encoder_hidden_states.shape[1]
 
-    img = hidden_states @ params["x_embedder"]["kernel"]
-    txt = encoder_hidden_states.astype(params["context_embedder"]["kernel"].dtype) @ params["context_embedder"]["kernel"]
+    img = mm(hidden_states, params["x_embedder"]["kernel"])
+    ctx_w = params["context_embedder"]["kernel"]
+    ctx_dtype = ctx_w.dtype if hasattr(ctx_w, "dtype") else hidden_states.dtype
+    txt = mm(encoder_hidden_states.astype(ctx_dtype), ctx_w)
 
     temb = time_guidance_embedding(params, config, timestep, guidance)
 
@@ -369,7 +374,7 @@ def forward(
 
     # Final AdaLN-continuous: linear(silu(temb)) -> (scale, shift) in
     # diffusers order (Flux2Modulation.swift:142-155).
-    cond = jax.nn.silu(temb) @ params["norm_out"]["kernel"]
+    cond = mm(jax.nn.silu(temb), params["norm_out"]["kernel"])
     scale, shift = jnp.split(cond, 2, axis=-1)
     img = modulate(layer_norm(img), shift, scale)
-    return img @ params["proj_out"]["kernel"]
+    return mm(img, params["proj_out"]["kernel"])

@@ -1,0 +1,216 @@
+"""Weight-only quantization: qint8 / int4 (affine, grouped) + mxfp8 / mxfp4 /
+nvfp4 (microscaling float).
+
+Capability parity with the reference's quantization surface
+(``Sources/Flux2Core/Configuration/QuantizationConfig.swift:40-148``; MLX
+quantize semantics used in ``WeightLoader.swift:793-819``):
+
+  - qint8: 8-bit affine, group 64          (near-lossless, -47% memory)
+  - int4 : 4-bit affine, group 64          (-72% memory)
+  - mxfp8: e4m3 values, power-of-2 scale, group 32
+  - mxfp4: e2m1 values, power-of-2 scale, group 32
+  - nvfp4: e2m1 values, e4m3 float scale, group 16
+
+Representation: ``QTensor`` — a registered pytree whose children are the
+code/scale(/bias) arrays and whose aux data (format, group size, original
+input dim) is static, so QTensors flow through jit/scan/vmap like ordinary
+leaves. Grouping is along the INPUT feature axis (the contraction axis),
+matching MLX's row-group layout; int4/fp4 codes pack two nibbles per uint8
+along that axis. Works on 2D [in, out] and stacked 3D [L, in, out] leaves.
+
+Compute: ``q_matmul(x, w)`` dispatches — plain arrays hit the MXU directly;
+QTensors dequantize-then-matmul, with a Pallas fused dequant-matmul kernel
+on TPU for the int formats (the XLA path materializes the bf16 weight tile;
+the Pallas kernel dequantizes in VMEM so HBM traffic stays at the quantized
+size — the entire point of weight-only quant on a bandwidth-bound chip).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+FORMATS = ("bf16", "qint8", "int4", "mxfp8", "mxfp4", "nvfp4")
+
+GROUP_SIZES = {"qint8": 64, "int4": 64, "mxfp8": 32, "mxfp4": 32, "nvfp4": 16}
+
+# e2m1 (sign + 2-bit exponent + 1-bit mantissa) value table for fp4 codes.
+_E2M1_VALUES = np.array(
+    [0.0, 0.5, 1.0, 1.5, 2.0, 3.0, 4.0, 6.0, -0.0, -0.5, -1.0, -1.5, -2.0, -3.0, -4.0, -6.0],
+    dtype=np.float32,
+)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class QTensor:
+    """Quantized weight: codes + per-group scale (+ bias for affine formats)."""
+
+    q: jnp.ndarray  # [.., in(/2 packed), out]
+    scale: jnp.ndarray  # [.., in/g, out]
+    bias: Optional[jnp.ndarray]  # [.., in/g, out] (affine int formats only)
+    format: str  # static
+    group_size: int  # static
+    orig_in: int  # static
+
+    def tree_flatten(self):
+        children = (self.q, self.scale, self.bias)
+        return children, (self.format, self.group_size, self.orig_in)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        q, scale, bias = children
+        return cls(q, scale, bias, *aux)
+
+    @property
+    def nbytes(self) -> int:
+        n = self.q.nbytes + self.scale.nbytes
+        return n + (self.bias.nbytes if self.bias is not None else 0)
+
+
+def is_quantized(w: Any) -> bool:
+    return isinstance(w, QTensor)
+
+
+# ---------------------------------------------------------------------------
+# Quantize / dequantize
+# ---------------------------------------------------------------------------
+
+
+def quantize(w: jnp.ndarray, fmt: str, group_size: Optional[int] = None) -> QTensor:
+    """Quantize a weight [.., in, out] along the input axis."""
+    if fmt == "bf16":
+        raise ValueError("bf16 is the unquantized format")
+    g = group_size or GROUP_SIZES[fmt]
+    *lead, d_in, d_out = w.shape
+    if d_in % g:
+        raise ValueError(f"in dim {d_in} not divisible by group size {g}")
+    wf = jnp.asarray(w, jnp.float32).reshape(*lead, d_in // g, g, d_out)
+
+    if fmt in ("qint8", "int4"):
+        bits = 8 if fmt == "qint8" else 4
+        levels = (1 << bits) - 1
+        wmin = jnp.min(wf, axis=-2, keepdims=True)
+        wmax = jnp.max(wf, axis=-2, keepdims=True)
+        scale = (wmax - wmin) / levels
+        scale = jnp.where(scale == 0, 1.0, scale)
+        q = jnp.clip(jnp.round((wf - wmin) / scale), 0, levels).astype(jnp.uint8)
+        q = q.reshape(*lead, d_in, d_out)
+        if fmt == "int4":
+            q = _pack_nibbles(q)
+        return QTensor(q, scale.squeeze(-2).astype(jnp.float32), wmin.squeeze(-2).astype(jnp.float32), fmt, g, d_in)
+
+    if fmt in ("mxfp8", "mxfp4", "nvfp4"):
+        amax = jnp.max(jnp.abs(wf), axis=-2, keepdims=True)
+        amax = jnp.where(amax == 0, 1.0, amax)
+        target_max = 448.0 if fmt == "mxfp8" else 6.0  # e4m3 max / e2m1 max
+        if fmt == "nvfp4":
+            # float (e4m3-representable) scale
+            scale = (amax / target_max).astype(jnp.float8_e4m3fn).astype(jnp.float32)
+            scale = jnp.where(scale == 0, 2.0**-16, scale)
+        else:
+            # power-of-two shared scale (OCP microscaling)
+            scale = 2.0 ** jnp.ceil(jnp.log2(amax / target_max))
+        scaled = wf / scale
+        if fmt == "mxfp8":
+            q = scaled.astype(jnp.float8_e4m3fn).reshape(*lead, d_in, d_out)
+        else:
+            q = _pack_nibbles(_encode_e2m1(scaled).reshape(*lead, d_in, d_out))
+        return QTensor(q, scale.squeeze(-2).astype(jnp.float32), None, fmt, g, d_in)
+
+    raise ValueError(f"unknown quantization format {fmt}")
+
+
+def dequantize(qw: QTensor, dtype=jnp.bfloat16) -> jnp.ndarray:
+    fmt, g, d_in = qw.format, qw.group_size, qw.orig_in
+    q = qw.q
+    if fmt in ("int4", "mxfp4", "nvfp4"):
+        q = _unpack_nibbles(q, d_in)
+    *lead, _, d_out = q.shape
+    scale = jnp.expand_dims(qw.scale, -2)  # [.., G, 1, out]
+    if fmt in ("qint8", "int4"):
+        codes = q.reshape(*lead, d_in // g, g, d_out).astype(jnp.float32)
+        bias = jnp.expand_dims(qw.bias, -2)
+        w = codes * scale + bias
+    elif fmt == "mxfp8":
+        vals = q.astype(jnp.float32).reshape(*lead, d_in // g, g, d_out)
+        w = vals * scale
+    else:  # e2m1 codebook
+        vals = jnp.asarray(_E2M1_VALUES)[q.astype(jnp.int32)]
+        w = vals.reshape(*lead, d_in // g, g, d_out) * scale
+    return w.reshape(*lead, d_in, d_out).astype(dtype)
+
+
+def _encode_e2m1(x: jnp.ndarray) -> jnp.ndarray:
+    """Round float values to the nearest e2m1 code (0..15)."""
+    vals = jnp.asarray(_E2M1_VALUES)  # [16]
+    dist = jnp.abs(x[..., None] - vals)
+    return jnp.argmin(dist, axis=-1).astype(jnp.uint8)
+
+
+def _pack_nibbles(q: jnp.ndarray) -> jnp.ndarray:
+    """[.., in, out] 0..15 -> [.., in/2, out] uint8 (low nibble = even row)."""
+    *lead, d_in, d_out = q.shape
+    q2 = q.reshape(*lead, d_in // 2, 2, d_out)
+    return (q2[..., 0, :] | (q2[..., 1, :] << 4)).astype(jnp.uint8)
+
+
+def _unpack_nibbles(q: jnp.ndarray, d_in: int) -> jnp.ndarray:
+    *lead, _, d_out = q.shape
+    low = q & 0xF
+    high = q >> 4
+    return jnp.stack([low, high], axis=-2).reshape(*lead, d_in, d_out)
+
+
+# ---------------------------------------------------------------------------
+# Matmul dispatch
+# ---------------------------------------------------------------------------
+
+
+def q_matmul(x: jnp.ndarray, w: Any) -> jnp.ndarray:
+    """x @ w where w is a plain array or a QTensor."""
+    if not is_quantized(w):
+        return x @ w
+    if (
+        w.format in ("qint8", "int4")
+        and jax.default_backend() == "tpu"
+        and w.q.ndim == 2
+    ):
+        from flux2_tpu.ops import quant_kernels
+
+        if quant_kernels.supported(x, w):
+            return quant_kernels.dequant_matmul(x, w)
+    return x @ dequantize(w, dtype=x.dtype)
+
+
+def quantize_params(params: Any, fmt: str, min_size: int = 1 << 16) -> Any:
+    """Quantize every float 2D+ weight leaf larger than min_size elements.
+
+    Norm scales, biases, and small leaves stay unquantized — same policy as
+    the reference's on-the-fly quantize (Flux2Pipeline.swift:567-578).
+    """
+    if fmt == "bf16":
+        return params
+
+    def visit(leaf):
+        if (
+            hasattr(leaf, "ndim")
+            and leaf.ndim >= 2
+            and leaf.size >= min_size
+            and jnp.issubdtype(leaf.dtype, jnp.floating)
+            and leaf.shape[-2] % GROUP_SIZES[fmt] == 0
+            and (fmt not in ("int4", "mxfp4", "nvfp4") or leaf.shape[-2] % 2 == 0)
+        ):
+            return quantize(leaf, fmt)
+        return leaf
+
+    return jax.tree_util.tree_map(visit, params)
+
+
+def param_bytes(params: Any) -> int:
+    return sum(leaf.nbytes for leaf in jax.tree_util.tree_leaves(params) if hasattr(leaf, "nbytes"))

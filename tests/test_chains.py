@@ -1,0 +1,130 @@
+"""Chain geometry + end-to-end RePaint tests (hermetic, CPU).
+
+Mirrors the reference's chain test strategy: "CPU-only… exercises the pure
+geometry helpers" (Flux2OutpaintingChainTests.swift:4-7) plus a tiny e2e run.
+"""
+
+import numpy as np
+import pytest
+
+from flux2_tpu.chains import inpaint as inp
+from flux2_tpu.chains import outpaint as outp
+from tests.test_pipeline import tiny_pipeline
+
+
+def test_resolve_chain_dimensions():
+    assert inp.resolve_chain_dimensions(1024, 1024, 4 * 1024 * 1024) == (1024, 1024)
+    h, w = inp.resolve_chain_dimensions(4096, 4096, 1024 * 1024)
+    assert h % 32 == 0 and w % 32 == 0
+    assert h * w <= 1024 * 1024
+
+
+def test_pack_grayscale_mask():
+    mask = np.zeros((64, 64), np.float32)
+    mask[:32] = 1.0  # top half inpaint
+    packed = inp.pack_mask_for_latent_blending(mask, 64, 64)
+    assert packed.shape == (1, 16, 1)
+    arr = np.asarray(packed).reshape(4, 4)
+    np.testing.assert_allclose(arr[:2], 1.0)
+    np.testing.assert_allclose(arr[2:], 0.0)
+
+
+def test_pack_alpha_mask():
+    mask = np.zeros((64, 64, 4), np.float32)
+    mask[..., 3] = 1.0  # fully opaque = keep
+    mask[:32, :, 3] = 0.0  # transparent = inpaint
+    packed = inp.pack_mask_for_latent_blending(
+        mask, 64, 64, convention=inp.ALPHA_TRANSPARENT_INPAINT
+    )
+    arr = np.asarray(packed).reshape(4, 4)
+    np.testing.assert_allclose(arr[:2], 1.0)
+    np.testing.assert_allclose(arr[2:], 0.0)
+    with pytest.raises(ValueError):
+        inp.pack_mask_for_latent_blending(np.zeros((8, 8)), 64, 64, convention=inp.ALPHA_TRANSPARENT_INPAINT)
+
+
+def test_mask_bbox_and_crop_expansion():
+    mask = np.zeros((128, 128), np.float32)
+    mask[40:60, 50:80] = 1.0
+    bbox = inp.mask_bounding_box(mask)
+    assert bbox == (50, 40, 80, 60)
+    region = inp.expand_crop_region(bbox, padding=10, image_width=128, image_height=128)
+    x0, y0, x1, y1 = region
+    assert (x1 - x0) % 32 == 0 and (y1 - y0) % 32 == 0
+    assert x0 <= 50 and x1 >= 80 and y0 <= 40 and y1 >= 60
+    assert inp.mask_bounding_box(np.zeros((8, 8))) is None
+
+
+def test_composite_on_original():
+    orig = np.zeros((64, 64, 3), np.float32)
+    gen = np.ones((32, 32, 3), np.float32)
+    mask = np.ones((32, 32), np.float32)
+    out = inp.composite_on_original(orig, gen, mask, crop_rect=(16, 16, 48, 48))
+    np.testing.assert_allclose(out[16:48, 16:48], 1.0)
+    np.testing.assert_allclose(out[:16], 0.0)
+
+
+def test_outpaint_canvas_and_mask():
+    img = np.full((64, 96, 3), 0.25, np.float32)
+    canvas = outp.build_outpaint_canvas(img, top=32, bottom=0, left=64, right=0, seed=1)
+    assert canvas.shape == (96, 160, 3)
+    np.testing.assert_allclose(canvas[32:, 64:], 0.25)  # original kept
+    strip = canvas[:32]
+    assert strip.std() > 0.01  # noise, not constant
+
+    mask = outp.build_smart_mask(96, 160, keep_x=64, keep_y=32, keep_w=96, keep_h=64, transition_pixels=16)
+    np.testing.assert_allclose(mask[:32], 1.0)  # top strip pure paint
+    # deep keep: below the top ramp (rows >= 32+16), right of the left ramp
+    np.testing.assert_allclose(mask[48:, 140:], 0.0, atol=1e-6)
+    # ramp inside keep on the left boundary
+    assert mask[60, 64] > 0.9
+    assert mask[60, 64 + 15] < 0.15
+    # no ramp on sides without strips (bottom/right)
+    np.testing.assert_allclose(mask[95, 100], 0.0, atol=1e-6)
+
+
+def test_round_up_32():
+    assert outp.round_up_32(1) == 32
+    assert outp.round_up_32(32) == 32
+    assert outp.round_up_32(33) == 64
+
+
+def test_inpaint_chain_end_to_end():
+    import jax
+
+    pipe = tiny_pipeline()
+    emb = jax.random.normal(jax.random.PRNGKey(3), (1, 8, pipe.transformer_config.joint_attention_dim))
+    image = np.full((64, 64, 3), 0.5, np.float32)
+    mask = np.zeros((64, 64), np.float32)
+    mask[:, 32:] = 1.0  # repaint right half
+
+    chain = inp.MaskedInpaintingChain(
+        pipeline=pipe, prompt="", image=image, mask=mask, steps=2, seed=5, embeddings=emb
+    )
+    res = chain.run()
+    assert res.image.shape == (64, 64, 3)
+    # RePaint guarantee: on the final step sigma_next == 0, so latents
+    # OUTSIDE the mask land exactly on the clean source latents. The 4x4
+    # token grid's left two columns are the kept region.
+    src_seq = np.asarray(pipe.encode_image_to_packed_sequence(image))
+    final = res.latents.reshape(1, 4, 4, 128)
+    src = src_seq.reshape(1, 4, 4, 128)
+    np.testing.assert_allclose(final[:, :, :2], src[:, :, :2], atol=1e-4)
+    # repainted tokens differ
+    assert np.abs(final[:, :, 2:] - src[:, :, 2:]).max() > 0.01
+
+
+def test_outpaint_chain_end_to_end():
+    import jax
+
+    pipe = tiny_pipeline()
+    emb = jax.random.normal(jax.random.PRNGKey(3), (1, 8, pipe.transformer_config.joint_attention_dim))
+    image = np.full((64, 64, 3), 0.5, np.float32)
+    chain = outp.OutpaintingChain(
+        pipeline=pipe, image=image, prompt="", right=32, steps=2, seed=5, embeddings=emb
+    )
+    res = chain.run()
+    assert res.image.shape == (64, 96, 3)
+
+    with pytest.raises(ValueError):
+        outp.OutpaintingChain(pipeline=pipe, image=image, prompt="", embeddings=emb).run()

@@ -1,0 +1,133 @@
+"""Quantization tests: round-trip accuracy, packing, formats, model quality."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flux2_tpu.models.flux2 import config as cfg
+from flux2_tpu.models.flux2 import transformer as tfm
+from flux2_tpu.ops import quant
+
+
+def _w(shape, seed=0):
+    return jax.random.normal(jax.random.PRNGKey(seed), shape) * 0.05
+
+
+def test_qint8_roundtrip_error():
+    w = _w((256, 128))
+    qw = quant.quantize(w, "qint8")
+    deq = quant.dequantize(qw, jnp.float32)
+    err = np.abs(np.asarray(deq) - np.asarray(w))
+    # 8-bit affine on a group of 64: quantization step ~range/255
+    assert err.max() < 0.05 * 4 / 255 * 2
+    assert qw.q.dtype == jnp.uint8
+    assert qw.scale.shape == (256 // 64, 128)
+
+
+def test_int4_pack_unpack():
+    w = _w((128, 128), seed=1)
+    qw = quant.quantize(w, "int4")
+    assert qw.q.shape == (64, 128)  # packed 2 per byte
+    deq = quant.dequantize(qw, jnp.float32)
+    assert deq.shape == (128, 128)
+    err = np.abs(np.asarray(deq) - np.asarray(w))
+    assert err.max() < 0.05 * 4 / 15 * 1.1
+
+
+def test_nibble_packing_exact():
+    q = jnp.arange(16, dtype=jnp.uint8).reshape(8, 2) % 16
+    packed = quant._pack_nibbles(q)
+    unpacked = quant._unpack_nibbles(packed, 8)
+    np.testing.assert_array_equal(np.asarray(unpacked), np.asarray(q))
+
+
+def test_mxfp8_roundtrip():
+    w = _w((64, 128), seed=2)
+    qw = quant.quantize(w, "mxfp8")
+    assert qw.q.dtype == jnp.float8_e4m3fn
+    assert qw.bias is None
+    deq = quant.dequantize(qw, jnp.float32)
+    rel = np.abs(np.asarray(deq) - np.asarray(w)) / (np.abs(np.asarray(w)) + 1e-4)
+    assert np.median(rel) < 0.05
+    # scales are powers of two
+    log2s = np.log2(np.asarray(qw.scale))
+    np.testing.assert_allclose(log2s, np.round(log2s), atol=1e-6)
+
+
+def test_mxfp4_and_nvfp4():
+    w = _w((64, 128), seed=3)
+    for fmt, gs in (("mxfp4", 32), ("nvfp4", 16)):
+        qw = quant.quantize(w, fmt)
+        assert qw.group_size == gs
+        assert qw.q.shape == (32, 128)  # packed
+        deq = quant.dequantize(qw, jnp.float32)
+        rel = np.abs(np.asarray(deq) - np.asarray(w)) / (np.abs(np.asarray(w)) + 1e-3)
+        assert np.median(rel) < 0.35  # 4-bit float is coarse
+
+
+def test_q_matmul_matches_dense():
+    x = jax.random.normal(jax.random.PRNGKey(4), (8, 256))
+    w = _w((256, 128), seed=5)
+    qw = quant.quantize(w, "qint8")
+    ref = x @ np.asarray(quant.dequantize(qw, jnp.float32))
+    out = quant.q_matmul(x, qw)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
+def test_stacked_3d_quantization():
+    w = _w((4, 128, 128), seed=6)  # stacked per-layer
+    qw = quant.quantize(w, "qint8")
+    assert qw.q.shape == (4, 128, 128)
+    assert qw.scale.shape == (4, 2, 128)
+    deq = quant.dequantize(qw, jnp.float32)
+    assert deq.shape == (4, 128, 128)
+
+
+def test_qtensor_is_pytree():
+    qw = quant.quantize(_w((128, 128)), "qint8")
+    leaves = jax.tree_util.tree_leaves(qw)
+    assert len(leaves) == 3  # q, scale, bias
+    # survives jit boundaries
+    f = jax.jit(lambda q, x: quant.q_matmul(x, q))
+    out = f(qw, jnp.ones((2, 128)))
+    assert out.shape == (2, 128)
+
+
+def test_quantized_transformer_forward():
+    """The full DiT forward runs with quantized weights and stays close to bf16."""
+    config = cfg.Flux2TransformerConfig(
+        num_layers=1, num_single_layers=1, num_attention_heads=2,
+        attention_head_dim=128, joint_attention_dim=96, guidance_embeds=False,
+    )
+    params = tfm.init_params(jax.random.PRNGKey(0), config, dtype=jnp.float32)
+    qparams = quant.quantize_params(params, "qint8", min_size=1024)
+
+    from flux2_tpu.ops import latents as lu
+    from flux2_tpu.ops.rope import rope_embeddings
+
+    ids = np.concatenate([lu.text_position_ids(4), lu.image_position_ids(64, 64)], axis=0)
+    cos, sin = rope_embeddings(jnp.asarray(ids))
+    hidden = jax.random.normal(jax.random.PRNGKey(1), (1, 16, 128))
+    txt = jax.random.normal(jax.random.PRNGKey(2), (1, 4, 96))
+    t = jnp.array([0.5])
+
+    ref = tfm.forward(params, config, hidden, txt, t, cos, sin)
+    out = tfm.forward(qparams, config, hidden, txt, t, cos, sin)
+    assert out.shape == ref.shape
+    rel = np.abs(np.asarray(out) - np.asarray(ref)).mean() / np.abs(np.asarray(ref)).mean()
+    assert rel < 0.05, rel  # qint8 is near-lossless
+
+    # memory actually shrinks
+    assert quant.param_bytes(qparams) < 0.45 * quant.param_bytes(params)
+
+
+def test_quantize_params_skips_norms():
+    config = cfg.Flux2TransformerConfig(
+        num_layers=1, num_single_layers=1, num_attention_heads=2,
+        attention_head_dim=128, joint_attention_dim=96, guidance_embeds=False,
+    )
+    params = tfm.init_params(jax.random.PRNGKey(0), config, dtype=jnp.float32)
+    qparams = quant.quantize_params(params, "int4", min_size=1024)
+    assert not quant.is_quantized(qparams["double_blocks"]["norm_q"])
+    assert quant.is_quantized(qparams["double_blocks"]["to_q"])
