@@ -207,7 +207,8 @@ def double_block(
     num_heads: int,
     extra_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
     attn_bias: Optional[jnp.ndarray] = None,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    kv_extract_span: Optional[Tuple[int, int]] = None,
+):
     """One double-stream block (Flux2TransformerBlock.swift:80-168).
 
     Two streams (img, txt) each with affine-less LayerNorm + AdaLN modulation,
@@ -240,6 +241,11 @@ def double_block(
     q = apply_rope(q, rope_cos, rope_sin)
     k = apply_rope(k, rope_cos, rope_sin)
 
+    extracted = None
+    if kv_extract_span is not None:
+        start, length = kv_extract_span
+        extracted = (k[:, :, start : start + length], v[:, :, start : start + length])
+
     if extra_kv is not None:
         ck, cv = extra_kv  # post-RoPE cached reference K/V [B, H, S_ref, hd]
         k = jnp.concatenate([k[:, :, :s_txt], ck, k[:, :, s_txt:]], axis=2)
@@ -256,6 +262,8 @@ def double_block(
     txt_n2 = modulate(layer_norm(txt), bp_shift(txt_mod, 1), bp_scale(txt_mod, 1))
     img = img + gate(_swiglu_ff(img_n2, bp["ff_in"], bp["ff_out"]), bp_gate(img_mod, 1))
     txt = txt + gate(_swiglu_ff(txt_n2, bp["ff_ctx_in"], bp["ff_ctx_out"]), bp_gate(txt_mod, 1))
+    if kv_extract_span is not None:
+        return img, txt, extracted
     return img, txt
 
 
@@ -269,7 +277,8 @@ def single_block(
     extra_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
     txt_len: int = 0,
     attn_bias: Optional[jnp.ndarray] = None,
-) -> jnp.ndarray:
+    kv_extract_span: Optional[Tuple[int, int]] = None,
+):
     """One single-stream block (Flux2SingleBlock.swift:59-98).
 
     One norm + AdaLN set, then fused-parallel attention + SwiGLU MLP
@@ -287,6 +296,11 @@ def single_block(
     q = apply_rope(q, rope_cos, rope_sin)
     k = apply_rope(k, rope_cos, rope_sin)
 
+    extracted = None
+    if kv_extract_span is not None:
+        start, length = kv_extract_span
+        extracted = (k[:, :, start : start + length], v[:, :, start : start + length])
+
     if extra_kv is not None:
         ck, cv = extra_kv
         k = jnp.concatenate([k[:, :, :txt_len], ck, k[:, :, txt_len:]], axis=2)
@@ -295,7 +309,10 @@ def single_block(
     attn = _unheads(sdpa(q, k, v, bias=attn_bias))
     mlp = jax.nn.silu(mm(x_n, bp["mlp_gate"])) * (mm(x_n, bp["mlp_up"]))
     out = mm(attn, bp["out_attn"]) + mm(mlp, bp["out_mlp"])
-    return x + gate(out, bp_gate(mod, 0))
+    res = x + gate(out, bp_gate(mod, 0))
+    if kv_extract_span is not None:
+        return res, extracted
+    return res
 
 
 def bp_shift(mod: jnp.ndarray, s: int) -> jnp.ndarray:
@@ -378,3 +395,152 @@ def forward(
     scale, shift = jnp.split(cond, 2, axis=-1)
     img = modulate(layer_norm(img), shift, scale)
     return mm(img, params["proj_out"]["kernel"])
+
+
+# ---------------------------------------------------------------------------
+# KV-cached forwards (klein-9b-kv multi-reference I2I)
+# ---------------------------------------------------------------------------
+
+
+def _prelude(params, config, hidden_states, encoder_hidden_states, timestep, guidance):
+    d = config.inner_dim
+    img = mm(hidden_states, params["x_embedder"]["kernel"])
+    ctx_w = params["context_embedder"]["kernel"]
+    ctx_dtype = ctx_w.dtype if hasattr(ctx_w, "dtype") else hidden_states.dtype
+    txt = mm(encoder_hidden_states.astype(ctx_dtype), ctx_w)
+    temb = time_guidance_embedding(params, config, timestep, guidance)
+    img_mod = _modulation(params["double_mod_img"]["kernel"], temb, 2, d)
+    txt_mod = _modulation(params["double_mod_txt"]["kernel"], temb, 2, d)
+    single_mod = _modulation(params["single_mod"]["kernel"], temb, 1, d)
+    return img, txt, temb, img_mod, txt_mod, single_mod
+
+
+def _final(params, temb, img):
+    cond = mm(jax.nn.silu(temb), params["norm_out"]["kernel"])
+    scale, shift = jnp.split(cond, 2, axis=-1)
+    img = modulate(layer_norm(img), shift, scale)
+    return mm(img, params["proj_out"]["kernel"])
+
+
+def forward_kv_extract(
+    params: Params,
+    config: Flux2TransformerConfig,
+    hidden_states: jnp.ndarray,  # [B, S_img, 128] output tokens
+    reference_hidden_states: jnp.ndarray,  # [B, S_ref, 128] clean reference tokens
+    encoder_hidden_states: jnp.ndarray,  # [B, S_txt, joint]
+    timestep: jnp.ndarray,
+    rope_cos: jnp.ndarray,  # over combined [txt ; ref ; img] ids
+    rope_sin: jnp.ndarray,
+    guidance: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray], Tuple[jnp.ndarray, jnp.ndarray]]:
+    """Step 0 of KV-cached denoising (Flux2Transformer.swift:346-457).
+
+    Processes [txt ; ref ; img]; reference queries are masked from attending
+    output-image keys (Flux2Attention.swift:422-437) so their K/V are
+    output-independent and reusable. Returns
+    (velocity [B, S_img, 128],
+     double cache (k, v) [L, B, H, S_ref, hd],
+     single cache (k, v) [Ls, B, H, S_ref, hd]) — post-RoPE, as the
+    reference caches them (TransformerKVCache.swift:13-33).
+    """
+    nh = config.num_attention_heads
+    s_txt = encoder_hidden_states.shape[1]
+    s_ref = reference_hidden_states.shape[1]
+    s_img = hidden_states.shape[1]
+    s_all = s_txt + s_ref + s_img
+
+    img, txt, temb, img_mod, txt_mod, single_mod = _prelude(
+        params, config, hidden_states, encoder_hidden_states, timestep, guidance
+    )
+    ref = mm(reference_hidden_states, params["x_embedder"]["kernel"])
+    # image stream = [ref ; img] (reference order, Flux2Transformer.swift:361)
+    img_stream = jnp.concatenate([ref, img], axis=1)
+
+    # Additive bias blocking ref-queries -> output-image keys.
+    q_idx = jnp.arange(s_all)
+    is_ref_q = (q_idx >= s_txt) & (q_idx < s_txt + s_ref)
+    is_img_k = q_idx >= s_txt + s_ref
+    bias = jnp.where(is_ref_q[:, None] & is_img_k[None, :], -1e30, 0.0).astype(jnp.float32)
+    bias = bias[None, None]  # [1, 1, S, S]
+
+    rope_cos = rope_cos.astype(jnp.float32)
+    rope_sin = rope_sin.astype(jnp.float32)
+    span = (s_txt, s_ref)  # ref tokens sit right after txt in the joint seq
+
+    def double_body(carry, bp):
+        i, t = carry
+        i, t, kv = double_block(
+            bp, i, t, img_mod, txt_mod, rope_cos, rope_sin, nh,
+            attn_bias=bias, kv_extract_span=span,
+        )
+        return (i, t), kv
+
+    (img_stream, txt), double_kv = jax.lax.scan(double_body, (img_stream, txt), params["double_blocks"])
+
+    x = jnp.concatenate([txt, img_stream], axis=1)
+
+    def single_body(carry, bp):
+        out, kv = single_block(
+            bp, carry, single_mod, rope_cos, rope_sin, nh,
+            attn_bias=bias, kv_extract_span=span,
+        )
+        return out, kv
+
+    x, single_kv = jax.lax.scan(single_body, x, params["single_blocks"])
+
+    out = x[:, s_txt + s_ref :]
+    return _final(params, temb, out), double_kv, single_kv
+
+
+def forward_kv_cached(
+    params: Params,
+    config: Flux2TransformerConfig,
+    hidden_states: jnp.ndarray,  # [B, S_img, 128]
+    encoder_hidden_states: jnp.ndarray,
+    timestep: jnp.ndarray,
+    rope_cos: jnp.ndarray,  # over [txt ; img] ids only (no ref)
+    rope_sin: jnp.ndarray,
+    double_kv: Tuple[jnp.ndarray, jnp.ndarray],  # [L, B, H, S_ref, hd] x2
+    single_kv: Tuple[jnp.ndarray, jnp.ndarray],
+    guidance: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Steps 1+ of KV-cached denoising (Flux2Transformer.swift:459-546).
+
+    Only [txt ; img] tokens run through the network; each attention inserts
+    the cached post-RoPE reference K/V between the txt and img segments
+    (Flux2Attention.swift:390-404) — ~2.66x faster multi-reference I2I.
+    """
+    nh = config.num_attention_heads
+    s_txt = encoder_hidden_states.shape[1]
+
+    img, txt, temb, img_mod, txt_mod, single_mod = _prelude(
+        params, config, hidden_states, encoder_hidden_states, timestep, guidance
+    )
+    rope_cos = rope_cos.astype(jnp.float32)
+    rope_sin = rope_sin.astype(jnp.float32)
+
+    def double_body(carry, inp):
+        i, t = carry
+        bp, ck, cv = inp
+        i, t = double_block(
+            bp, i, t, img_mod, txt_mod, rope_cos, rope_sin, nh, extra_kv=(ck, cv)
+        )
+        return (i, t), None
+
+    (img, txt), _ = jax.lax.scan(
+        double_body, (img, txt), (params["double_blocks"], double_kv[0], double_kv[1])
+    )
+
+    x = jnp.concatenate([txt, img], axis=1)
+
+    def single_body(carry, inp):
+        bp, ck, cv = inp
+        out = single_block(
+            bp, carry, single_mod, rope_cos, rope_sin, nh,
+            extra_kv=(ck, cv), txt_len=s_txt,
+        )
+        return out, None
+
+    x, _ = jax.lax.scan(single_body, x, (params["single_blocks"], single_kv[0], single_kv[1]))
+
+    return _final(params, temb, x[:, s_txt:])

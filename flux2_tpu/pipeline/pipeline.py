@@ -178,21 +178,43 @@ class Flux2Pipeline:
 
         # --- denoise (one compiled scan) ---
         t = time.perf_counter()
-        final_seq = _denoise(
-            self.transformer_params,
-            self.transformer_config,
-            latents_seq,
-            embeddings,
-            negative_embeddings if self.model.uses_classical_cfg else None,
-            jnp.asarray(schedule.sigma_pairs()),
-            jnp.float32(guidance),
-            cos,
-            sin,
-            reference_latents,
-            step_hook,
-            self.model.uses_guidance_embeds,
-            self.model.uses_classical_cfg,
-        )
+        if reference_latents is not None and self.model.supports_kv_cache and step_hook is None:
+            # klein-9b-kv: step 0 extracts reference K/V, steps 1+ reuse it
+            # (~2.66x faster multi-reference I2I; Flux2Pipeline.swift:1555-1683).
+            cached_ids = np.concatenate(
+                [lu.text_position_ids(s_txt), lu.image_position_ids(height, width)], axis=0
+            )
+            cos_c, sin_c = rope_embeddings(jnp.asarray(cached_ids))
+            final_seq = _denoise_kv_cached(
+                self.transformer_params,
+                self.transformer_config,
+                latents_seq,
+                embeddings,
+                jnp.asarray(schedule.sigma_pairs()),
+                jnp.float32(guidance),
+                cos,
+                sin,
+                cos_c,
+                sin_c,
+                reference_latents,
+                self.model.uses_guidance_embeds,
+            )
+        else:
+            final_seq = _denoise(
+                self.transformer_params,
+                self.transformer_config,
+                latents_seq,
+                embeddings,
+                negative_embeddings if self.model.uses_classical_cfg else None,
+                jnp.asarray(schedule.sigma_pairs()),
+                jnp.float32(guidance),
+                cos,
+                sin,
+                reference_latents,
+                step_hook,
+                self.model.uses_guidance_embeds,
+                self.model.uses_classical_cfg,
+            )
         final_seq.block_until_ready()
         timings["denoising"] = time.perf_counter() - t
 
@@ -321,6 +343,64 @@ def _denoise(
 
     (final, _), _ = jax.lax.scan(body, (latents_seq, jnp.int32(0)), sigma_pairs)
     return final
+
+
+@functools.partial(jax.jit, static_argnames=("config", "use_guidance_embeds"))
+def _denoise_kv_cached(
+    params,
+    config: Flux2TransformerConfig,
+    latents_seq: jnp.ndarray,
+    embeddings: jnp.ndarray,
+    sigma_pairs: jnp.ndarray,
+    guidance: jnp.ndarray,
+    rope_cos_full: jnp.ndarray,  # [txt ; img ; ref] ids — NOTE extract wants [txt ; ref ; img]
+    rope_sin_full: jnp.ndarray,
+    rope_cos_cached: jnp.ndarray,  # [txt ; img] ids
+    rope_sin_cached: jnp.ndarray,
+    reference_latents: jnp.ndarray,
+    use_guidance_embeds: bool,
+):
+    """klein-9b-kv denoising: extract at step 0, reuse the cache for 1+."""
+    from flux2_tpu.models.flux2 import transformer as _tfm
+
+    b = latents_seq.shape[0]
+    s_txt = embeddings.shape[1]
+    s_img = latents_seq.shape[1]
+    dtype = params["x_embedder"]["kernel"].dtype
+    latents_seq = latents_seq.astype(jnp.float32)
+
+    def g_of(sigma):
+        return jnp.full((b,), guidance, jnp.float32) if use_guidance_embeds else None
+
+    # The caller built full-rope over [txt ; img ; ref] order (the standard
+    # path's sequence order). Reorder to [txt ; ref ; img] for extraction.
+    s_ref = reference_latents.shape[1]
+    reorder = jnp.concatenate(
+        [jnp.arange(s_txt), jnp.arange(s_txt + s_img, s_txt + s_img + s_ref), jnp.arange(s_txt, s_txt + s_img)]
+    )
+    cos_e = rope_cos_full[reorder]
+    sin_e = rope_sin_full[reorder]
+
+    sigma0, sigma0_next = sigma_pairs[0, 0], sigma_pairs[0, 1]
+    t0 = jnp.full((b,), sigma0, jnp.float32)
+    v0, dkv, skv = _tfm.forward_kv_extract(
+        params, config, latents_seq.astype(dtype), reference_latents.astype(dtype),
+        embeddings, t0, cos_e, sin_e, guidance=g_of(sigma0),
+    )
+    lat = sch.euler_step(latents_seq, v0.astype(jnp.float32), sigma0, sigma0_next)
+
+    def body(carry, inp):
+        lat = carry
+        sigma, sigma_next = inp[0], inp[1]
+        t = jnp.full((b,), sigma, jnp.float32)
+        v = _tfm.forward_kv_cached(
+            params, config, lat.astype(dtype), embeddings, t,
+            rope_cos_cached, rope_sin_cached, dkv, skv, guidance=g_of(sigma),
+        )
+        return sch.euler_step(lat, v.astype(jnp.float32), sigma, sigma_next), None
+
+    lat, _ = jax.lax.scan(body, lat, sigma_pairs[1:])
+    return lat
 
 
 @functools.partial(jax.jit, static_argnames=("vae_config", "height", "width"))

@@ -151,3 +151,20 @@ def test_max_reference_images_enforced(pipe):
     imgs = [np.zeros((32, 32, 3), np.float32)] * (pipe.model.max_reference_images + 1)
     with pytest.raises(ValueError):
         pipe.encode_reference_images(imgs)
+
+
+def test_kv_cached_i2i_path():
+    """klein-9b-kv dispatches through extract+cached denoising."""
+    pipe = tiny_pipeline(model=cfg.Flux2Model.KLEIN_9B_KV)
+    assert pipe.model.supports_kv_cache
+    ref_img = np.random.RandomState(0).rand(64, 64, 3).astype(np.float32)
+    ref_lat, ref_ids = pipe.encode_reference_images([ref_img])
+    res = pipe.generate(
+        embeddings=_emb(pipe), height=64, width=64, num_steps=3, seed=7,
+        reference_latents=ref_lat, reference_ids=ref_ids,
+    )
+    assert res.image.shape == (64, 64, 3)
+    assert np.isfinite(res.image).all()
+    # reference conditioning must matter in the cached path too
+    t2i = pipe.generate(embeddings=_emb(pipe), height=64, width=64, num_steps=3, seed=7)
+    assert np.abs(res.image - t2i.image).max() > 1e-6
