@@ -1,0 +1,452 @@
+"""flux2 CLI — capability parity with the reference's ``flux2`` tool
+(``Sources/Flux2CLI/Flux2CLI.swift:21-46``).
+
+Subcommands: t2i (default surface), i2i, inpaint, outpaint, download, info,
+export-quantized, profile, train-lora, training-control, beacons.
+
+Model loading resolves, in order: ``--random-init`` (smoke tests /
+benchmarks), a local prequantized checkpoint (fast path), a raw BFL/Diffusers
+checkpoint directory (with optional on-the-fly quantization), or an HF
+download when the network allows.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from typing import List, Optional
+
+import numpy as np
+
+
+def _lazy_imports():
+    import jax
+    import jax.numpy as jnp
+
+    return jax, jnp
+
+
+# ---------------------------------------------------------------------------
+# Model loading
+# ---------------------------------------------------------------------------
+
+
+def build_pipeline(args) -> "Flux2Pipeline":
+    jax, jnp = _lazy_imports()
+    from flux2_tpu.io import checkpoints, registry, weight_mapping
+    from flux2_tpu.models.flux2 import vae as vae_mod
+    from flux2_tpu.models.flux2.config import Flux2Model
+    from flux2_tpu.ops import quant
+    from flux2_tpu.pipeline.pipeline import Flux2Pipeline
+    from flux2_tpu.utils import logging as flog
+    from flux2_tpu.utils.profiler import shared as profiler
+
+    model = Flux2Model(args.model)
+    vae_config = vae_mod.FLUX2_VAE_SMALL_DECODER if getattr(args, "small_decoder", False) else vae_mod.FLUX2_VAE
+
+    if getattr(args, "random_init", False):
+        flog.warning("random-init weights: outputs are noise (smoke-test mode)")
+        pipe = Flux2Pipeline.from_random(model=model, vae_config=vae_config)
+    else:
+        tconfig = model.transformer_config
+        with profiler().phase("4. Load Transformer"):
+            spec = registry.TRANSFORMER_REPOS[model]
+            tdir = registry.find_model_path(spec, getattr(args, "transformer_dir", None))
+            if tdir is None:
+                raise SystemExit(
+                    f"transformer weights for {model.value} not found; run "
+                    f"`flux2 download --model {model.value}` or pass --transformer-dir"
+                )
+            fmt = getattr(args, "quantization", "bf16")
+            prequant = checkpoints.prequantized_path(tdir, fmt)
+            if fmt != "bf16" and os.path.exists(prequant):
+                tparams, _ = checkpoints.load_prequantized(prequant, expected_source_dir=tdir)
+                flog.info(f"loaded prequantized {fmt} transformer from {prequant}")
+            else:
+                raw = checkpoints.load_weights_dir(tdir)
+                tparams = weight_mapping.map_transformer_weights(raw, tconfig, dtype=np.float32)
+                tparams = {k: _to_bf16(v) for k, v in tparams.items()}
+                if fmt != "bf16":
+                    tparams = quant.quantize_params(tparams, fmt)
+        with profiler().phase("5. Load VAE"):
+            vspec = registry.VAE_SMALL_DECODER_REPO if getattr(args, "small_decoder", False) else registry.VAE_REPO
+            vdir = registry.find_model_path(vspec, getattr(args, "vae_dir", None))
+            if vdir is None:
+                raise SystemExit("VAE weights not found; run `flux2 download` or pass --vae-dir")
+            vraw = checkpoints.load_weights_dir(vdir)
+            vparams = weight_mapping.map_vae_weights(vraw, vae_config)
+        pipe = Flux2Pipeline(
+            model=model,
+            transformer_params=tparams,
+            transformer_config=tconfig,
+            vae_params=vparams,
+            vae_config=vae_config,
+        )
+
+    # LoRAs
+    for spec in getattr(args, "lora", []) or []:
+        from flux2_tpu.training import lora_loader
+
+        parts = spec.split(":")
+        path, scale = parts[0], float(parts[1]) if len(parts) > 1 else 1.0
+        loaded = lora_loader.load_lora_file(path, pipe.transformer_config, user_scale=scale)
+        pipe.transformer_params = lora_loader.merge_loras_into_params(
+            pipe.transformer_params, [loaded], pipe.transformer_config
+        )
+        flog.info(f"merged LoRA {path} (scale {loaded.scale:.3f})")
+    return pipe
+
+
+def _to_bf16(tree):
+    import jax
+    import jax.numpy as jnp
+
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16) if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating) else x,
+        tree,
+    )
+
+
+def _embeddings_for(pipe, args):
+    """Prompt -> embeddings: random for --random-init (no encoder), else the
+    attached text encoder."""
+    jax, jnp = _lazy_imports()
+    if getattr(args, "random_init", False):
+        key = jax.random.PRNGKey(abs(hash(args.prompt)) % (2**31))
+        return jax.random.normal(key, (1, 512, pipe.transformer_config.joint_attention_dim), jnp.bfloat16)
+    return None  # pipeline will call its text encoder
+
+
+def _save_image(image: np.ndarray, path: str) -> None:
+    from PIL import Image
+
+    Image.fromarray((np.clip(image, 0, 1) * 255).astype(np.uint8)).save(path)
+    print(f"saved {path}")
+
+
+def _load_image(path: str) -> np.ndarray:
+    from PIL import Image
+
+    with Image.open(path) as im:
+        return np.asarray(im.convert("RGB"), np.float32) / 255.0
+
+
+# ---------------------------------------------------------------------------
+# Subcommands
+# ---------------------------------------------------------------------------
+
+
+def cmd_t2i(args):
+    from flux2_tpu.utils.beacon import RuntimeBeacon
+
+    pipe = build_pipeline(args)
+    with RuntimeBeacon("generate", model=args.model) as beacon:
+        beacon.update(phase="denoising", total_steps=args.steps or pipe.model.default_steps)
+        res = pipe.generate(
+            prompt=args.prompt,
+            embeddings=_embeddings_for(pipe, args),
+            height=args.height,
+            width=args.width,
+            num_steps=args.steps,
+            guidance=args.guidance,
+            seed=args.seed,
+        )
+    _save_image(res.image, args.output)
+    print(json.dumps({"seed": res.seed, "steps": res.num_steps, "duration_s": round(res.duration_s, 2), "phases": {k: round(v, 2) for k, v in res.phase_timings.items()}}))
+
+
+def cmd_i2i(args):
+    pipe = build_pipeline(args)
+    refs = [_load_image(p) for p in args.reference]
+    ref_lat, ref_ids = pipe.encode_reference_images(refs)
+    init = None
+    if args.strength < 1.0:
+        init = pipe.encode_image_to_packed_sequence(refs[0])
+    res = pipe.generate(
+        prompt=args.prompt,
+        embeddings=_embeddings_for(pipe, args),
+        height=args.height,
+        width=args.width,
+        num_steps=args.steps,
+        guidance=args.guidance,
+        seed=args.seed,
+        reference_latents=ref_lat,
+        reference_ids=ref_ids,
+        strength=args.strength,
+        init_latents=init,
+    )
+    _save_image(res.image, args.output)
+
+
+def cmd_inpaint(args):
+    from flux2_tpu.chains.inpaint import ALPHA_TRANSPARENT_INPAINT, GRAYSCALE_WHITE_INPAINT, MaskedInpaintingChain
+
+    pipe = build_pipeline(args)
+    image = _load_image(args.image)
+    from PIL import Image
+
+    with Image.open(args.mask) as im:
+        if args.alpha_mask:
+            mask = np.asarray(im.convert("RGBA"), np.float32) / 255.0
+        else:
+            mask = np.asarray(im.convert("L"), np.float32) / 255.0
+    chain = MaskedInpaintingChain(
+        pipeline=pipe,
+        prompt=args.prompt,
+        image=image,
+        mask=mask,
+        mask_convention=ALPHA_TRANSPARENT_INPAINT if args.alpha_mask else GRAYSCALE_WHITE_INPAINT,
+        steps=args.steps or 4,
+        guidance=args.guidance,
+        seed=args.seed,
+        strength=args.strength,
+        mask_crop_padding=args.crop_padding,
+        composite_on_original=args.composite,
+        use_image_as_reference=args.use_image_as_reference,
+        embeddings=_embeddings_for(pipe, args),
+    )
+    res = chain.run()
+    _save_image(res.image, args.output)
+
+
+def cmd_outpaint(args):
+    from flux2_tpu.chains.outpaint import OutpaintingChain
+
+    pipe = build_pipeline(args)
+    chain = OutpaintingChain(
+        pipeline=pipe,
+        image=_load_image(args.image),
+        prompt=args.prompt,
+        top=args.top,
+        bottom=args.bottom,
+        left=args.left,
+        right=args.right,
+        steps=args.steps or 4,
+        guidance=args.guidance,
+        seed=args.seed,
+        embeddings=_embeddings_for(pipe, args),
+    )
+    res = chain.run()
+    _save_image(res.image, args.output)
+
+
+def cmd_download(args):
+    from flux2_tpu.io import registry
+    from flux2_tpu.models.flux2.config import Flux2Model
+
+    model = Flux2Model(args.model)
+    spec = registry.TRANSFORMER_REPOS[model]
+    print(f"downloading {spec.repo_id} (~{spec.approx_size_gb} GB, gated={spec.gated})")
+    path = registry.download(spec, token=args.token)
+    print(f"transformer -> {path}")
+    vpath = registry.download(registry.VAE_REPO, token=args.token)
+    print(f"vae -> {vpath}")
+    enc = registry.TEXT_ENCODER_REPOS[registry.ENCODER_FOR_MODEL[model]]
+    epath = registry.download(enc, token=args.token)
+    print(f"text encoder -> {epath}")
+
+
+def cmd_info(args):
+    import jax
+
+    from flux2_tpu.io import registry
+    from flux2_tpu.models.flux2.config import Flux2Model
+
+    print(f"flux2-tpu — backend: {jax.default_backend()}, devices: {len(jax.devices())}")
+    print(f"models dir: {registry.models_dir()}")
+    for model in Flux2Model:
+        spec = registry.TRANSFORMER_REPOS[model]
+        found = registry.find_model_path(spec)
+        cfg = model.transformer_config
+        print(
+            f"  {model.value:<16} {cfg.num_layers}+{cfg.num_single_layers} blocks, "
+            f"D={cfg.inner_dim:<5} steps={model.default_steps:<3} "
+            f"guidance={model.default_guidance:<4} "
+            f"{'[downloaded]' if found else '[not downloaded]'}"
+            f"{' [gated]' if spec.gated else ''}"
+        )
+
+
+def cmd_export_quantized(args):
+    from flux2_tpu.io import checkpoints, registry, weight_mapping
+    from flux2_tpu.models.flux2.config import Flux2Model
+    from flux2_tpu.ops import quant
+
+    model = Flux2Model(args.model)
+    spec = registry.TRANSFORMER_REPOS[model]
+    tdir = registry.find_model_path(spec, args.transformer_dir)
+    if tdir is None:
+        raise SystemExit("transformer weights not found")
+    raw = checkpoints.load_weights_dir(tdir)
+    params = weight_mapping.map_transformer_weights(raw, model.transformer_config, dtype=np.float32)
+    params = _to_bf16(params)
+    qparams = quant.quantize_params(params, args.quantization)
+    path = checkpoints.export_prequantized(qparams, tdir, args.quantization, source_dir=tdir)
+    size_gb = os.path.getsize(path) / 1e9
+    print(f"exported {args.quantization} checkpoint -> {path} ({size_gb:.2f} GB)")
+
+
+def cmd_profile(args):
+    os.environ["FLUX2_PROFILE"] = "1"
+    from flux2_tpu.utils.profiler import shared
+
+    prof = shared()
+    prof.enabled = True
+    pipe = build_pipeline(args)
+    emb = _embeddings_for(pipe, args)
+
+    durations = []
+    for run in range(args.warmup + args.runs):
+        with prof.phase(f"run {run}"):
+            res = pipe.generate(
+                prompt=args.prompt, embeddings=emb, height=args.height, width=args.width,
+                num_steps=args.steps, guidance=args.guidance, seed=args.seed + run, decode=not args.no_decode,
+            )
+        if run >= args.warmup:
+            durations.append(res.duration_s)
+    print(prof.report())
+    if durations:
+        print(json.dumps({"runs": len(durations), "mean_s": round(float(np.mean(durations)), 3), "min_s": round(float(np.min(durations)), 3), "max_s": round(float(np.max(durations)), 3)}))
+    if args.trace:
+        prof.export_chrome_trace(args.trace)
+        print(f"chrome trace -> {args.trace} (open in Perfetto)")
+
+
+def cmd_training_control(args):
+    from flux2_tpu.training.control import TrainingController
+
+    if args.action == "resume":
+        TrainingController.clear_sentinel(args.output_dir, "pause")
+        print("cleared pause sentinel")
+    else:
+        path = TrainingController.write_sentinel(args.output_dir, args.action)
+        print(f"wrote {path}")
+
+
+def cmd_train_lora(args):
+    from flux2_tpu.cli.train import run_training
+
+    run_training(args)
+
+
+def cmd_beacons(args):
+    from flux2_tpu.utils import beacon
+
+    removed = beacon.gc_stale_manifests()
+    active = beacon.list_active()
+    print(f"gc removed {removed} stale manifest(s); {len(active)} active:")
+    for m in active:
+        print(f"  pid {m.get('pid')} {m.get('task')} {m.get('model')} {m.get('phase')} step {m.get('step')}/{m.get('total_steps')}")
+
+
+# ---------------------------------------------------------------------------
+# Argument parsing
+# ---------------------------------------------------------------------------
+
+
+def _add_common(p, with_gen=True):
+    p.add_argument("--model", default="klein-4b", choices=[m.value for m in _models()])
+    p.add_argument("--quantization", default="bf16", choices=["bf16", "qint8", "int4", "mxfp8", "mxfp4", "nvfp4"])
+    p.add_argument("--transformer-dir")
+    p.add_argument("--vae-dir")
+    p.add_argument("--small-decoder", action="store_true", help="distilled VAE decoder (faster)")
+    p.add_argument("--random-init", action="store_true", help="random weights (smoke test)")
+    p.add_argument("--lora", action="append", help="path[:scale], repeatable")
+    if with_gen:
+        p.add_argument("--prompt", default="")
+        p.add_argument("--width", type=int, default=1024)
+        p.add_argument("--height", type=int, default=1024)
+        p.add_argument("--steps", type=int)
+        p.add_argument("--guidance", type=float)
+        p.add_argument("--seed", type=int, default=0)
+        p.add_argument("-o", "--output", default="output.png")
+
+
+def _models():
+    from flux2_tpu.models.flux2.config import Flux2Model
+
+    return list(Flux2Model)
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    parser = argparse.ArgumentParser(prog="flux2", description="FLUX.2 on TPU (JAX/XLA/Pallas)")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("t2i", help="text-to-image")
+    _add_common(p)
+    p.set_defaults(fn=cmd_t2i)
+
+    p = sub.add_parser("i2i", help="multi-reference image-to-image")
+    _add_common(p)
+    p.add_argument("--reference", action="append", required=True, help="reference image path (repeatable)")
+    p.add_argument("--strength", type=float, default=1.0)
+    p.set_defaults(fn=cmd_i2i)
+
+    p = sub.add_parser("inpaint", help="RePaint masked inpainting")
+    _add_common(p)
+    p.add_argument("--image", required=True)
+    p.add_argument("--mask", required=True)
+    p.add_argument("--alpha-mask", action="store_true", help="transparent = inpaint")
+    p.add_argument("--strength", type=float, default=1.0)
+    p.add_argument("--crop-padding", type=int, help="crop-and-stitch padding px")
+    p.add_argument("--composite", action="store_true", help="pixel-composite onto original")
+    p.add_argument("--use-image-as-reference", action="store_true")
+    p.set_defaults(fn=cmd_inpaint)
+
+    p = sub.add_parser("outpaint", help="BFL-style outpainting")
+    _add_common(p)
+    p.add_argument("--image", required=True)
+    p.add_argument("--top", type=int, default=0)
+    p.add_argument("--bottom", type=int, default=0)
+    p.add_argument("--left", type=int, default=0)
+    p.add_argument("--right", type=int, default=0)
+    p.set_defaults(fn=cmd_outpaint)
+
+    p = sub.add_parser("download", help="download model weights from HF")
+    p.add_argument("--model", default="klein-4b", choices=[m.value for m in _models()])
+    p.add_argument("--token", help="HF token (or env HF_TOKEN)")
+    p.set_defaults(fn=cmd_download)
+
+    p = sub.add_parser("info", help="models / device info")
+    p.set_defaults(fn=cmd_info)
+
+    p = sub.add_parser("export-quantized", help="export a prequantized checkpoint")
+    p.add_argument("--model", default="klein-4b", choices=[m.value for m in _models()])
+    p.add_argument("--quantization", required=True, choices=["qint8", "int4", "mxfp8", "mxfp4", "nvfp4"])
+    p.add_argument("--transformer-dir")
+    p.set_defaults(fn=cmd_export_quantized)
+
+    p = sub.add_parser("profile", help="benchmark generation (warmup + N runs)")
+    _add_common(p)
+    p.add_argument("--warmup", type=int, default=1)
+    p.add_argument("--runs", type=int, default=3)
+    p.add_argument("--trace", help="export Chrome-trace JSON here")
+    p.add_argument("--no-decode", action="store_true")
+    p.set_defaults(fn=cmd_profile)
+
+    p = sub.add_parser("train-lora", help="flow-matching LoRA training")
+    p.add_argument("--config", required=True, help="YAML training config")
+    p.add_argument("--output-dir")
+    p.add_argument("--resume")
+    p.add_argument("--max-steps", type=int)
+    p.add_argument("--random-init", action="store_true")
+    p.set_defaults(fn=cmd_train_lora)
+
+    p = sub.add_parser("training-control", help="pause/resume/stop/checkpoint a training run")
+    p.add_argument("action", choices=["pause", "resume", "stop", "checkpoint"])
+    p.add_argument("--output-dir", required=True)
+    p.set_defaults(fn=cmd_training_control)
+
+    p = sub.add_parser("beacons", help="list/GC runtime activity beacons")
+    p.set_defaults(fn=cmd_beacons)
+
+    args = parser.parse_args(argv)
+    args.fn(args)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

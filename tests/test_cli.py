@@ -1,0 +1,114 @@
+"""CLI smoke tests (random-init, tiny shapes, no network)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from flux2_tpu.cli.main import main
+from flux2_tpu.cli.train import YAMLTrainingConfig, write_learning_curve_svg
+
+
+def test_info_runs(capsys):
+    main(["info"])
+    out = capsys.readouterr().out
+    assert "klein-4b" in out and "dev" in out
+    assert "not downloaded" in out
+
+
+def test_beacons_runs(capsys, monkeypatch, tmp_path):
+    monkeypatch.setenv("FLUX2_BEACON_DIR", str(tmp_path))
+    main(["beacons"])
+    assert "0 active" in capsys.readouterr().out
+
+
+def test_training_control_writes_sentinels(tmp_path, capsys):
+    main(["training-control", "pause", "--output-dir", str(tmp_path)])
+    assert os.path.exists(tmp_path / ".pause")
+    main(["training-control", "resume", "--output-dir", str(tmp_path)])
+    assert not os.path.exists(tmp_path / ".pause")
+    main(["training-control", "checkpoint", "--output-dir", str(tmp_path)])
+    assert os.path.exists(tmp_path / ".checkpoint")
+
+
+def test_yaml_config_sections(tmp_path):
+    cfg_path = tmp_path / "train.yaml"
+    cfg_path.write_text(
+        """
+model: klein-4b
+lora:
+  rank: 8
+  alpha: 8.0
+dataset:
+  dataset_dir: /data/mydataset
+  trigger_word: sks
+training:
+  max_steps: 100
+  learning_rate: 0.0002
+loss:
+  timestep_sampling: content
+"""
+    )
+    cfg = YAMLTrainingConfig.from_yaml(str(cfg_path))
+    assert cfg.rank == 8
+    assert cfg.trigger_word == "sks"
+    assert cfg.max_steps == 100
+    assert cfg.learning_rate == 2e-4
+    assert cfg.timestep_sampling == "content"
+    # CLI override precedence
+    assert cfg.override(max_steps=5).max_steps == 5
+    assert cfg.override(max_steps=None).max_steps == 100
+
+
+def test_learning_curve_svg(tmp_path):
+    path = str(tmp_path / "curve.svg")
+    write_learning_curve_svg([1.0, 0.5, 0.25], path)
+    content = open(path).read()
+    assert content.startswith("<svg") and "polyline" in content
+
+
+def test_train_lora_smoke(tmp_path):
+    """2-step training run end-to-end through the CLI (random init)."""
+    cfg_path = tmp_path / "train.yaml"
+    cfg_path.write_text(
+        f"""
+model: klein-4b
+lora:
+  rank: 2
+training:
+  max_steps: 2
+  save_every: 2
+  resolution: 64
+"""
+    )
+    out_dir = tmp_path / "out"
+    # Patch the model config to a tiny one through env? Instead run with the
+    # real klein-4b config but resolution 64 (s_img=16) and rank 2 — the
+    # transformer itself is still 4B-sized random init, too slow for a unit
+    # test. Use a monkeypatched tiny config instead.
+    from flux2_tpu.models.flux2 import config as cfg_mod
+
+    tiny = cfg_mod.Flux2TransformerConfig(
+        num_layers=1, num_single_layers=1, num_attention_heads=2,
+        attention_head_dim=128, joint_attention_dim=96, guidance_embeds=False,
+    )
+    orig = cfg_mod.Flux2Model.transformer_config
+    try:
+        cfg_mod.Flux2Model.transformer_config = property(lambda self: tiny)
+        main([
+            "train-lora", "--config", str(cfg_path), "--output-dir", str(out_dir),
+            "--random-init",
+        ])
+    finally:
+        cfg_mod.Flux2Model.transformer_config = orig
+    ckpt = out_dir / "checkpoint_000002"
+    assert (ckpt / "lora.safetensors").exists()
+    assert (ckpt / "optimizer.safetensors").exists()
+    assert (ckpt / "training_state.json").exists()
+    assert (out_dir / "learning_curve.svg").exists()
+    state = json.loads((ckpt / "training_state.json").read_text())
+    assert state["step"] == 2
+    assert len(state["loss_history"]) == 2
