@@ -66,6 +66,7 @@ class Flux2Pipeline:
     vae_config: vae_mod.VAEConfig
     text_encoder: Optional[Any] = None  # EmbeddingExtractor (callable prompt -> emb)
     max_pixels: int = 4096 * 4096
+    mesh: Optional[Any] = None  # jax.sharding.Mesh; set via shard()
 
     # ------------------------------------------------------------------
     # Construction helpers
@@ -92,6 +93,26 @@ class Flux2Pipeline:
             vae_params=vae_mod.init_params(k2, vc, dtype=jnp.float32),
             vae_config=vc,
         )
+
+    def shard(self, mesh) -> "Flux2Pipeline":
+        """Distribute parameters over a (data, fsdp, tp) mesh.
+
+        The reference's scale levers (phase-wise load/unload, eval
+        segmentation, cache limits — Flux2Pipeline.swift:89-98) are replaced
+        wholesale by GSPMD sharding: DiT attention heads + MLP hidden shard
+        over tp, weights-at-rest over fsdp, and XLA inserts the collectives.
+        """
+        from flux2_tpu.parallel import sharding as sh
+
+        self.transformer_params = sh.shard_params(self.transformer_params, mesh, sh.DIT_RULES)
+        self.vae_params = sh.shard_params(self.vae_params, mesh, sh.VAE_RULES)
+        self.mesh = mesh
+        return self
+
+    def _mesh_ctx(self):
+        import contextlib
+
+        return self.mesh if self.mesh is not None else contextlib.nullcontext()
 
     # ------------------------------------------------------------------
     # Phase 1: text encoding
@@ -178,43 +199,45 @@ class Flux2Pipeline:
 
         # --- denoise (one compiled scan) ---
         t = time.perf_counter()
-        if reference_latents is not None and self.model.supports_kv_cache and step_hook is None:
-            # klein-9b-kv: step 0 extracts reference K/V, steps 1+ reuse it
-            # (~2.66x faster multi-reference I2I; Flux2Pipeline.swift:1555-1683).
-            cached_ids = np.concatenate(
-                [lu.text_position_ids(s_txt), lu.image_position_ids(height, width)], axis=0
-            )
-            cos_c, sin_c = rope_embeddings(jnp.asarray(cached_ids))
-            final_seq = _denoise_kv_cached(
-                self.transformer_params,
-                self.transformer_config,
-                latents_seq,
-                embeddings,
-                jnp.asarray(schedule.sigma_pairs()),
-                jnp.float32(guidance),
-                cos,
-                sin,
-                cos_c,
-                sin_c,
-                reference_latents,
-                self.model.uses_guidance_embeds,
-            )
-        else:
-            final_seq = _denoise(
-                self.transformer_params,
-                self.transformer_config,
-                latents_seq,
-                embeddings,
-                negative_embeddings if self.model.uses_classical_cfg else None,
-                jnp.asarray(schedule.sigma_pairs()),
-                jnp.float32(guidance),
-                cos,
-                sin,
-                reference_latents,
-                step_hook,
-                self.model.uses_guidance_embeds,
-                self.model.uses_classical_cfg,
-            )
+        mesh_ctx = self._mesh_ctx()
+        with mesh_ctx:
+          if reference_latents is not None and self.model.supports_kv_cache and step_hook is None:
+              # klein-9b-kv: step 0 extracts reference K/V, steps 1+ reuse it
+              # (~2.66x faster multi-reference I2I; Flux2Pipeline.swift:1555-1683).
+              cached_ids = np.concatenate(
+                  [lu.text_position_ids(s_txt), lu.image_position_ids(height, width)], axis=0
+              )
+              cos_c, sin_c = rope_embeddings(jnp.asarray(cached_ids))
+              final_seq = _denoise_kv_cached(
+                  self.transformer_params,
+                  self.transformer_config,
+                  latents_seq,
+                  embeddings,
+                  jnp.asarray(schedule.sigma_pairs()),
+                  jnp.float32(guidance),
+                  cos,
+                  sin,
+                  cos_c,
+                  sin_c,
+                  reference_latents,
+                  self.model.uses_guidance_embeds,
+              )
+          else:
+              final_seq = _denoise(
+                  self.transformer_params,
+                  self.transformer_config,
+                  latents_seq,
+                  embeddings,
+                  negative_embeddings if self.model.uses_classical_cfg else None,
+                  jnp.asarray(schedule.sigma_pairs()),
+                  jnp.float32(guidance),
+                  cos,
+                  sin,
+                  reference_latents,
+                  step_hook,
+                  self.model.uses_guidance_embeds,
+                  self.model.uses_classical_cfg,
+              )
         final_seq.block_until_ready()
         timings["denoising"] = time.perf_counter() - t
 
@@ -222,7 +245,8 @@ class Flux2Pipeline:
         t = time.perf_counter()
         image = None
         if decode:
-            image = np.asarray(self.decode_latents(final_seq, height, width))[0]
+            with self._mesh_ctx():
+                image = np.asarray(self.decode_latents(final_seq, height, width))[0]
         timings["vae_decoding"] = time.perf_counter() - t
 
         return GenerationResult(

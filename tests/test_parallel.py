@@ -89,3 +89,17 @@ def test_dryrun_multichip_entrypoint():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+def test_sharded_pipeline_generate():
+    """Pipeline generate under a tp=4/fsdp=2 mesh matches the unsharded run."""
+    from flux2_tpu.parallel import mesh as mesh_mod
+    from tests.test_pipeline import tiny_pipeline, _emb
+
+    pipe = tiny_pipeline()
+    emb = _emb(pipe, s_txt=8)
+    ref = pipe.generate(embeddings=emb, height=64, width=64, num_steps=2, seed=7)
+
+    pipe_sharded = tiny_pipeline().shard(mesh_mod.make_mesh(data=1, fsdp=2, tp=4))
+    out = pipe_sharded.generate(embeddings=emb, height=64, width=64, num_steps=2, seed=7)
+    np.testing.assert_allclose(out.image, ref.image, atol=2e-3)
