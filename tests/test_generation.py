@@ -1,0 +1,131 @@
+"""Text generation, VLM prompt builder, subject mask tests."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from flux2_tpu.chains.subject_mask import saliency_foreground, subject_mask
+from flux2_tpu.chains.vlm_prompt import InpaintIntent, SYSTEM_PROMPTS, VLMPromptBuilder
+from flux2_tpu.models.text_encoders import config as tc
+from flux2_tpu.models.text_encoders import decoder as dec
+from flux2_tpu.models.text_encoders import generation as gen
+
+CFG = tc.TINY_DECODER
+
+
+@pytest.fixture(scope="module")
+def params():
+    return dec.init_params(jax.random.PRNGKey(0), CFG, dtype=jnp.float32)
+
+
+def test_greedy_generation_deterministic(params):
+    p = gen.GenerateParameters(max_tokens=8, temperature=0.0)
+    a = gen.generate(params, CFG, [1, 2, 3], p, seed=0)
+    b = gen.generate(params, CFG, [1, 2, 3], p, seed=99)
+    assert a == b  # greedy ignores the seed
+    assert len(a) == 8
+    assert all(0 <= t < CFG.vocab_size for t in a)
+
+
+def test_sampling_respects_seed(params):
+    p = gen.GenerateParameters(max_tokens=12, temperature=1.0, top_p=1.0)
+    a = gen.generate(params, CFG, [1, 2, 3], p, seed=0)
+    b = gen.generate(params, CFG, [1, 2, 3], p, seed=0)
+    c = gen.generate(params, CFG, [1, 2, 3], p, seed=1)
+    assert a == b
+    assert a != c
+
+
+def test_eos_stops_generation(params):
+    p = gen.GenerateParameters(max_tokens=50, temperature=0.0)
+    full = gen.generate(params, CFG, [1, 2, 3], p)
+    # use the first generated token as EOS -> stop immediately
+    stopped = gen.generate(params, CFG, [1, 2, 3], p, eos_token_ids=[full[0]])
+    assert stopped == []
+
+
+def test_streaming_callback(params):
+    seen = []
+    p = gen.GenerateParameters(max_tokens=5, temperature=0.0)
+    out = gen.generate(params, CFG, [1], p, on_token=seen.append)
+    assert seen == out
+
+
+def test_repetition_penalty_reduces_repeats(params):
+    base = gen.GenerateParameters(max_tokens=24, temperature=0.0, repetition_penalty=1.0)
+    pen = gen.GenerateParameters(max_tokens=24, temperature=0.0, repetition_penalty=1.5)
+    a = gen.generate(params, CFG, [1, 2], base)
+    b = gen.generate(params, CFG, [1, 2], pen)
+
+    def max_run(seq):
+        best = run = 1
+        for x, y in zip(seq, seq[1:]):
+            run = run + 1 if x == y else 1
+            best = max(best, run)
+        return best
+
+    assert max_run(b) <= max_run(a)
+
+
+class _StubTokenizer:
+    pad_token_id = 0
+    eos_token_id = 2
+
+    def apply_chat_template(self, messages, add_generation_prompt=False):
+        text = " ".join(m["content"] for m in messages)
+        return [hash(w) % 200 + 3 for w in text.split()][:32]
+
+    def decode(self, tokens):
+        return " ".join(f"t{t}" for t in tokens)
+
+
+def test_upsample_prompt_returns_text(params):
+    out = gen.upsample_prompt(params, CFG, _StubTokenizer(), "a cat", seed=0)
+    assert isinstance(out, str) and out
+
+
+def test_vlm_prompt_builder_fallback():
+    b = VLMPromptBuilder(vlm_chat=None)
+    assert not b.is_loaded
+    assert b.build_inpaint_prompt(InpaintIntent.REPLACE, "a duck", None) is None
+
+
+def test_vlm_prompt_builder_intents():
+    calls = []
+
+    def fake_vlm(system, user, image):
+        calls.append(system)
+        return "  an enriched prompt  "
+
+    b = VLMPromptBuilder(vlm_chat=fake_vlm)
+    out = b.build_inpaint_prompt(InpaintIntent.REMOVE, "remove the car", None)
+    assert out == "an enriched prompt"
+    assert "NEVER mention or allude to the removed object" in calls[0]
+    # intents have distinct system prompts with opposite requirements
+    assert len({SYSTEM_PROMPTS[i] for i in InpaintIntent}) == 4
+    out2 = b.build_outpaint_prompt("beach", None, sides=["left", "top"])
+    assert out2 == "an enriched prompt"
+
+
+def test_vlm_prompt_builder_swallow_errors():
+    def broken(system, user, image):
+        raise RuntimeError("boom")
+
+    b = VLMPromptBuilder(vlm_chat=broken)
+    assert b.build_inpaint_prompt(InpaintIntent.MODIFY, "x", None) is None
+
+
+def test_subject_mask_shapes_and_convention():
+    img = np.zeros((64, 64, 3), np.float32)
+    img[:] = 0.9  # bright border-like background
+    img[24:40, 24:40] = 0.1  # dark centered subject
+    fg = saliency_foreground(img)
+    assert fg.shape == (64, 64)
+    assert fg[32, 32] > fg[2, 2]
+    mask = subject_mask(img, dilation_px=2, ramp_px=2)
+    # change-scene convention: subject kept (0), scene repainted (1)
+    assert mask[32, 32] < 0.5
+    assert mask[2, 2] > 0.5
+    assert 0.0 <= mask.min() and mask.max() <= 1.0
