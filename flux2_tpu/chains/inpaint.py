@@ -70,18 +70,13 @@ def pack_mask_for_latent_blending(
 
 
 def _area_resize(plane: np.ndarray, lh: int, lw: int) -> np.ndarray:
-    """Average-pool resize of a [H, W] plane to [lh, lw]."""
-    h, w = plane.shape
-    if (h, w) == (lh, lw):
-        return plane
-    ys = np.linspace(0, h, lh + 1).astype(int)
-    xs = np.linspace(0, w, lw + 1).astype(int)
-    out = np.empty((lh, lw), np.float32)
-    for i in range(lh):
-        for j in range(lw):
-            cell = plane[ys[i] : max(ys[i] + 1, ys[i + 1]), xs[j] : max(xs[j] + 1, xs[j + 1])]
-            out[i, j] = cell.mean()
-    return out
+    """Average-pool resize of a [H, W] plane to [lh, lw] (native C++ op with
+    numpy fallback — flux2_tpu.utils.native)."""
+    if plane.shape == (lh, lw):
+        return np.asarray(plane, np.float32)
+    from flux2_tpu.utils import native
+
+    return native.area_resize(plane, lh, lw)
 
 
 def mask_bounding_box(mask: np.ndarray, convention: str = GRAYSCALE_WHITE_INPAINT, threshold: float = 0.5):
@@ -133,8 +128,10 @@ def composite_on_original(
         plane = mask[..., :3].mean(axis=-1) if mask.ndim == 3 else mask
     if plane.shape != (y1 - y0, x1 - x0):
         plane = _area_resize(np.asarray(plane, np.float32), y1 - y0, x1 - x0)
-    m = np.clip(plane, 0, 1)[..., None]
-    out[y0:y1, x0:x1] = m * gen + (1 - m) * out[y0:y1, x0:x1]
+    from flux2_tpu.utils import native
+
+    m = np.clip(plane, 0, 1)
+    out[y0:y1, x0:x1] = native.soft_composite(out[y0:y1, x0:x1], gen[..., :3], m)
     return out
 
 
