@@ -73,7 +73,7 @@ def test_tiled_decode_matches_full(params):
 
 
 def test_downsample_asymmetric_padding(params):
-    # Odd input: downsample pads bottom/right only -> ceil division.
-    x = jax.random.normal(jax.random.PRNGKey(5), (1, 8, 7, 7))
+    # Odd input (NHWC): downsample pads bottom/right only -> ceil division.
+    x = jax.random.normal(jax.random.PRNGKey(5), (1, 7, 7, 8))
     out = vae._downsample_fwd(params["encoder"]["down_blocks"][0]["downsample"], x)
     assert out.shape[1:3] == (4, 4)
