@@ -73,7 +73,11 @@ def test_tiled_decode_matches_full(params):
 
 
 def test_downsample_asymmetric_padding(params):
-    # Odd input (NHWC): downsample pads bottom/right only -> ceil division.
-    x = jax.random.normal(jax.random.PRNGKey(5), (1, 7, 7, 8))
-    out = vae._downsample_fwd(params["encoder"]["down_blocks"][0]["downsample"], x)
-    assert out.shape[1:3] == (4, 4)
+    # NHWC. Even input: asymmetric (0,1) pad + stride-2 VALID conv halves
+    # exactly (the production case — all dims are multiples of 16).
+    ds = params["encoder"]["down_blocks"][0]["downsample"]
+    x = jax.random.normal(jax.random.PRNGKey(5), (1, 8, 8, 8))
+    assert vae._downsample_fwd(ds, x).shape[1:3] == (4, 4)
+    # Odd input floors (matches torch conv arithmetic on the padded size).
+    x7 = jax.random.normal(jax.random.PRNGKey(6), (1, 7, 7, 8))
+    assert vae._downsample_fwd(ds, x7).shape[1:3] == (3, 3)
