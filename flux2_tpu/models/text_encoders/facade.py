@@ -1,0 +1,171 @@
+"""Text-encoders facade: the ``FluxTextEncoders.shared`` equivalent.
+
+Capability parity with ``Sources/FluxTextEncoders/FluxTextEncoders.swift:33``:
+one object owning the loaded LLM encoders + tokenizers, exposing
+load/unload per family, FLUX/Klein embedding extraction, chat/generate, and
+prompt upsampling. On TPU "unload" just drops the reference (XLA frees HBM);
+kept for API parity and for hosts that juggle models on small chips.
+
+Tokenizers come from HF ``transformers`` (tekken/Mistral and Qwen3 chat
+templates ship with their checkpoints); the adapter normalizes them to the
+``ChatTokenizer`` protocol used by the extraction recipe.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Any, Dict, List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from flux2_tpu.models.text_encoders import config as tc
+from flux2_tpu.models.text_encoders import decoder, extractor, generation
+from flux2_tpu.utils import logging as flog
+
+
+class HFTokenizerAdapter:
+    """Wraps a transformers tokenizer into the ChatTokenizer protocol."""
+
+    def __init__(self, tokenizer):
+        self._tok = tokenizer
+        pad = tokenizer.pad_token_id
+        if pad is None:
+            pad = tokenizer.eos_token_id or 0
+        self.pad_token_id = int(pad)
+        self.eos_token_id = tokenizer.eos_token_id
+
+    @classmethod
+    def from_pretrained(cls, path_or_repo: str) -> "HFTokenizerAdapter":
+        from transformers import AutoTokenizer
+
+        return cls(AutoTokenizer.from_pretrained(path_or_repo))
+
+    def apply_chat_template(self, messages: List[dict], add_generation_prompt: bool = False) -> List[int]:
+        return list(
+            self._tok.apply_chat_template(
+                messages, add_generation_prompt=add_generation_prompt, tokenize=True
+            )
+        )
+
+    def decode(self, tokens: List[int]) -> str:
+        return self._tok.decode(tokens, skip_special_tokens=True)
+
+
+@dataclasses.dataclass
+class LoadedEncoder:
+    name: str
+    params: dict
+    config: tc.DecoderConfig
+    tokenizer: Any
+    extractor: extractor.EmbeddingExtractor
+
+
+class TextEncoders:
+    """Singleton-style registry of loaded encoder models."""
+
+    def __init__(self):
+        self._encoders: Dict[str, LoadedEncoder] = {}
+
+    # -- loading -------------------------------------------------------------
+
+    def load_mistral(self, weights_dir: str, tokenizer_dir: Optional[str] = None) -> LoadedEncoder:
+        return self._load(
+            "mistral", weights_dir, tokenizer_dir, tc.MISTRAL_SMALL_3_2,
+            tc.MISTRAL_HIDDEN_LAYERS, llama4=True,
+        )
+
+    def load_qwen3(self, weights_dir: str, tokenizer_dir: Optional[str] = None, size: str = "4b") -> LoadedEncoder:
+        cfg = tc.QWEN3_4B if size == "4b" else tc.QWEN3_8B
+        return self._load(f"qwen3-{size}", weights_dir, tokenizer_dir, cfg, tc.QWEN3_HIDDEN_LAYERS, qk_norm=True)
+
+    def attach(self, name: str, params: dict, cfg: tc.DecoderConfig, tokenizer, hidden_layers) -> LoadedEncoder:
+        """Register an already-built encoder (tests, custom models)."""
+        enc = LoadedEncoder(
+            name=name, params=params, config=cfg, tokenizer=tokenizer,
+            extractor=extractor.EmbeddingExtractor(params, cfg, tokenizer, tuple(hidden_layers)),
+        )
+        self._encoders[name] = enc
+        return enc
+
+    def _load(self, name, weights_dir, tokenizer_dir, cfg, layers, qk_norm=False, llama4=False) -> LoadedEncoder:
+        from flux2_tpu.io import checkpoints, weight_mapping
+
+        cfg_json = os.path.join(weights_dir, "config.json")
+        if os.path.exists(cfg_json):
+            import json
+
+            with open(cfg_json) as f:
+                cfg = tc.DecoderConfig.from_json_dict(json.load(f), qk_norm=qk_norm, llama4=llama4)
+        raw = checkpoints.load_weights_dir(weights_dir)
+        params = weight_mapping.map_decoder_weights(raw, cfg, dtype=np.float32)
+        params = {k: _bf16(v) for k, v in params.items()}
+        tok = HFTokenizerAdapter.from_pretrained(tokenizer_dir or weights_dir)
+        flog.info(f"loaded text encoder {name} ({cfg.num_hidden_layers} layers, {cfg.hidden_size} hidden)")
+        return self.attach(name, params, cfg, tok, layers)
+
+    def unload(self, name: str) -> None:
+        self._encoders.pop(name, None)
+
+    def unload_all(self) -> None:
+        self._encoders.clear()
+
+    def is_loaded(self, name: str) -> bool:
+        return name in self._encoders
+
+    def get(self, name: str) -> LoadedEncoder:
+        return self._encoders[name]
+
+    # -- extraction ------------------------------------------------------------
+
+    def extract_flux_embeddings(self, prompt: str, name: str = "mistral") -> jnp.ndarray:
+        """Dev conditioning: [1, 512, 15360] (FluxTextEncoders.swift:724+)."""
+        return self._encoders[name].extractor(prompt)
+
+    def extract_klein_embeddings(self, prompt: str, name: str = "qwen3-4b") -> jnp.ndarray:
+        """Klein conditioning: [1, 512, 7680/12288]."""
+        return self._encoders[name].extractor(prompt)
+
+    # -- generation --------------------------------------------------------------
+
+    def chat(
+        self,
+        messages: List[dict],
+        name: str,
+        params: Optional[generation.GenerateParameters] = None,
+        seed: int = 0,
+        on_token=None,
+    ) -> str:
+        enc = self._encoders[name]
+        ids = enc.tokenizer.apply_chat_template(messages, add_generation_prompt=True)
+        eos = [enc.tokenizer.eos_token_id] if getattr(enc.tokenizer, "eos_token_id", None) is not None else []
+        tokens = generation.generate(
+            enc.params, enc.config, list(ids), params or generation.GenerateParameters(),
+            eos_token_ids=eos, seed=seed,
+            on_token=(lambda t: on_token(enc.tokenizer.decode([t]))) if on_token else None,
+        )
+        return enc.tokenizer.decode(tokens)
+
+    def generate_text(self, prompt: str, name: str, **kw) -> str:
+        return self.chat([{"role": "user", "content": prompt}], name, **kw)
+
+    def upsample_prompt(self, prompt: str, name: str, mode: str = "upsampling_t2i", seed: int = 0) -> str:
+        enc = self._encoders[name]
+        return generation.upsample_prompt(
+            enc.params, enc.config, enc.tokenizer, prompt, mode=mode, seed=seed
+        )
+
+
+def _bf16(tree):
+    import jax
+
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16)
+        if hasattr(x, "dtype") and jnp.issubdtype(np.asarray(x).dtype, np.floating)
+        else x,
+        tree,
+    )
+
+
+shared = TextEncoders()

@@ -1,0 +1,158 @@
+"""HTTP serving endpoint for flux2-tpu.
+
+The production-serving counterpart of the reference's SwiftUI demo app
+(``Sources/Flux2App``): a small JSON-over-HTTP API driving a resident
+pipeline. Stdlib-only (no web-framework dependency), single worker —
+generation requests are serialized through a lock since the chip runs one
+program at a time; the compiled-fn cache makes repeat shapes fast.
+
+  GET  /health            -> {"status": "ok", ...}
+  GET  /info              -> device/model info
+  POST /generate          -> {"prompt", "width", "height", "steps",
+                              "guidance", "seed", "format": "png"|"json"}
+                             returns image/png bytes or base64 JSON
+
+Run: python -m flux2_tpu.serve --random-init --port 8080
+"""
+
+from __future__ import annotations
+
+import argparse
+import base64
+import io
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+import numpy as np
+
+
+class Flux2Server:
+    def __init__(self, pipeline, embeddings_fn=None):
+        self.pipeline = pipeline
+        self.embeddings_fn = embeddings_fn  # prompt -> embeddings (random-init mode)
+        self.lock = threading.Lock()
+        self.started = time.time()
+        self.requests_served = 0
+
+    def generate_png(self, req: dict) -> bytes:
+        import jax
+
+        emb = None
+        if self.embeddings_fn is not None:
+            emb = self.embeddings_fn(req.get("prompt", ""))
+        with self.lock:
+            res = self.pipeline.generate(
+                prompt=req.get("prompt", ""),
+                embeddings=emb,
+                height=int(req.get("height", 1024)),
+                width=int(req.get("width", 1024)),
+                num_steps=req.get("steps"),
+                guidance=req.get("guidance"),
+                seed=int(req.get("seed", 0)),
+            )
+            self.requests_served += 1
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.fromarray((np.clip(res.image, 0, 1) * 255).astype(np.uint8)).save(buf, "PNG")
+        return buf.getvalue()
+
+    def info(self) -> dict:
+        import jax
+
+        return {
+            "model": self.pipeline.model.value,
+            "backend": jax.default_backend(),
+            "devices": len(jax.devices()),
+            "sharded": self.pipeline.mesh is not None,
+            "uptime_s": round(time.time() - self.started, 1),
+            "requests_served": self.requests_served,
+        }
+
+
+def make_handler(server: Flux2Server):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet
+            pass
+
+        def _json(self, code: int, payload: dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/health":
+                self._json(200, {"status": "ok"})
+            elif self.path == "/info":
+                self._json(200, server.info())
+            else:
+                self._json(404, {"error": "not found"})
+
+        def do_POST(self):
+            if self.path != "/generate":
+                self._json(404, {"error": "not found"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(length) or b"{}")
+                png = server.generate_png(req)
+            except Exception as e:  # surface errors as JSON, keep serving
+                self._json(400, {"error": f"{type(e).__name__}: {e}"})
+                return
+            if req.get("format") == "json":
+                self._json(200, {"image_png_base64": base64.b64encode(png).decode()})
+            else:
+                self.send_response(200)
+                self.send_header("Content-Type", "image/png")
+                self.send_header("Content-Length", str(len(png)))
+                self.end_headers()
+                self.wfile.write(png)
+
+    return Handler
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="flux2-tpu serving endpoint")
+    parser.add_argument("--port", type=int, default=8080)
+    parser.add_argument("--host", default="127.0.0.1")
+    parser.add_argument("--model", default="klein-4b")
+    parser.add_argument("--quantization", default="bf16")
+    parser.add_argument("--random-init", action="store_true")
+    parser.add_argument("--transformer-dir")
+    parser.add_argument("--vae-dir")
+    parser.add_argument("--small-decoder", action="store_true")
+    parser.add_argument("--tp", type=int, default=0, help="shard over N devices (0 = no sharding)")
+    args = parser.parse_args(argv)
+    args.lora = []
+
+    from flux2_tpu.cli.main import build_pipeline
+
+    pipe = build_pipeline(args)
+    if args.tp > 1:
+        from flux2_tpu.parallel.mesh import make_mesh
+
+        pipe.shard(make_mesh(data=1, fsdp=1, tp=args.tp))
+
+    emb_fn = None
+    if args.random_init:
+        import jax
+        import jax.numpy as jnp
+
+        def emb_fn(prompt):
+            key = jax.random.PRNGKey(abs(hash(prompt)) % (2**31))
+            return jax.random.normal(key, (1, 512, pipe.transformer_config.joint_attention_dim), jnp.bfloat16)
+
+    server = Flux2Server(pipe, emb_fn)
+    httpd = ThreadingHTTPServer((args.host, args.port), make_handler(server))
+    print(f"flux2-tpu serving on http://{args.host}:{args.port} (model {args.model})")
+    httpd.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

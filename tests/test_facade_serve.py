@@ -1,0 +1,118 @@
+"""Text-encoders facade, memory manager, and serving endpoint tests."""
+
+import json
+import threading
+import urllib.request
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flux2_tpu.models.flux2.config import Flux2Model
+from flux2_tpu.models.text_encoders import config as tc
+from flux2_tpu.models.text_encoders import decoder as dec
+from flux2_tpu.models.text_encoders.facade import TextEncoders
+from flux2_tpu.utils import memory
+
+
+class _StubTokenizer:
+    pad_token_id = 0
+    eos_token_id = None
+
+    def apply_chat_template(self, messages, add_generation_prompt=False):
+        text = " ".join(m["content"] for m in messages)
+        return [hash(w) % 200 + 3 for w in text.split()][:16]
+
+    def decode(self, tokens):
+        return " ".join(f"t{t}" for t in tokens)
+
+
+@pytest.fixture(scope="module")
+def encoders():
+    te = TextEncoders()
+    params = dec.init_params(jax.random.PRNGKey(0), tc.TINY_DECODER, dtype=jnp.float32)
+    te.attach("tiny", params, tc.TINY_DECODER, _StubTokenizer(), (1, 2, 3))
+    return te
+
+
+def test_facade_lifecycle(encoders):
+    assert encoders.is_loaded("tiny")
+    emb = encoders.extract_klein_embeddings("a cat", name="tiny")
+    assert emb.shape == (1, 512, 3 * tc.TINY_DECODER.hidden_size)
+    encoders.unload("tiny")
+    assert not encoders.is_loaded("tiny")
+    # re-attach for other tests
+    params = dec.init_params(jax.random.PRNGKey(0), tc.TINY_DECODER, dtype=jnp.float32)
+    encoders.attach("tiny", params, tc.TINY_DECODER, _StubTokenizer(), (1, 2, 3))
+
+
+def test_facade_chat(encoders):
+    from flux2_tpu.models.text_encoders.generation import GenerateParameters
+
+    out = encoders.chat(
+        [{"role": "user", "content": "hello"}], "tiny",
+        params=GenerateParameters(max_tokens=4, temperature=0.0),
+    )
+    assert isinstance(out, str) and out
+
+
+def test_memory_feasibility():
+    # Dev bf16 doesn't fit one 16GB chip
+    r = memory.check_feasibility(Flux2Model.DEV, "bf16", hbm_bytes=16 * 1024**3)
+    assert not r.feasible
+    assert any("qint8" in s for s in r.suggestions)
+    assert any("shard" in s for s in r.suggestions)
+    # Klein-4B int4 fits
+    r2 = memory.check_feasibility(Flux2Model.KLEIN_4B, "int4", hbm_bytes=16 * 1024**3)
+    assert r2.feasible
+    assert memory.recommended_quantization(Flux2Model.DEV, hbm_bytes=16 * 1024**3) == "int4"
+    assert memory.recommended_quantization(Flux2Model.KLEIN_4B, hbm_bytes=64 * 1024**3) == "bf16"
+
+
+def test_device_memory_stats():
+    stats = memory.device_memory_stats()
+    assert set(stats) == {"bytes_in_use", "peak_bytes_in_use", "bytes_limit"}
+
+
+def test_serving_endpoint():
+    from http.server import ThreadingHTTPServer
+
+    from flux2_tpu.serve import Flux2Server, make_handler
+    from tests.test_pipeline import tiny_pipeline
+
+    pipe = tiny_pipeline()
+
+    def emb_fn(prompt):
+        key = jax.random.PRNGKey(abs(hash(prompt)) % (2**31))
+        return jax.random.normal(key, (1, 8, pipe.transformer_config.joint_attention_dim))
+
+    server = Flux2Server(pipe, emb_fn)
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(server))
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/health") as r:
+            assert json.loads(r.read())["status"] == "ok"
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/info") as r:
+            info = json.loads(r.read())
+            assert info["model"] == "klein-4b"
+        body = json.dumps({"prompt": "x", "width": 64, "height": 64, "steps": 1, "format": "json"}).encode()
+        req = urllib.request.Request(f"http://127.0.0.1:{port}/generate", data=body, method="POST")
+        with urllib.request.urlopen(req) as r:
+            out = json.loads(r.read())
+            assert "image_png_base64" in out
+        # PNG mode
+        body2 = json.dumps({"prompt": "x", "width": 64, "height": 64, "steps": 1}).encode()
+        req2 = urllib.request.Request(f"http://127.0.0.1:{port}/generate", data=body2, method="POST")
+        with urllib.request.urlopen(req2) as r:
+            data = r.read()
+            assert data[:8] == b"\x89PNG\r\n\x1a\n"
+        # malformed request -> 400, server keeps serving
+        bad = urllib.request.Request(f"http://127.0.0.1:{port}/generate", data=b"{bad json", method="POST")
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(bad)
+        assert e.value.code == 400
+    finally:
+        httpd.shutdown()
