@@ -1,0 +1,391 @@
+"""Qwen3.5 hybrid language tower: Gated DeltaNet linear attention + full GQA.
+
+Capability parity with ``Sources/FluxTextEncoders/Model/Qwen35/`` (the VLM
+used for prompt enrichment, image analysis, and LoRA validation scoring):
+
+  - Hybrid 4-periodic stack: 3 linear-attention (Gated DeltaNet) layers per
+    1 full-attention layer (``full_attention_interval=4``,
+    Qwen35Model.swift:1-45).
+  - Gated DeltaNet (Qwen35GatedDeltaNet.swift): fused QKV projection +
+    causal depthwise conv1d (kernel 4) + SiLU; L2-normalized q/k with the
+    asymmetric 1/Dk / 1/sqrt(Dk) scaling; decay
+    ``g = exp(-exp(A_log) * softplus(a + dt_bias))``; write gate
+    ``beta = sigmoid(b)``; delta-rule state update
+        S_t = g_t S_{t-1} + beta_t (v_t - (g_t S_{t-1}) k_t) k_t^T
+        y_t = S_t q_t
+    and gated RMSNorm output ``rmsnorm(y) * silu(z)``.
+  - Full attention (Qwen35Attention.swift): GQA with output gating
+    (q_proj produces [q ; gate], out = attn * sigmoid(gate)), per-head
+    QK-RMSNorm, partial rotary (64 of 256 dims) with interleaved
+    3-section MRoPE (freq i takes position axis i mod 3; sections
+    [11, 11, 10] — Qwen35MRoPE.swift).
+
+TPU-first: the reference iterates the recurrence token-by-token in Swift
+(SURVEY.md flags this as TPU-hostile); here the delta rule runs under ONE
+``lax.scan`` whose body is batched matmuls over [B, Hv, Dv, Dk] state — a
+single compiled program. (A chunked parallel formulation is a further
+optimization candidate; the VLM is auxiliary to the image path.)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from flux2_tpu.ops.normalization import rms_norm
+
+Params = Dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class Qwen35TextConfig:
+    vocab_size: int = 248_320
+    hidden_size: int = 2048
+    intermediate_size: int = 5632
+    num_hidden_layers: int = 32
+    num_attention_heads: int = 16
+    num_key_value_heads: int = 4
+    head_dim: int = 256
+    rms_norm_eps: float = 1e-6
+    rope_theta: float = 10_000_000.0
+    partial_rotary_factor: float = 0.25
+    mrope_sections: Tuple[int, int, int] = (11, 11, 10)
+    full_attention_interval: int = 4
+    linear_num_key_heads: int = 16
+    linear_num_value_heads: int = 32
+    linear_key_head_dim: int = 128
+    linear_value_head_dim: int = 128
+    linear_conv_kernel_dim: int = 4
+    tie_word_embeddings: bool = True
+
+    @property
+    def rotary_dim(self) -> int:
+        return int(self.head_dim * self.partial_rotary_factor)
+
+    @property
+    def key_dim(self) -> int:
+        return self.linear_num_key_heads * self.linear_key_head_dim
+
+    @property
+    def value_dim(self) -> int:
+        return self.linear_num_value_heads * self.linear_value_head_dim
+
+    @property
+    def conv_dim(self) -> int:
+        return 2 * self.key_dim + self.value_dim
+
+    def is_linear_layer(self, i: int) -> bool:
+        return (i + 1) % self.full_attention_interval != 0
+
+    @classmethod
+    def from_json_dict(cls, d: dict) -> "Qwen35TextConfig":
+        rope = d.get("rope_scaling") or {}
+        return cls(
+            vocab_size=d["vocab_size"],
+            hidden_size=d["hidden_size"],
+            intermediate_size=d["intermediate_size"],
+            num_hidden_layers=d["num_hidden_layers"],
+            num_attention_heads=d["num_attention_heads"],
+            num_key_value_heads=d["num_key_value_heads"],
+            head_dim=d.get("head_dim", 256),
+            rms_norm_eps=d.get("rms_norm_eps", 1e-6),
+            rope_theta=d.get("rope_theta", 10_000_000.0),
+            partial_rotary_factor=d.get("partial_rotary_factor", 0.25),
+            mrope_sections=tuple(rope.get("mrope_section", (11, 11, 10))),
+            full_attention_interval=d.get("full_attention_interval", 4),
+            linear_num_key_heads=d.get("linear_num_key_heads", 16),
+            linear_num_value_heads=d.get("linear_num_value_heads", 32),
+            linear_key_head_dim=d.get("linear_key_head_dim", 128),
+            linear_value_head_dim=d.get("linear_value_head_dim", 128),
+            linear_conv_kernel_dim=d.get("linear_conv_kernel_dim", 4),
+            tie_word_embeddings=d.get("tie_word_embeddings", True),
+        )
+
+
+TINY_QWEN35 = Qwen35TextConfig(
+    vocab_size=128,
+    hidden_size=64,
+    intermediate_size=96,
+    num_hidden_layers=4,  # layers 0,1,2 linear; layer 3 full
+    num_attention_heads=2,
+    num_key_value_heads=1,
+    head_dim=32,
+    partial_rotary_factor=0.25,  # rotary_dim 8
+    mrope_sections=(2, 1, 1),  # halfdim 4
+    linear_num_key_heads=2,
+    linear_num_value_heads=4,
+    linear_key_head_dim=16,
+    linear_value_head_dim=16,
+)
+
+
+# ---------------------------------------------------------------------------
+# Init
+# ---------------------------------------------------------------------------
+
+
+def _lin(key, i, o, dtype):
+    return jax.random.normal(key, (i, o), jnp.float32).astype(dtype) * i**-0.5
+
+
+def init_params(key: jax.Array, cfg: Qwen35TextConfig, dtype=jnp.float32) -> Params:
+    keys = jax.random.split(key, cfg.num_hidden_layers + 2)
+    h = cfg.hidden_size
+    layers: List[Params] = []
+    for i in range(cfg.num_hidden_layers):
+        ks = iter(jax.random.split(keys[i], 12))
+        lp: Params = {
+            "input_norm": jnp.ones((h,), dtype),
+            "post_attn_norm": jnp.ones((h,), dtype),
+            "gate_proj": _lin(next(ks), h, cfg.intermediate_size, dtype),
+            "up_proj": _lin(next(ks), h, cfg.intermediate_size, dtype),
+            "down_proj": _lin(next(ks), cfg.intermediate_size, h, dtype),
+        }
+        if cfg.is_linear_layer(i):
+            lp["linear_attn"] = {
+                "in_proj_qkv": _lin(next(ks), h, cfg.conv_dim, dtype),
+                "in_proj_z": _lin(next(ks), h, cfg.value_dim, dtype),
+                "in_proj_b": _lin(next(ks), h, cfg.linear_num_value_heads, dtype),
+                "in_proj_a": _lin(next(ks), h, cfg.linear_num_value_heads, dtype),
+                "out_proj": _lin(next(ks), cfg.value_dim, h, dtype),
+                # depthwise causal conv kernel [K, conv_dim]
+                "conv_kernel": jax.random.normal(next(ks), (cfg.linear_conv_kernel_dim, cfg.conv_dim), jnp.float32).astype(dtype) * 0.2,
+                "norm_weight": jnp.ones((cfg.linear_value_head_dim,), dtype),
+                "a_log": jnp.zeros((cfg.linear_num_value_heads,), jnp.float32),
+                "dt_bias": jnp.ones((cfg.linear_num_value_heads,), jnp.float32),
+            }
+        else:
+            qd = cfg.num_attention_heads * cfg.head_dim
+            kvd = cfg.num_key_value_heads * cfg.head_dim
+            lp["self_attn"] = {
+                "q_proj": _lin(next(ks), h, qd * 2, dtype),  # [q ; gate]
+                "k_proj": _lin(next(ks), h, kvd, dtype),
+                "v_proj": _lin(next(ks), h, kvd, dtype),
+                "o_proj": _lin(next(ks), qd, h, dtype),
+                "q_norm": jnp.ones((cfg.head_dim,), dtype),
+                "k_norm": jnp.ones((cfg.head_dim,), dtype),
+            }
+        layers.append(lp)
+    return {
+        "embed_tokens": jax.random.normal(keys[-2], (cfg.vocab_size, h), jnp.float32).astype(dtype) * 0.02,
+        "layers": layers,
+        "final_norm": jnp.ones((h,), dtype),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Gated DeltaNet
+# ---------------------------------------------------------------------------
+
+
+def _causal_depthwise_conv(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
+    """[B, S, C] causal depthwise conv with kernel [K, C] (left-pad K-1)."""
+    k = kernel.shape[0]
+    pad = jnp.pad(x, ((0, 0), (k - 1, 0), (0, 0)))
+    out = jnp.zeros_like(x)
+    for i in range(k):  # K=4: unrolled adds fuse into one VPU loop
+        out = out + pad[:, i : i + x.shape[1]] * kernel[i][None, None, :]
+    return out
+
+
+def gated_delta_update(
+    q: jnp.ndarray,  # [B, T, Hv, Dk] (already head-expanded + normalized)
+    k: jnp.ndarray,  # [B, T, Hv, Dk]
+    v: jnp.ndarray,  # [B, T, Hv, Dv]
+    g: jnp.ndarray,  # [B, T, Hv] decay in (0, 1)
+    beta: jnp.ndarray,  # [B, T, Hv] write gate
+    state: jnp.ndarray,  # [B, Hv, Dv, Dk]
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Sequential delta-rule recurrence as one lax.scan."""
+
+    def step(s, inp):
+        qt, kt, vt, gt, bt = inp  # [B, Hv, *]
+        s = s * gt[..., None, None]
+        kv_mem = jnp.einsum("bhdk,bhk->bhd", s, kt)
+        delta = (vt - kv_mem) * bt[..., None]
+        s = s + jnp.einsum("bhd,bhk->bhdk", delta, kt)
+        y = jnp.einsum("bhdk,bhk->bhd", s, qt)
+        return s, y
+
+    xs = (
+        q.transpose(1, 0, 2, 3),
+        k.transpose(1, 0, 2, 3),
+        v.transpose(1, 0, 2, 3),
+        g.transpose(1, 0, 2),
+        beta.transpose(1, 0, 2),
+    )
+    state, ys = jax.lax.scan(step, state.astype(jnp.float32), xs)
+    return ys.transpose(1, 0, 2, 3), state  # [B, T, Hv, Dv]
+
+
+def gated_deltanet_forward(
+    lp: Params,
+    cfg: Qwen35TextConfig,
+    x: jnp.ndarray,  # [B, S, H]
+    conv_state: Optional[jnp.ndarray] = None,  # [B, K-1, conv_dim]
+    rec_state: Optional[jnp.ndarray] = None,  # [B, Hv, Dv, Dk]
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Returns (out [B, S, H], new_conv_state, new_recurrent_state)."""
+    b, s, _ = x.shape
+    hk, hv = cfg.linear_num_key_heads, cfg.linear_num_value_heads
+    dk, dv = cfg.linear_key_head_dim, cfg.linear_value_head_dim
+    kd, vd = cfg.key_dim, cfg.value_dim
+    kk = cfg.linear_conv_kernel_dim
+
+    mixed = x @ lp["in_proj_qkv"]  # [B, S, conv_dim]
+    z = (x @ lp["in_proj_z"]).reshape(b, s, hv, dv)
+    a = x @ lp["in_proj_a"]  # [B, S, Hv]
+    bb = x @ lp["in_proj_b"]
+
+    if conv_state is None:
+        conv_state = jnp.zeros((b, kk - 1, cfg.conv_dim), mixed.dtype)
+    conv_in = jnp.concatenate([conv_state, mixed], axis=1)
+    new_conv_state = conv_in[:, -(kk - 1) :]
+    conv_out = jax.nn.silu(_causal_depthwise_conv(conv_in, lp["conv_kernel"])[:, kk - 1 :])
+
+    q = conv_out[..., :kd].reshape(b, s, hk, dk)
+    k = conv_out[..., kd : 2 * kd].reshape(b, s, hk, dk)
+    v = conv_out[..., 2 * kd :].reshape(b, s, hv, dv)
+
+    # L2-normalize q/k with asymmetric scaling (Qwen35GatedDeltaNet.swift:
+    # q gets 1/Dk, k gets 1/sqrt(Dk)).
+    inv_scale = dk**-0.5
+    qf, kf = q.astype(jnp.float32), k.astype(jnp.float32)
+    q_n = (inv_scale * inv_scale) * qf / jnp.sqrt(jnp.mean(qf * qf, axis=-1, keepdims=True) + 1e-6)
+    k_n = inv_scale * kf / jnp.sqrt(jnp.mean(kf * kf, axis=-1, keepdims=True) + 1e-6)
+
+    g = jnp.exp(-jnp.exp(lp["a_log"]) * jax.nn.softplus(a.astype(jnp.float32) + lp["dt_bias"]))
+    beta = jax.nn.sigmoid(bb.astype(jnp.float32))
+
+    rep = hv // hk
+    if rep > 1:
+        q_n = jnp.repeat(q_n, rep, axis=2)
+        k_n = jnp.repeat(k_n, rep, axis=2)
+
+    if rec_state is None:
+        rec_state = jnp.zeros((b, hv, dv, dk), jnp.float32)
+    y, new_rec_state = gated_delta_update(q_n, k_n, v.astype(jnp.float32), g, beta, rec_state)
+
+    # gated RMSNorm: rmsnorm(y) * silu(z)
+    normed = rms_norm(y, lp["norm_weight"], cfg.rms_norm_eps) * jax.nn.silu(z.astype(jnp.float32))
+    out = normed.reshape(b, s, vd).astype(x.dtype) @ lp["out_proj"]
+    return out, new_conv_state, new_rec_state
+
+
+# ---------------------------------------------------------------------------
+# Full attention with MRoPE + output gating
+# ---------------------------------------------------------------------------
+
+
+def mrope_cos_sin(cfg: Qwen35TextConfig, position_ids: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Interleaved 3-section MRoPE. position_ids: [3, B, S] (t, h, w).
+
+    Frequency i takes the position axis ``i mod 3`` (sections [11, 11, 10]
+    over halfdim 32 are exactly the mod-3 counts). Returns cos/sin
+    [B, S, rotary_dim] in the HF two-half layout.
+    """
+    half = cfg.rotary_dim // 2
+    inv_freq = 1.0 / cfg.rope_theta ** (2.0 * jnp.arange(half, dtype=jnp.float32) / cfg.rotary_dim)
+    # freqs per axis: [3, B, S, half]
+    freqs = position_ids.astype(jnp.float32)[..., None] * inv_freq[None, None, None, :]
+    axis_of_freq = jnp.arange(half) % 3  # [half]
+    sel = jnp.take_along_axis(
+        freqs.transpose(1, 2, 3, 0),  # [B, S, half, 3]
+        axis_of_freq[None, None, :, None],
+        axis=-1,
+    )[..., 0]  # [B, S, half]
+    emb = jnp.concatenate([sel, sel], axis=-1)
+    return jnp.cos(emb), jnp.sin(emb)
+
+
+def _apply_partial_rotary(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray, rotary_dim: int) -> jnp.ndarray:
+    """Rotate the first rotary_dim dims ([B, H, S, D]); pass the rest through."""
+    rot, rest = x[..., :rotary_dim], x[..., rotary_dim:]
+    x1, x2 = jnp.split(rot.astype(jnp.float32), 2, axis=-1)
+    rotated = jnp.concatenate([-x2, x1], axis=-1)
+    out = rot.astype(jnp.float32) * cos[:, None] + rotated * sin[:, None]
+    return jnp.concatenate([out.astype(x.dtype), rest], axis=-1)
+
+
+def full_attention_forward(
+    lp: Params,
+    cfg: Qwen35TextConfig,
+    x: jnp.ndarray,  # [B, S, H]
+    position_ids: jnp.ndarray,  # [3, B, S]
+) -> jnp.ndarray:
+    b, s, _ = x.shape
+    nh, nkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+
+    q_and_gate = (x @ lp["q_proj"]).reshape(b, s, nh, 2 * hd)
+    q, gate = q_and_gate[..., :hd], q_and_gate[..., hd:]
+    gate = gate.reshape(b, s, nh * hd)
+    k = (x @ lp["k_proj"]).reshape(b, s, nkv, hd)
+    v = (x @ lp["v_proj"]).reshape(b, s, nkv, hd)
+
+    q = rms_norm(q, lp["q_norm"], cfg.rms_norm_eps).transpose(0, 2, 1, 3)
+    k = rms_norm(k, lp["k_norm"], cfg.rms_norm_eps).transpose(0, 2, 1, 3)
+    v = v.transpose(0, 2, 1, 3)
+
+    cos, sin = mrope_cos_sin(cfg, position_ids)
+    q = _apply_partial_rotary(q, cos, sin, cfg.rotary_dim)
+    k = _apply_partial_rotary(k, cos, sin, cfg.rotary_dim)
+
+    rep = nh // nkv
+    if rep > 1:
+        k = jnp.repeat(k, rep, axis=1)
+        v = jnp.repeat(v, rep, axis=1)
+
+    causal = jnp.tril(jnp.ones((s, s), jnp.bool_))
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32) * hd**-0.5
+    logits = jnp.where(causal[None, None], logits, -1e30)
+    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    attn = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+    attn = attn.transpose(0, 2, 1, 3).reshape(b, s, nh * hd)
+    return (attn * jax.nn.sigmoid(gate)) @ lp["o_proj"]
+
+
+# ---------------------------------------------------------------------------
+# Model
+# ---------------------------------------------------------------------------
+
+
+def text_position_ids(batch: int, seq: int) -> jnp.ndarray:
+    """Pure-text MRoPE ids: all three axes equal the token index. [3, B, S]."""
+    pos = jnp.broadcast_to(jnp.arange(seq)[None], (batch, seq))
+    return jnp.stack([pos, pos, pos])
+
+
+def forward(
+    params: Params,
+    cfg: Qwen35TextConfig,
+    input_ids: jnp.ndarray,  # [B, S]
+    position_ids: Optional[jnp.ndarray] = None,  # [3, B, S]
+    inputs_embeds: Optional[jnp.ndarray] = None,  # vision-merged embeddings
+) -> jnp.ndarray:
+    """Hybrid forward -> final hidden states [B, S, H] (pre-norm applied)."""
+    b, s = input_ids.shape
+    x = inputs_embeds if inputs_embeds is not None else params["embed_tokens"][input_ids]
+    if position_ids is None:
+        position_ids = text_position_ids(b, s)
+
+    for i, lp in enumerate(params["layers"]):
+        h = rms_norm(x, lp["input_norm"], cfg.rms_norm_eps)
+        if cfg.is_linear_layer(i):
+            attn, _, _ = gated_deltanet_forward(lp["linear_attn"], cfg, h)
+        else:
+            attn = full_attention_forward(lp["self_attn"], cfg, h, position_ids)
+        x = x + attn
+        h2 = rms_norm(x, lp["post_attn_norm"], cfg.rms_norm_eps)
+        mlp = (jax.nn.silu(h2 @ lp["gate_proj"]) * (h2 @ lp["up_proj"])) @ lp["down_proj"]
+        x = x + mlp
+
+    return rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+
+
+def forward_logits(params: Params, cfg: Qwen35TextConfig, input_ids: jnp.ndarray, **kw) -> jnp.ndarray:
+    hs = forward(params, cfg, input_ids, **kw)
+    return (hs @ params["embed_tokens"].T).astype(jnp.float32)
