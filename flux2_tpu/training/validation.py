@@ -1,0 +1,167 @@
+"""VLM-scored validation for LoRA training + evaluation pipeline.
+
+Capability parity with the reference's validation machinery
+(``SimpleLoRATrainer.swift:1746-2409`` and ``Training/LoRAEvaluator.swift``):
+
+  - Periodic validation-image generation using the DISTILLED sibling model
+    (base models train, distilled siblings preview — :1746-2006).
+  - VLM scoring of validation images against dataset references on two
+    axes, scene and style, 0-10 each (:2008-2409) — the scorer here is
+    pluggable: any callable ``(image, reference_images, prompt) ->
+    (scene, style)``; the Qwen3.5 VLM provides one, a no-op scorer keeps
+    training headless.
+  - Best-checkpoint tracking by combined score and early stopping after N
+    non-improving validations.
+  - Evaluator: describe references -> generate baseline -> compare ->
+    recommend training parameters (LoRAEvaluator.swift:13-45).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+# (generated image, reference images, prompt) -> (scene 0-10, style 0-10)
+VLMScorer = Callable[[np.ndarray, Sequence[np.ndarray], str], Tuple[float, float]]
+
+
+@dataclasses.dataclass
+class ValidationConfig:
+    prompts: Sequence[str] = ()
+    every_n_steps: int = 250
+    images_per_prompt: int = 1
+    early_stop_patience: int = 3  # non-improving validations before stop
+    width: int = 512
+    height: int = 512
+    steps: int = 4
+    seed: int = 1234
+
+
+@dataclasses.dataclass
+class ValidationRecord:
+    step: int
+    prompt: str
+    scene: float
+    style: float
+
+    @property
+    def combined(self) -> float:
+        return self.scene + self.style
+
+
+class ValidationTracker:
+    """Best-checkpoint tracking + early stopping over validation scores."""
+
+    def __init__(self, patience: int = 3):
+        self.patience = patience
+        self.records: List[ValidationRecord] = []
+        self.best_step: Optional[int] = None
+        self.best_score: float = float("-inf")
+        self._non_improving = 0
+
+    def record(self, step: int, scores: Sequence[ValidationRecord]) -> bool:
+        """Returns True when training should early-stop."""
+        self.records.extend(scores)
+        mean = float(np.mean([r.combined for r in scores])) if scores else 0.0
+        if mean > self.best_score:
+            self.best_score = mean
+            self.best_step = step
+            self._non_improving = 0
+        else:
+            self._non_improving += 1
+        return self._non_improving >= self.patience
+
+    @property
+    def should_copy_best(self) -> bool:
+        return self.best_step is not None
+
+
+def run_validation(
+    pipeline,
+    config: ValidationConfig,
+    step: int,
+    embeddings_fn: Callable[[str], object],
+    scorer: Optional[VLMScorer] = None,
+    reference_images: Sequence[np.ndarray] = (),
+    output_dir: Optional[str] = None,
+) -> List[ValidationRecord]:
+    """Generate validation images with the (distilled) pipeline and score them."""
+    records: List[ValidationRecord] = []
+    for pi, prompt in enumerate(config.prompts):
+        for vi in range(config.images_per_prompt):
+            res = pipeline.generate(
+                embeddings=embeddings_fn(prompt),
+                height=config.height,
+                width=config.width,
+                num_steps=config.steps,
+                seed=config.seed + pi * 100 + vi,
+            )
+            if output_dir is not None:
+                _save_png(res.image, os.path.join(output_dir, f"val_{step:06d}_p{pi}_{vi}.png"))
+            scene, style = (scorer or _null_scorer)(res.image, reference_images, prompt)
+            records.append(ValidationRecord(step=step, prompt=prompt, scene=scene, style=style))
+    return records
+
+
+def _null_scorer(image, refs, prompt) -> Tuple[float, float]:
+    return 0.0, 0.0
+
+
+def _save_png(image: np.ndarray, path: str) -> None:
+    from PIL import Image
+
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    Image.fromarray((np.clip(image, 0, 1) * 255).astype(np.uint8)).save(path)
+
+
+# ---------------------------------------------------------------------------
+# Evaluation pipeline (LoRAEvaluator.swift)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class GapAnalysis:
+    scene_score: float  # how well the base model already renders the scene
+    style_score: float
+    recommended_rank: int
+    recommended_steps: int
+    recommended_timestep_sampling: str
+    notes: str
+
+
+def evaluate_training_need(
+    baseline_scores: Sequence[Tuple[float, float]],
+) -> GapAnalysis:
+    """Describe reference -> generate baseline -> compare -> recommend.
+
+    The recommendation heuristics mirror the reference's gap analysis: a
+    large STYLE gap calls for style-weighted timestep sampling and higher
+    rank; a large SCENE gap calls for content sampling; small gaps need
+    fewer steps.
+    """
+    scene = float(np.mean([s for s, _ in baseline_scores])) if baseline_scores else 0.0
+    style = float(np.mean([s for _, s in baseline_scores])) if baseline_scores else 0.0
+    scene_gap, style_gap = 10.0 - scene, 10.0 - style
+
+    if style_gap > scene_gap + 2:
+        sampling = "style"
+    elif scene_gap > style_gap + 2:
+        sampling = "content"
+    else:
+        sampling = "balanced"
+
+    worst_gap = max(scene_gap, style_gap)
+    rank = 32 if worst_gap > 6 else 16 if worst_gap > 3 else 8
+    steps = 2000 if worst_gap > 6 else 1000 if worst_gap > 3 else 500
+
+    return GapAnalysis(
+        scene_score=scene,
+        style_score=style,
+        recommended_rank=rank,
+        recommended_steps=steps,
+        recommended_timestep_sampling=sampling,
+        notes=f"scene gap {scene_gap:.1f}, style gap {style_gap:.1f} -> {sampling} sampling, rank {rank}, {steps} steps",
+    )
