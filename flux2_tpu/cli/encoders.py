@@ -1,0 +1,134 @@
+"""flux-encoders CLI — parity with ``Sources/FluxEncodersCLI``.
+
+Subcommands: generate, chat (interactive, streaming), embed (export
+conditioning embeddings), upsample, models.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from typing import Optional
+
+import numpy as np
+
+
+def _load_encoder(args):
+    from flux2_tpu.models.text_encoders.facade import shared
+
+    if args.encoder_dir:
+        if args.family == "mistral":
+            return shared.load_mistral(args.encoder_dir, args.tokenizer_dir)
+        return shared.load_qwen3(args.encoder_dir, args.tokenizer_dir, size=args.family.split("-")[-1])
+    raise SystemExit("pass --encoder-dir pointing at downloaded weights")
+
+
+def cmd_generate(args):
+    from flux2_tpu.models.text_encoders.facade import shared
+    from flux2_tpu.models.text_encoders.generation import GenerateParameters
+
+    enc = _load_encoder(args)
+    out = shared.generate_text(
+        args.prompt, enc.name,
+        params=GenerateParameters(max_tokens=args.max_tokens, temperature=args.temperature),
+        seed=args.seed,
+    )
+    print(out)
+
+
+def cmd_chat(args):
+    from flux2_tpu.models.text_encoders.facade import shared
+    from flux2_tpu.models.text_encoders.generation import GenerateParameters
+
+    enc = _load_encoder(args)
+    messages = []
+    print("interactive chat — empty line to exit")
+    while True:
+        try:
+            user = input("> ").strip()
+        except EOFError:
+            break
+        if not user:
+            break
+        messages.append({"role": "user", "content": user})
+        reply = shared.chat(
+            messages, enc.name,
+            params=GenerateParameters(max_tokens=args.max_tokens, temperature=args.temperature),
+            seed=args.seed,
+            on_token=lambda piece: print(piece, end="", flush=True),
+        )
+        print()
+        messages.append({"role": "assistant", "content": reply})
+
+
+def cmd_embed(args):
+    from flux2_tpu.models.text_encoders.facade import shared
+
+    enc = _load_encoder(args)
+    emb = np.asarray(enc.extractor(args.prompt))
+    np.save(args.output, emb)
+    print(json.dumps({"shape": list(emb.shape), "dtype": str(emb.dtype), "output": args.output}))
+
+
+def cmd_upsample(args):
+    from flux2_tpu.models.text_encoders.facade import shared
+
+    enc = _load_encoder(args)
+    mode = "upsampling_i2i" if args.i2i else "upsampling_t2i"
+    print(shared.upsample_prompt(args.prompt, enc.name, mode=mode, seed=args.seed))
+
+
+def cmd_models(args):
+    from flux2_tpu.io import registry
+
+    for name, spec in registry.TEXT_ENCODER_REPOS.items():
+        found = registry.find_model_path(spec)
+        print(f"  {name:<20} {spec.repo_id:<50} "
+              f"{'[downloaded]' if found else '[not downloaded]'}{' [gated]' if spec.gated else ''}")
+
+
+def _common(p):
+    p.add_argument("--family", default="qwen3-4b", choices=["mistral", "qwen3-4b", "qwen3-8b"])
+    p.add_argument("--encoder-dir")
+    p.add_argument("--tokenizer-dir")
+    p.add_argument("--max-tokens", type=int, default=256)
+    p.add_argument("--temperature", type=float, default=0.7)
+    p.add_argument("--seed", type=int, default=0)
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="flux-encoders", description="FLUX.2 text-encoder tools")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("generate", help="one-shot text generation")
+    _common(p)
+    p.add_argument("--prompt", required=True)
+    p.set_defaults(fn=cmd_generate)
+
+    p = sub.add_parser("chat", help="interactive streaming chat")
+    _common(p)
+    p.set_defaults(fn=cmd_chat)
+
+    p = sub.add_parser("embed", help="export FLUX conditioning embeddings (.npy)")
+    _common(p)
+    p.add_argument("--prompt", required=True)
+    p.add_argument("-o", "--output", default="embeddings.npy")
+    p.set_defaults(fn=cmd_embed)
+
+    p = sub.add_parser("upsample", help="BFL prompt upsampling")
+    _common(p)
+    p.add_argument("--prompt", required=True)
+    p.add_argument("--i2i", action="store_true", help="image-editing instruction mode")
+    p.set_defaults(fn=cmd_upsample)
+
+    p = sub.add_parser("models", help="list encoder repos + download status")
+    p.set_defaults(fn=cmd_models)
+
+    args = parser.parse_args(argv)
+    args.fn(args)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
