@@ -315,6 +315,15 @@ def single_block(
     return res
 
 
+def _remat_wrap(fn, remat):
+    """Apply the selected rematerialization policy to a block function."""
+    if not remat:
+        return fn
+    if remat == "dots":
+        return jax.checkpoint(fn, policy=jax.checkpoint_policies.checkpoint_dots_with_no_batch_dims)
+    return jax.checkpoint(fn)
+
+
 def bp_shift(mod: jnp.ndarray, s: int) -> jnp.ndarray:
     return mod[:, s, 0]
 
@@ -341,13 +350,15 @@ def forward(
     rope_cos: jnp.ndarray,  # [S_txt+S_img, head_dim] f32 (combined [txt;img] ids)
     rope_sin: jnp.ndarray,
     guidance: Optional[jnp.ndarray] = None,  # [B]
-    remat: bool = False,
+    remat: "bool | str" = False,
 ) -> jnp.ndarray:
     """DiT forward: [B, S_img, 128] velocity prediction.
 
-    Parity: Flux2Transformer.swift:123-327. Set ``remat=True`` for training
-    (per-block rematerialization; replaces MLXCheckpoint.swift's Cmlx
-    binding).
+    Parity: Flux2Transformer.swift:123-327. ``remat`` selects the
+    rematerialization policy (replaces MLXCheckpoint.swift's Cmlx binding):
+    False = none; True or "block" = full per-block recompute;
+    "dots" = per-block but keep matmul outputs resident
+    (checkpoint_dots_with_no_batch_dims — less recompute, more memory).
     """
     d = config.inner_dim
     nh = config.num_attention_heads
@@ -369,9 +380,7 @@ def forward(
 
     def double_body(carry, bp):
         i, t = carry
-        fn = functools.partial(double_block, num_heads=nh)
-        if remat:
-            fn = jax.checkpoint(fn)
+        fn = _remat_wrap(functools.partial(double_block, num_heads=nh), remat)
         i, t = fn(bp, i, t, img_mod, txt_mod, rope_cos, rope_sin)
         return (i, t), None
 
@@ -380,9 +389,7 @@ def forward(
     x = jnp.concatenate([txt, img], axis=1)
 
     def single_body(carry, bp):
-        fn = functools.partial(single_block, num_heads=nh)
-        if remat:
-            fn = jax.checkpoint(fn)
+        fn = _remat_wrap(functools.partial(single_block, num_heads=nh), remat)
         return fn(bp, carry, single_mod, rope_cos, rope_sin), None
 
     x, _ = jax.lax.scan(single_body, x, params["single_blocks"])

@@ -30,6 +30,7 @@ import time
 from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
 
 import jax
+import jax.experimental
 import jax.numpy as jnp
 import numpy as np
 
@@ -144,6 +145,9 @@ class Flux2Pipeline:
         custom_sigmas: Optional[Sequence[float]] = None,
         step_hook: Optional[StepHook] = None,
         decode: bool = True,
+        on_progress: Optional[Callable[[int, int], None]] = None,
+        checkpoint_interval: Optional[int] = None,
+        on_checkpoint: Optional[Callable[[int, np.ndarray], None]] = None,
     ) -> GenerationResult:
         """Generate an image. T2I by default; I2I via reference_latents;
         img2img via init_latents + strength < 1."""
@@ -223,6 +227,7 @@ class Flux2Pipeline:
                   self.model.uses_guidance_embeds,
               )
           else:
+              collect = checkpoint_interval is not None
               final_seq = _denoise(
                   self.transformer_params,
                   self.transformer_config,
@@ -237,9 +242,22 @@ class Flux2Pipeline:
                   step_hook,
                   self.model.uses_guidance_embeds,
                   self.model.uses_classical_cfg,
+                  _make_progress_cb(on_progress, schedule.num_steps),
+                  collect,
               )
+              if collect:
+                  final_seq, intermediates = final_seq
         final_seq.block_until_ready()
         timings["denoising"] = time.perf_counter() - t
+
+        # --- checkpoint images (decoded every N steps AFTER the scan; the
+        # scan collects per-step latents so the compiled loop stays pure —
+        # Flux2Pipeline.swift:2018-2046 decodes inline instead) ---
+        if checkpoint_interval is not None and on_checkpoint is not None:
+            with self._mesh_ctx():
+                for step_i in range(checkpoint_interval - 1, schedule.num_steps - 1, checkpoint_interval):
+                    img_i = np.asarray(self.decode_latents(intermediates[step_i], height, width))[0]
+                    on_checkpoint(step_i + 1, img_i)
 
         # --- decode ---
         t = time.perf_counter()
@@ -312,7 +330,7 @@ class Flux2Pipeline:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("config", "hook", "use_guidance_embeds", "use_cfg"),
+    static_argnames=("config", "hook", "use_guidance_embeds", "use_cfg", "progress_cb", "collect_latents"),
 )
 def _denoise(
     params,
@@ -328,6 +346,8 @@ def _denoise(
     hook: Optional[StepHook],
     use_guidance_embeds: bool,
     use_cfg: bool,
+    progress_cb=None,
+    collect_latents: bool = False,
 ):
     b = latents_seq.shape[0]
     s_img = latents_seq.shape[1]
@@ -363,9 +383,13 @@ def _denoise(
         lat = sch.euler_step(lat, v, sigma, sigma_next)
         if hook is not None:
             lat = hook(lat, sigma, sigma_next, step_idx)
-        return (lat, step_idx + 1), None
+        if progress_cb is not None:
+            jax.experimental.io_callback(progress_cb, None, step_idx, ordered=True)
+        return (lat, step_idx + 1), (lat if collect_latents else None)
 
-    (final, _), _ = jax.lax.scan(body, (latents_seq, jnp.int32(0)), sigma_pairs)
+    (final, _), ys = jax.lax.scan(body, (latents_seq, jnp.int32(0)), sigma_pairs)
+    if collect_latents:
+        return final, ys
     return final
 
 
@@ -436,6 +460,22 @@ def _decode_latents_jit(vae_params, vae_config, latents_seq, height: int, width:
     img = vae_mod.decode(vae_params, z.astype(jnp.float32), vae_config)
     img = jnp.clip(img * 0.5 + 0.5, 0.0, 1.0)
     return img.transpose(0, 2, 3, 1)  # NCHW -> NHWC
+
+
+@functools.lru_cache(maxsize=64)
+def _make_progress_cb_cached(on_progress, total_steps):
+    def cb(step_idx):
+        on_progress(int(step_idx) + 1, total_steps)
+
+    return cb
+
+
+def _make_progress_cb(on_progress, total_steps):
+    """Wrap a host progress callback for io_callback. Cached so repeat calls
+    with the same callback reuse the compiled program (static-arg identity)."""
+    if on_progress is None:
+        return None
+    return _make_progress_cb_cached(on_progress, total_steps)
 
 
 def _downscale_to_max_pixels(image: np.ndarray, max_pixels: int, multiple: int = 32) -> np.ndarray:

@@ -168,3 +168,36 @@ def test_kv_cached_i2i_path():
     # reference conditioning must matter in the cached path too
     t2i = pipe.generate(embeddings=_emb(pipe), height=64, width=64, num_steps=3, seed=7)
     assert np.abs(res.image - t2i.image).max() > 1e-6
+
+
+def test_progress_and_checkpoint_callbacks(pipe):
+    progress = []
+    checkpoints = []
+    res = pipe.generate(
+        embeddings=_emb(pipe), height=64, width=64, num_steps=4, seed=7,
+        on_progress=lambda step, total: progress.append((step, total)),
+        checkpoint_interval=2,
+        on_checkpoint=lambda step, img: checkpoints.append((step, img.shape)),
+    )
+    assert progress == [(1, 4), (2, 4), (3, 4), (4, 4)]
+    # checkpoint at step 2 only (step 4 is the final image, not a checkpoint)
+    assert checkpoints == [(2, (64, 64, 3))]
+    assert res.image.shape == (64, 64, 3)
+
+
+def test_remat_policies_match(pipe):
+    import flux2_tpu.models.flux2.transformer as tfm2
+    from flux2_tpu.ops import latents as lu2
+    from flux2_tpu.ops.rope import rope_embeddings as re2
+
+    params = pipe.transformer_params
+    config = pipe.transformer_config
+    ids = np.concatenate([lu2.text_position_ids(8), lu2.image_position_ids(64, 64)], axis=0)
+    cos, sin = re2(jnp.asarray(ids))
+    hidden = jax.random.normal(jax.random.PRNGKey(1), (1, 16, 128))
+    txt = _emb(pipe)
+    t = jnp.array([0.5])
+    base = tfm2.forward(params, config, hidden, txt, t, cos, sin)
+    for policy in (True, "block", "dots"):
+        out = tfm2.forward(params, config, hidden, txt, t, cos, sin, remat=policy)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(base), atol=1e-5)
