@@ -34,6 +34,26 @@ def _lazy_imports():
 # ---------------------------------------------------------------------------
 
 
+def _enable_compile_cache():
+    """Persistent XLA compilation cache: repeat shapes skip recompilation
+    across processes (the warm-load analogue of the reference's
+    loading-costs tracking)."""
+    import os
+
+    import jax
+
+    cache_dir = os.environ.get(
+        "FLUX2_COMPILE_CACHE", os.path.expanduser("~/.cache/flux2_tpu/xla_cache")
+    )
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
+
 def build_pipeline(args) -> "Flux2Pipeline":
     jax, jnp = _lazy_imports()
     from flux2_tpu.io import checkpoints, registry, weight_mapping
@@ -444,6 +464,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.set_defaults(fn=cmd_beacons)
 
     args = parser.parse_args(argv)
+    _enable_compile_cache()
     args.fn(args)
     return 0
 

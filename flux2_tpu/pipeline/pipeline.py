@@ -48,12 +48,13 @@ StepHook = Callable[[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray], jnp.nd
 
 @dataclasses.dataclass
 class GenerationResult:
-    image: np.ndarray  # [H, W, 3] float32 in [0, 1]
+    image: np.ndarray  # [H, W, 3] float32 in [0, 1] (first batch element)
     latents: np.ndarray  # final packed latents [B, S, 128]
     seed: int
     num_steps: int
     duration_s: float
     phase_timings: Dict[str, float]
+    images: Optional[np.ndarray] = None  # [B, H, W, 3] when batch > 1
 
 
 @dataclasses.dataclass
@@ -176,9 +177,12 @@ class Flux2Pipeline:
             schedule = sch.set_timesteps(num_steps, image_seq_len=num_patches, strength=strength)
 
         # --- initial latents ---
+        # Batch follows the conditioning: [B, 512, joint] embeddings drive
+        # B images per call (the data axis of the mesh shards it).
+        batch = int(embeddings.shape[0])
         key = jax.random.PRNGKey(seed)
         key, noise_key = jax.random.split(key)
-        noise = lu.generate_patchified_latents(noise_key, height, width)
+        noise = lu.generate_patchified_latents(noise_key, height, width, batch_size=batch)
         noise_seq = lu.pack_patchified_to_sequence(noise)
         if init_latents is not None and strength < 1.0:
             # img2img: mix encoded image with noise at the starting sigma.
@@ -261,10 +265,11 @@ class Flux2Pipeline:
 
         # --- decode ---
         t = time.perf_counter()
-        image = None
+        image = images = None
         if decode:
             with self._mesh_ctx():
-                image = np.asarray(self.decode_latents(final_seq, height, width))[0]
+                images = np.asarray(self.decode_latents(final_seq, height, width))
+            image = images[0]
         timings["vae_decoding"] = time.perf_counter() - t
 
         return GenerationResult(
@@ -274,6 +279,7 @@ class Flux2Pipeline:
             num_steps=schedule.num_steps,
             duration_s=time.perf_counter() - t0,
             phase_timings=timings,
+            images=images if images is not None and images.shape[0] > 1 else None,
         )
 
     # ------------------------------------------------------------------
@@ -360,7 +366,11 @@ def _denoise(
     def model_fn(lat, sigma):
         x = lat.astype(dtype)
         if reference_latents is not None:
-            x = jnp.concatenate([x, reference_latents.astype(dtype)], axis=1)
+            ref = jnp.broadcast_to(
+                reference_latents.astype(dtype),
+                (x.shape[0], *reference_latents.shape[1:]),
+            )
+            x = jnp.concatenate([x, ref], axis=1)
         tstep = jnp.full((b,), sigma, jnp.float32)
         g = jnp.full((b,), guidance, jnp.float32) if use_guidance_embeds else None
         if use_cfg:

@@ -29,6 +29,26 @@ from typing import Optional
 import numpy as np
 
 
+def _enable_compile_cache():
+    """Persistent XLA compilation cache: repeat shapes skip recompilation
+    across processes (the warm-load analogue of the reference's
+    loading-costs tracking)."""
+    import os
+
+    import jax
+
+    cache_dir = os.environ.get(
+        "FLUX2_COMPILE_CACHE", os.path.expanduser("~/.cache/flux2_tpu/xla_cache")
+    )
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
+
 class Flux2Server:
     def __init__(self, pipeline, embeddings_fn=None):
         self.pipeline = pipeline
@@ -131,6 +151,7 @@ def main(argv=None):
     args = parser.parse_args(argv)
     args.lora = []
 
+    _enable_compile_cache()
     from flux2_tpu.cli.main import build_pipeline
 
     pipe = build_pipeline(args)

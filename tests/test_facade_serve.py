@@ -116,3 +116,28 @@ def test_serving_endpoint():
         assert e.value.code == 400
     finally:
         httpd.shutdown()
+
+
+def test_pipeline_with_attached_text_encoder(encoders):
+    """End-to-end: prompt -> extractor -> pipeline.generate."""
+    import dataclasses
+
+    from flux2_tpu.models.flux2 import config as fcfg, vae as vae_mod
+    from flux2_tpu.pipeline.pipeline import Flux2Pipeline
+
+    enc = encoders.get("tiny")
+    tc_cfg = fcfg.Flux2TransformerConfig(
+        num_layers=1, num_single_layers=1, num_attention_heads=2,
+        attention_head_dim=128,
+        joint_attention_dim=enc.extractor.embedding_dim,
+        guidance_embeds=False,
+    )
+    vc = vae_mod.VAEConfig(block_out_channels=(8, 8, 16, 16), layers_per_block=1, norm_num_groups=4)
+    pipe = Flux2Pipeline.from_random(
+        model=fcfg.Flux2Model.KLEIN_4B, dtype=jnp.float32,
+        transformer_config=tc_cfg, vae_config=vc,
+    )
+    pipe.text_encoder = enc.extractor
+    res = pipe.generate(prompt="a tiny cat", height=64, width=64, num_steps=1, seed=3)
+    assert res.image.shape == (64, 64, 3)
+    assert res.phase_timings["text_encoding"] > 0

@@ -201,3 +201,13 @@ def test_remat_policies_match(pipe):
     for policy in (True, "block", "dots"):
         out = tfm2.forward(params, config, hidden, txt, t, cos, sin, remat=policy)
         np.testing.assert_allclose(np.asarray(out), np.asarray(base), atol=1e-5)
+
+
+def test_batched_generation(pipe):
+    emb = jax.random.normal(jax.random.PRNGKey(11), (3, 8, pipe.transformer_config.joint_attention_dim))
+    res = pipe.generate(embeddings=emb, height=64, width=64, num_steps=2, seed=7)
+    assert res.latents.shape[0] == 3
+    assert res.images.shape == (3, 64, 64, 3)
+    assert res.image.shape == (64, 64, 3)
+    # rows differ (different conditioning per row)
+    assert np.abs(res.images[0] - res.images[1]).max() > 1e-6
