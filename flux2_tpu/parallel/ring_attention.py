@@ -1,0 +1,96 @@
+"""Ring attention: sequence-parallel exact attention over the mesh.
+
+The reference handles long sequences (up to ~45k tokens with 6 reference
+images on Dev — SURVEY.md §5) with max-pixel caps, KV caching, and tiling.
+The TPU-native mechanism is sequence parallelism: shard the TOKEN axis over
+mesh devices and rotate K/V blocks around the ring with
+``jax.lax.ppermute``, accumulating exact softmax online — attention memory
+per device drops from O(S^2) to O((S/n)^2) and K/V transfers ride the ICI
+ring concurrently with compute.
+
+FLUX.2's joint attention is non-causal, so every device needs every K/V
+block exactly once — the pure ring with no load-imbalance tricks. The math
+is the same online softmax as the Pallas flash kernel, lifted one level up
+(blocks = device shards); inside each step the local product can itself use
+the flash kernel.
+
+Usage:
+    out = ring_attention(q, k, v, mesh=mesh, axis=TP_AXIS)
+with q/k/v [B, H, S, D] global arrays; S must divide by the axis size.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from flux2_tpu.parallel.mesh import TP_AXIS
+
+NEG_INF = -1e30
+
+
+def _ring_attention_local(q, k, v, *, axis: str, scale: float):
+    """shard_map body: q/k/v are LOCAL shards [B, H, S/n, D]."""
+    n = jax.lax.psum(1, axis)
+    perm = [(i, (i + 1) % n) for i in range(n)]
+
+    b, h, s_loc, d = q.shape
+    qf = q.astype(jnp.float32)
+
+    def step(carry, _):
+        k_cur, v_cur, m, l, acc = carry
+        s = jnp.einsum("bhqd,bhkd->bhqk", qf, k_cur.astype(jnp.float32)) * scale
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m, m_cur)
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m - m_new)
+        l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc_new = acc * alpha + jnp.einsum("bhqk,bhkd->bhqd", p, v_cur.astype(jnp.float32))
+        # rotate K/V to the next device; the last rotation is wasted but keeps
+        # the scan body uniform (XLA overlaps it with the final accumulate).
+        k_next = jax.lax.ppermute(k_cur, axis, perm)
+        v_next = jax.lax.ppermute(v_cur, axis, perm)
+        return (k_next, v_next, m_new, l_new, acc_new), None
+
+    init = (
+        k,
+        v,
+        jnp.full((b, h, s_loc, 1), NEG_INF, jnp.float32),
+        jnp.zeros((b, h, s_loc, 1), jnp.float32),
+        jnp.zeros((b, h, s_loc, d), jnp.float32),
+    )
+    (k, v, m, l, acc), _ = jax.lax.scan(step, init, None, length=n)
+    return (acc / l).astype(q.dtype)
+
+
+def ring_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mesh: Mesh,
+    axis: str = TP_AXIS,
+    scale: Optional[float] = None,
+) -> jnp.ndarray:
+    """Exact non-causal attention with the sequence axis sharded over `axis`.
+
+    q/k/v: [B, H, S, D] (global). S must be divisible by mesh.shape[axis].
+    """
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    n = mesh.shape[axis]
+    if q.shape[2] % n or k.shape[2] % n:
+        raise ValueError(f"sequence {q.shape[2]}/{k.shape[2]} not divisible by {axis}={n}")
+
+    spec = P(None, None, axis, None)
+    fn = jax.shard_map(
+        functools.partial(_ring_attention_local, axis=axis, scale=float(scale)),
+        mesh=mesh,
+        in_specs=(spec, spec, spec),
+        out_specs=spec,
+        check_vma=False,
+    )
+    return fn(q, k, v)

@@ -103,3 +103,29 @@ def test_sharded_pipeline_generate():
     pipe_sharded = tiny_pipeline().shard(mesh_mod.make_mesh(data=1, fsdp=2, tp=4))
     out = pipe_sharded.generate(embeddings=emb, height=64, width=64, num_steps=2, seed=7)
     np.testing.assert_allclose(out.image, ref.image, atol=2e-3)
+
+
+def test_ring_attention_matches_full():
+    """Sequence-parallel ring attention == single-device attention, exactly
+    (online softmax is exact, not approximate)."""
+    from flux2_tpu.ops.attention import sdpa_xla
+    from flux2_tpu.parallel import ring_attention as ra
+
+    mesh = mesh_mod.make_mesh(data=1, fsdp=1, tp=8)
+    B, H, S, D = 1, 2, 64, 32  # S=64 shards to 8 tokens/device
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = jax.random.normal(ks[0], (B, H, S, D))
+    k = jax.random.normal(ks[1], (B, H, S, D))
+    v = jax.random.normal(ks[2], (B, H, S, D))
+    ref = sdpa_xla(q, k, v)
+    out = ra.ring_attention(q, k, v, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_ring_attention_rejects_indivisible():
+    from flux2_tpu.parallel import ring_attention as ra
+
+    mesh = mesh_mod.make_mesh(data=1, fsdp=1, tp=8)
+    x = jnp.zeros((1, 2, 60, 32))
+    with pytest.raises(ValueError):
+        ra.ring_attention(x, x, x, mesh=mesh)
