@@ -192,6 +192,7 @@ def forward_hidden_states(
     cfg: DecoderConfig,
     input_ids: jnp.ndarray,  # [B, S] int32
     attention_mask: jnp.ndarray,  # [B, S] 1=token 0=pad
+    inputs_embeds: Optional[jnp.ndarray] = None,  # [B, S, H] (VLM merge)
 ) -> jnp.ndarray:
     """Run the decoder, returning ALL hidden states [L+1, B, S, H].
 
@@ -200,7 +201,7 @@ def forward_hidden_states(
     recipe (EmbeddingExtractor.swift:262-270).
     """
     b, s = input_ids.shape
-    x = params["embed_tokens"][input_ids]
+    x = inputs_embeds if inputs_embeds is not None else params["embed_tokens"][input_ids]
 
     # Position ids: left-padded sequences still use absolute positions 0..S-1
     # (matching the reference, which passes no position offset for padding).
@@ -288,11 +289,15 @@ def prefill(
     cfg: DecoderConfig,
     input_ids: jnp.ndarray,
     cache: KVCache,
+    inputs_embeds: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, KVCache]:
-    """Prefill the KV cache with a prompt; returns last-token logits [B, V]."""
+    """Prefill the KV cache with a prompt; returns last-token logits [B, V].
+
+    ``inputs_embeds`` overrides token embeddings (VLM image-token splicing).
+    """
     b, s = input_ids.shape
     max_len = cache.k.shape[3]
-    x = params["embed_tokens"][input_ids]
+    x = inputs_embeds if inputs_embeds is not None else params["embed_tokens"][input_ids]
     positions = jnp.arange(s)
     cos, sin = llm_rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
     key_idx = jnp.arange(max_len)

@@ -1,0 +1,173 @@
+"""VLM services: vision towers wired to language models.
+
+Capability parity with the reference's VLM surface
+(``FluxTextEncoders.analyzeImage``, ``Qwen35VLM.swift``, and the trainer's
+VLM scoring, SimpleLoRATrainer.swift:2008-2409):
+
+  - ``MistralVLMService`` (Dev path): Pixtral vision features projected into
+    Mistral's embedding space, spliced at [IMG] token positions, then
+    KV-cached generation — image analysis / vision-aware upsampling.
+  - ``Qwen35VLMService``: Qwen3.5 vision tower + hybrid LM; provides the
+    ``vlm_chat(system, user, image)`` callable the chains' prompt builder
+    consumes and the (scene, style) scorer the trainer's validation uses.
+    Generation is full-recompute per token (the hybrid LM's streaming caches
+    land in a later round; scoring/enrichment needs <=128 tokens).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import re
+from typing import Any, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from flux2_tpu.models.text_encoders import decoder, generation, pixtral, qwen35, qwen35_vision
+
+SCORING_SYSTEM_PROMPT = (
+    "You compare a generated image against reference images for LoRA "
+    "training validation. Score two axes from 0 to 10: SCENE (does the "
+    "generated image depict the prompt's subject and composition?) and "
+    "STYLE (does it match the references' visual style — palette, lighting, "
+    "rendering?). Reply with exactly: scene=<n> style=<n>."
+)
+
+
+def parse_scores(text: str) -> Tuple[float, float]:
+    """Parse 'scene=<n> style=<n>' with graceful fallback to 0/0."""
+    scene = re.search(r"scene\s*[=:]\s*([0-9]+(?:\.[0-9]+)?)", text, re.I)
+    style = re.search(r"style\s*[=:]\s*([0-9]+(?:\.[0-9]+)?)", text, re.I)
+    return (
+        min(10.0, float(scene.group(1))) if scene else 0.0,
+        min(10.0, float(style.group(1))) if style else 0.0,
+    )
+
+
+@dataclasses.dataclass
+class MistralVLMService:
+    """Pixtral + Mistral: image analysis via [IMG]-spliced generation."""
+
+    lm_params: dict
+    lm_config: Any  # DecoderConfig
+    vision_params: dict
+    vision_config: pixtral.PixtralVisionConfig
+    tokenizer: Any
+    image_token_id: int = 10  # Mistral [IMG]
+
+    def encode_image(self, image: np.ndarray) -> jnp.ndarray:
+        """[H, W, 3] in [0,1] -> projected features [1, T, lm_hidden]."""
+        pixels = (np.asarray(image, np.float32) - 0.5) / 0.5
+        # crop to patch multiples
+        p = self.vision_config.patch_size
+        h = image.shape[0] // p * p
+        w = image.shape[1] // p * p
+        return pixtral.encode_and_project(
+            self.vision_params, self.vision_config, jnp.asarray(pixels[None, :h, :w])
+        )
+
+    def analyze_image(
+        self,
+        image: np.ndarray,
+        prompt: str,
+        gen_params: Optional[generation.GenerateParameters] = None,
+        seed: int = 0,
+    ) -> str:
+        img_embeds = self.encode_image(image)
+        n_img = img_embeds.shape[1]
+        # chat-template the text with [IMG] placeholders for the image tokens
+        messages = [{"role": "user", "content": prompt}]
+        text_ids = list(self.tokenizer.apply_chat_template(messages, add_generation_prompt=True))
+        ids = [self.image_token_id] * n_img + text_ids
+        input_ids = jnp.asarray([ids], jnp.int32)
+        text_embeds = self.lm_params["embed_tokens"][input_ids]
+        merged = qwen35_vision.merge_image_embeddings(
+            text_embeds, input_ids, img_embeds, self.image_token_id
+        )
+
+        gp = gen_params or generation.GenerateParameters(max_tokens=128, temperature=0.2)
+        max_len = len(ids) + gp.max_tokens
+        cache = decoder.init_kv_cache(self.lm_config, 1, max_len, dtype=jnp.float32)
+        logits, cache = decoder.prefill(self.lm_params, self.lm_config, input_ids, cache, inputs_embeds=merged)
+
+        eos = getattr(self.tokenizer, "eos_token_id", None)
+        out_tokens: List[int] = []
+        key = jax.random.PRNGKey(seed)
+        step = jax.jit(lambda p, t, c: decoder.decode_step(p, self.lm_config, t, c))
+        recent: List[int] = []
+        for _ in range(gp.max_tokens):
+            key, k = jax.random.split(key)
+            token = generation._sample_token(k, np.asarray(logits[0]), recent, gp)
+            if eos is not None and token == eos:
+                break
+            out_tokens.append(token)
+            recent = (recent + [token])[-gp.repetition_context_size :]
+            logits, cache = step(self.lm_params, jnp.asarray([[token]], jnp.int32), cache)
+        return self.tokenizer.decode(out_tokens)
+
+
+@dataclasses.dataclass
+class Qwen35VLMService:
+    """Qwen3.5 hybrid VLM: chains' prompt enrichment + validation scoring."""
+
+    lm_params: dict
+    lm_config: qwen35.Qwen35TextConfig
+    vision_params: dict
+    vision_config: qwen35_vision.Qwen35VisionConfig
+    tokenizer: Any
+
+    def _merged_inputs(self, text_ids: List[int], image: Optional[np.ndarray]):
+        if image is None:
+            ids = jnp.asarray([text_ids], jnp.int32)
+            return ids, None
+        pixels = qwen35_vision.preprocess_image(np.asarray(image, np.float32), self.vision_config)
+        img_embeds = qwen35_vision.encode_image(self.vision_params, self.vision_config, jnp.asarray(pixels[None]))
+        n_img = img_embeds.shape[1]
+        ids = [self.vision_config.image_token_id] * n_img + list(text_ids)
+        ids_arr = jnp.asarray([ids], jnp.int32)
+        text_embeds = self.lm_params["embed_tokens"][
+            jnp.where(ids_arr == self.vision_config.image_token_id, 0, ids_arr)
+        ]
+        merged = qwen35_vision.merge_image_embeddings(
+            text_embeds, ids_arr, img_embeds, self.vision_config.image_token_id
+        )
+        return ids_arr, merged
+
+    def chat(self, system: str, user: str, image: Optional[np.ndarray] = None,
+             max_tokens: int = 128, seed: int = 0) -> str:
+        """(system, user, image) -> reply; the VLMPromptBuilder callable."""
+        messages = [{"role": "system", "content": system}, {"role": "user", "content": user}]
+        text_ids = list(self.tokenizer.apply_chat_template(messages, add_generation_prompt=True))
+        ids, merged = self._merged_inputs(text_ids, image)
+
+        # full-recompute greedy generation (aux path; streaming caches: round 2)
+        out: List[int] = []
+        forward = jax.jit(
+            lambda p, i, e: (qwen35.forward(p, self.lm_config, i, inputs_embeds=e) @ p["embed_tokens"].T)[:, -1]
+        )
+        eos = getattr(self.tokenizer, "eos_token_id", None)
+        cur_ids, cur_embeds = ids, merged
+        for _ in range(max_tokens):
+            logits = np.asarray(forward(self.lm_params, cur_ids, cur_embeds))
+            token = int(np.argmax(logits[0]))
+            if eos is not None and token == eos:
+                break
+            out.append(token)
+            cur_ids = jnp.concatenate([cur_ids, jnp.asarray([[token]], jnp.int32)], axis=1)
+            if cur_embeds is not None:
+                tok_embed = self.lm_params["embed_tokens"][jnp.asarray([[token]])]
+                cur_embeds = jnp.concatenate([cur_embeds, tok_embed], axis=1)
+        return self.tokenizer.decode(out)
+
+    def score_validation_image(
+        self, image: np.ndarray, reference_images: Sequence[np.ndarray], prompt: str
+    ) -> Tuple[float, float]:
+        """(scene, style) 0-10 — the trainer's VLMScorer callable."""
+        reply = self.chat(
+            SCORING_SYSTEM_PROMPT,
+            f"Prompt: {prompt}. Score the attached generated image.",
+            image=image,
+            max_tokens=24,
+        )
+        return parse_scores(reply)
