@@ -84,7 +84,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale, k
         o_ref[0] = (acc_ref[:] / l_ref[:]).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k"))
+@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k", "interpret"))
 def flash_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -92,6 +92,7 @@ def flash_attention(
     scale: Optional[float] = None,
     block_q: int = DEFAULT_BLOCK_Q,
     block_k: int = DEFAULT_BLOCK_K,
+    interpret: bool = False,
 ) -> jnp.ndarray:
     """Non-causal flash attention. q/k/v: [B, H, S, D] -> [B, H, S_q, D]."""
     b, h, s_q, d = q.shape
@@ -134,6 +135,7 @@ def flash_attention(
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
+        interpret=interpret,
     )(q3, k3, v3)
 
     return out.reshape(b, h, s_qp, d)[:, :, :s_q, :]

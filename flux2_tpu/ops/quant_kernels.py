@@ -96,6 +96,7 @@ def dequant_matmul(
     bm: int = DEFAULT_BM,
     bn: int = DEFAULT_BN,
     bk: int = DEFAULT_BK,
+    interpret: bool = False,
 ) -> jnp.ndarray:
     """x [.., K] @ QTensor[K, N] -> [.., N]."""
     *lead, k = x.shape
@@ -135,6 +136,7 @@ def dequant_matmul(
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
+        interpret=interpret,
     )(x2, w.q, w.scale, w.bias)
 
     return out[:m].reshape(*lead, n)

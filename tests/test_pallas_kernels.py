@@ -1,0 +1,69 @@
+"""Pallas kernel tests in interpreter mode (hermetic, CPU).
+
+The compiled kernels are additionally validated on real TPU hardware (see
+docs/knowledge/decisions/); interpret mode pins the kernel MATH into the
+hermetic suite.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flux2_tpu.ops import quant
+from flux2_tpu.ops.attention import sdpa_xla
+from flux2_tpu.ops.flash_attention import flash_attention
+from flux2_tpu.ops.quant_kernels import dequant_matmul
+
+
+def test_flash_attention_interpret_matches_xla():
+    B, H, S, D = 1, 2, 256, 128
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = jax.random.normal(ks[0], (B, H, S, D))
+    k = jax.random.normal(ks[1], (B, H, S, D))
+    v = jax.random.normal(ks[2], (B, H, S, D))
+    ref = sdpa_xla(q, k, v)
+    out = flash_attention(q, k, v, block_q=128, block_k=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_flash_attention_interpret_ragged_seq():
+    """Sequence not divisible by the block: padding keys must be masked out."""
+    B, H, S, D = 1, 1, 200, 128
+    ks = jax.random.split(jax.random.PRNGKey(1), 3)
+    q = jax.random.normal(ks[0], (B, H, S, D))
+    k = jax.random.normal(ks[1], (B, H, S, D))
+    v = jax.random.normal(ks[2], (B, H, S, D))
+    ref = sdpa_xla(q, k, v)
+    out = flash_attention(q, k, v, block_q=128, block_k=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_flash_attention_custom_scale():
+    B, H, S, D = 1, 1, 128, 128
+    ks = jax.random.split(jax.random.PRNGKey(2), 3)
+    q = jax.random.normal(ks[0], (B, H, S, D))
+    k = jax.random.normal(ks[1], (B, H, S, D))
+    v = jax.random.normal(ks[2], (B, H, S, D))
+    ref = sdpa_xla(q, k, v, scale=0.5)
+    out = flash_attention(q, k, v, scale=0.5, block_q=128, block_k=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+@pytest.mark.parametrize("fmt", ["qint8", "int4"])
+def test_dequant_matmul_interpret(fmt):
+    x = jax.random.normal(jax.random.PRNGKey(3), (64, 512))
+    w = jax.random.normal(jax.random.PRNGKey(4), (512, 256)) * 0.05
+    qw = quant.quantize(w, fmt)
+    ref = np.asarray(x @ quant.dequantize(qw, jnp.float32))
+    out = np.asarray(dequant_matmul(x, qw, bm=64, bn=256, bk=512, interpret=True))
+    np.testing.assert_allclose(out, ref, atol=1e-3)
+
+
+def test_dequant_matmul_interpret_multi_k_blocks():
+    x = jax.random.normal(jax.random.PRNGKey(5), (32, 1024))
+    w = jax.random.normal(jax.random.PRNGKey(6), (1024, 128)) * 0.05
+    qw = quant.quantize(w, "qint8")
+    ref = np.asarray(x @ quant.dequantize(qw, jnp.float32))
+    out = np.asarray(dequant_matmul(x, qw, bm=32, bn=128, bk=256, interpret=True))
+    np.testing.assert_allclose(out, ref, atol=1e-3)
