@@ -80,6 +80,7 @@ def build_pipeline(args) -> "Flux2Pipeline":
                     f"transformer weights for {model.value} not found; run "
                     f"`flux2 download --model {model.value}` or pass --transformer-dir"
                 )
+            tconfig = _read_config_json(tdir, tconfig)
             fmt = getattr(args, "quantization", "bf16")
             prequant = checkpoints.prequantized_path(tdir, fmt)
             if fmt != "bf16" and os.path.exists(prequant):
@@ -96,6 +97,7 @@ def build_pipeline(args) -> "Flux2Pipeline":
             vdir = registry.find_model_path(vspec, getattr(args, "vae_dir", None))
             if vdir is None:
                 raise SystemExit("VAE weights not found; run `flux2 download` or pass --vae-dir")
+            vae_config = _read_vae_config_json(vdir, vae_config)
             vraw = checkpoints.load_weights_dir(vdir)
             vparams = weight_mapping.map_vae_weights(vraw, vae_config)
         pipe = Flux2Pipeline(
@@ -118,6 +120,32 @@ def build_pipeline(args) -> "Flux2Pipeline":
         )
         flog.info(f"merged LoRA {path} (scale {loaded.scale:.3f})")
     return pipe
+
+
+def _read_config_json(model_dir, default):
+    """Honor a diffusers config.json beside the weights (the reference's
+    Codable config parse — Flux2Config.swift:333-374)."""
+    import json as _json
+
+    from flux2_tpu.models.flux2.config import Flux2TransformerConfig
+
+    path = os.path.join(model_dir, "config.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            return Flux2TransformerConfig.from_json_dict(_json.load(f))
+    return default
+
+
+def _read_vae_config_json(vae_dir, default):
+    import json as _json
+
+    from flux2_tpu.models.flux2 import vae as vae_mod
+
+    path = os.path.join(vae_dir, "config.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            return vae_mod.VAEConfig.from_json_dict(_json.load(f))
+    return default
 
 
 def _to_bf16(tree):
@@ -300,8 +328,9 @@ def cmd_export_quantized(args):
     tdir = registry.find_model_path(spec, args.transformer_dir)
     if tdir is None:
         raise SystemExit("transformer weights not found")
+    tconfig = _read_config_json(tdir, model.transformer_config)
     raw = checkpoints.load_weights_dir(tdir)
-    params = weight_mapping.map_transformer_weights(raw, model.transformer_config, dtype=np.float32)
+    params = weight_mapping.map_transformer_weights(raw, tconfig, dtype=np.float32)
     params = _to_bf16(params)
     qparams = quant.quantize_params(params, args.quantization)
     path = checkpoints.export_prequantized(qparams, tdir, args.quantization, source_dir=tdir)

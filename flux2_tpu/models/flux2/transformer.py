@@ -370,6 +370,8 @@ def forward(
     txt = mm(encoder_hidden_states.astype(ctx_dtype), ctx_w)
 
     temb = time_guidance_embedding(params, config, timestep, guidance)
+    temb = temb.astype(img.dtype)  # keep the stream dtype even when the
+    # time-embed weights are quantized (dequant runs in f32)
 
     img_mod = _modulation(params["double_mod_img"]["kernel"], temb, 2, d)
     txt_mod = _modulation(params["double_mod_txt"]["kernel"], temb, 2, d)
@@ -415,7 +417,7 @@ def _prelude(params, config, hidden_states, encoder_hidden_states, timestep, gui
     ctx_w = params["context_embedder"]["kernel"]
     ctx_dtype = ctx_w.dtype if hasattr(ctx_w, "dtype") else hidden_states.dtype
     txt = mm(encoder_hidden_states.astype(ctx_dtype), ctx_w)
-    temb = time_guidance_embedding(params, config, timestep, guidance)
+    temb = time_guidance_embedding(params, config, timestep, guidance).astype(img.dtype)
     img_mod = _modulation(params["double_mod_img"]["kernel"], temb, 2, d)
     txt_mod = _modulation(params["double_mod_txt"]["kernel"], temb, 2, d)
     single_mod = _modulation(params["single_mod"]["kernel"], temb, 1, d)

@@ -357,7 +357,7 @@ def _denoise(
 ):
     b = latents_seq.shape[0]
     s_img = latents_seq.shape[1]
-    dtype = params["x_embedder"]["kernel"].dtype
+    dtype = _param_dtype(params)
     latents_seq = latents_seq.astype(jnp.float32)
 
     if use_cfg and negative_embeddings is None:
@@ -424,7 +424,7 @@ def _denoise_kv_cached(
     b = latents_seq.shape[0]
     s_txt = embeddings.shape[1]
     s_img = latents_seq.shape[1]
-    dtype = params["x_embedder"]["kernel"].dtype
+    dtype = _param_dtype(params)
     latents_seq = latents_seq.astype(jnp.float32)
 
     def g_of(sigma):
@@ -470,6 +470,13 @@ def _decode_latents_jit(vae_params, vae_config, latents_seq, height: int, width:
     img = vae_mod.decode(vae_params, z.astype(jnp.float32), vae_config)
     img = jnp.clip(img * 0.5 + 0.5, 0.0, 1.0)
     return img.transpose(0, 2, 3, 1)  # NCHW -> NHWC
+
+
+def _param_dtype(params):
+    """Compute dtype of the DiT stream: the x_embedder kernel's dtype, or
+    bfloat16 when that leaf is quantized (QTensor has no float dtype)."""
+    w = params["x_embedder"]["kernel"]
+    return w.dtype if hasattr(w, "dtype") else jnp.bfloat16
 
 
 @functools.lru_cache(maxsize=64)
