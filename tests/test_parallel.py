@@ -129,3 +129,47 @@ def test_ring_attention_rejects_indivisible():
     x = jnp.zeros((1, 2, 60, 32))
     with pytest.raises(ValueError):
         ra.ring_attention(x, x, x, mesh=mesh)
+
+
+def test_dev32b_sharded_aot_compile():
+    """The NORTH-STAR config: Dev-32B 1024px forward AOT-compiles sharded over
+    tp=8 with per-device arguments that fit a 16 GB v5e chip. Abstract
+    lowering — no 64 GB weight allocation."""
+    from flux2_tpu.ops import latents as lu
+    from flux2_tpu.ops.rope import rope_embeddings
+
+    config = cfg.FLUX2_DEV
+    mesh = mesh_mod.make_mesh(data=1, fsdp=1, tp=8)
+
+    params_shape = jax.eval_shape(
+        lambda k: tfm.init_params(k, config, dtype=jnp.bfloat16), jax.random.PRNGKey(0)
+    )
+    shardings = sh.make_shardings(params_shape, mesh, sh.DIT_RULES)
+    params_abs = jax.tree_util.tree_map(
+        lambda s, sh_: jax.ShapeDtypeStruct(s.shape, s.dtype, sharding=sh_),
+        params_shape,
+        shardings,
+    )
+
+    h = w = 1024
+    s_txt = 512
+    s_img = (h // 16) * (w // 16)
+    ids = np.concatenate([lu.text_position_ids(s_txt), lu.image_position_ids(h, w)], axis=0)
+    from flux2_tpu.ops.rope import rope_embeddings as _re
+
+    cos, sin = _re(jnp.asarray(ids))
+
+    def fwd(p, x, t, g):
+        return tfm.forward(p, config, x, t, jnp.array([0.5], jnp.float32), cos, sin, guidance=g)
+
+    with mesh:
+        compiled = jax.jit(fwd).lower(
+            params_abs,
+            jax.ShapeDtypeStruct((1, s_img, 128), jnp.bfloat16),
+            jax.ShapeDtypeStruct((1, s_txt, config.joint_attention_dim), jnp.bfloat16),
+            jax.ShapeDtypeStruct((1,), jnp.float32),
+        ).compile()
+    mem = compiled.memory_analysis()
+    if mem is not None:
+        per_device_gb = mem.argument_size_in_bytes / 1e9
+        assert per_device_gb < 16.0, f"{per_device_gb:.1f} GB/device won't fit a v5e chip"
