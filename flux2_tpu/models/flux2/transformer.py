@@ -208,6 +208,7 @@ def double_block(
     extra_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
     attn_bias: Optional[jnp.ndarray] = None,
     kv_extract_span: Optional[Tuple[int, int]] = None,
+    blocked_span: Optional[Tuple[int, int, int]] = None,
 ):
     """One double-stream block (Flux2TransformerBlock.swift:80-168).
 
@@ -251,7 +252,7 @@ def double_block(
         k = jnp.concatenate([k[:, :, :s_txt], ck, k[:, :, s_txt:]], axis=2)
         v = jnp.concatenate([v[:, :, :s_txt], cv, v[:, :, s_txt:]], axis=2)
 
-    attn = sdpa(q, k, v, bias=attn_bias)
+    attn = sdpa(q, k, v, bias=attn_bias, blocked_span=blocked_span)
     txt_attn, img_attn = attn[:, :, :s_txt], attn[:, :, s_txt:]
 
     img = img + gate(mm(_unheads(img_attn), bp["to_out"]), bp_gate(img_mod, 0))
@@ -278,6 +279,7 @@ def single_block(
     txt_len: int = 0,
     attn_bias: Optional[jnp.ndarray] = None,
     kv_extract_span: Optional[Tuple[int, int]] = None,
+    blocked_span: Optional[Tuple[int, int, int]] = None,
 ):
     """One single-stream block (Flux2SingleBlock.swift:59-98).
 
@@ -306,7 +308,7 @@ def single_block(
         k = jnp.concatenate([k[:, :, :txt_len], ck, k[:, :, txt_len:]], axis=2)
         v = jnp.concatenate([v[:, :, :txt_len], cv, v[:, :, txt_len:]], axis=2)
 
-    attn = _unheads(sdpa(q, k, v, bias=attn_bias))
+    attn = _unheads(sdpa(q, k, v, bias=attn_bias, blocked_span=blocked_span))
     mlp = jax.nn.silu(mm(x_n, bp["mlp_gate"])) * (mm(x_n, bp["mlp_up"]))
     out = mm(attn, bp["out_attn"]) + mm(mlp, bp["out_mlp"])
     res = x + gate(out, bp_gate(mod, 0))
@@ -456,7 +458,6 @@ def forward_kv_extract(
     s_txt = encoder_hidden_states.shape[1]
     s_ref = reference_hidden_states.shape[1]
     s_img = hidden_states.shape[1]
-    s_all = s_txt + s_ref + s_img
 
     img, txt, temb, img_mod, txt_mod, single_mod = _prelude(
         params, config, hidden_states, encoder_hidden_states, timestep, guidance
@@ -465,12 +466,10 @@ def forward_kv_extract(
     # image stream = [ref ; img] (reference order, Flux2Transformer.swift:361)
     img_stream = jnp.concatenate([ref, img], axis=1)
 
-    # Additive bias blocking ref-queries -> output-image keys.
-    q_idx = jnp.arange(s_all)
-    is_ref_q = (q_idx >= s_txt) & (q_idx < s_txt + s_ref)
-    is_img_k = q_idx >= s_txt + s_ref
-    bias = jnp.where(is_ref_q[:, None] & is_img_k[None, :], -1e30, 0.0).astype(jnp.float32)
-    bias = bias[None, None]  # [1, 1, S, S]
+    # Contiguous-segment mask: ref queries [s_txt, s_txt+s_ref) never see
+    # output-image keys [s_txt+s_ref, ...) — O(1) metadata the flash kernel
+    # applies in-tile (no S x S bias materialization at 45k tokens).
+    span_blocked = (s_txt, s_txt + s_ref, s_txt + s_ref)
 
     rope_cos = rope_cos.astype(jnp.float32)
     rope_sin = rope_sin.astype(jnp.float32)
@@ -480,7 +479,7 @@ def forward_kv_extract(
         i, t = carry
         i, t, kv = double_block(
             bp, i, t, img_mod, txt_mod, rope_cos, rope_sin, nh,
-            attn_bias=bias, kv_extract_span=span,
+            blocked_span=span_blocked, kv_extract_span=span,
         )
         return (i, t), kv
 
@@ -491,7 +490,7 @@ def forward_kv_extract(
     def single_body(carry, bp):
         out, kv = single_block(
             bp, carry, single_mod, rope_cos, rope_sin, nh,
-            attn_bias=bias, kv_extract_span=span,
+            blocked_span=span_blocked, kv_extract_span=span,
         )
         return out, kv
 

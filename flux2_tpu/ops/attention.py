@@ -60,11 +60,24 @@ def sdpa(
     v: jnp.ndarray,
     scale: Optional[float] = None,
     bias: Optional[jnp.ndarray] = None,
+    blocked_span: Optional[tuple] = None,
 ) -> jnp.ndarray:
-    """Dispatching scaled dot-product attention ([B, H, S, D])."""
+    """Dispatching scaled dot-product attention ([B, H, S, D]).
+
+    ``blocked_span=(q0, q1, k0)``: contiguous-segment mask (queries in
+    [q0, q1) blind to keys >= k0) — O(1) metadata instead of an O(S^2)
+    additive bias; the flash kernel applies it in-tile.
+    """
     if bias is None and _flash_enabled() and _on_tpu():
         from flux2_tpu.ops import flash_attention as fa
 
         if fa.supported(q, k, v):
-            return fa.flash_attention(q, k, v, scale=scale)
+            return fa.flash_attention(q, k, v, scale=scale, blocked_span=blocked_span)
+    if blocked_span is not None:
+        q0, q1, k0 = blocked_span
+        row = jnp.arange(q.shape[2])
+        col = jnp.arange(k.shape[2])
+        blocked = (row[:, None] >= q0) & (row[:, None] < q1) & (col[None, :] >= k0)
+        span_bias = jnp.where(blocked, -1e30, 0.0).astype(jnp.float32)[None, None]
+        bias = span_bias if bias is None else bias + span_bias
     return sdpa_xla(q, k, v, scale=scale, bias=bias)

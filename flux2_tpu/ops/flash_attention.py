@@ -38,8 +38,17 @@ def supported(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> bool:
     return d % 128 == 0 and q.shape[2] >= 128 and k.shape[2] >= 128
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale, kv_len, block_k):
-    """One (q_block, k_block) tile of online-softmax attention."""
+def _flash_kernel(
+    q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
+    *, scale, kv_len, block_q, block_k, blocked_span=None,
+):
+    """One (q_block, k_block) tile of online-softmax attention.
+
+    ``blocked_span`` = (q_start, q_end, k_start): queries in [q_start, q_end)
+    cannot attend keys at positions >= k_start — the contiguous-segment mask
+    the KV-extraction pass needs (reference tokens must not see output
+    tokens) expressed with ZERO extra memory traffic.
+    """
     kb = pl.program_id(2)
     num_kb = pl.num_programs(2)
 
@@ -63,6 +72,13 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale, k
     col = k_start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     s = jnp.where(col < kv_len, s, NEG_INF)
 
+    if blocked_span is not None:
+        bq0, bq1, bk0 = blocked_span
+        qb = pl.program_id(1)
+        row = qb * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+        blocked = (row >= bq0) & (row < bq1) & (col >= bk0)
+        s = jnp.where(blocked, NEG_INF, s)
+
     m_prev = m_ref[:]  # [block_q, 1]
     m_cur = jnp.max(s, axis=-1, keepdims=True)
     m_new = jnp.maximum(m_prev, m_cur)
@@ -84,7 +100,9 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale, k
         o_ref[0] = (acc_ref[:] / l_ref[:]).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("scale", "block_q", "block_k", "interpret", "blocked_span")
+)
 def flash_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -93,8 +111,15 @@ def flash_attention(
     block_q: int = DEFAULT_BLOCK_Q,
     block_k: int = DEFAULT_BLOCK_K,
     interpret: bool = False,
+    blocked_span: Optional[tuple] = None,
 ) -> jnp.ndarray:
-    """Non-causal flash attention. q/k/v: [B, H, S, D] -> [B, H, S_q, D]."""
+    """Non-causal flash attention. q/k/v: [B, H, S, D] -> [B, H, S_q, D].
+
+    ``blocked_span=(q_start, q_end, k_start)``: contiguous-segment masking —
+    queries in [q_start, q_end) never attend keys >= k_start (klein-9b-kv
+    extraction semantics, Flux2Attention.swift:422-437) without an S x S
+    bias array.
+    """
     b, h, s_q, d = q.shape
     s_k = k.shape[2]
     if scale is None:
@@ -117,7 +142,8 @@ def flash_attention(
 
     out = pl.pallas_call(
         functools.partial(
-            _flash_kernel, scale=float(scale), kv_len=s_k, block_k=block_k
+            _flash_kernel, scale=float(scale), kv_len=s_k,
+            block_q=block_q, block_k=block_k, blocked_span=blocked_span,
         ),
         grid=grid,
         in_specs=[

@@ -67,3 +67,22 @@ def test_dequant_matmul_interpret_multi_k_blocks():
     ref = np.asarray(x @ quant.dequantize(qw, jnp.float32))
     out = np.asarray(dequant_matmul(x, qw, bm=32, bn=128, bk=256, interpret=True))
     np.testing.assert_allclose(out, ref, atol=1e-3)
+
+
+def test_flash_attention_blocked_span_interpret():
+    """Segment masking matches an explicit additive-bias reference."""
+    B, H, S, D = 1, 1, 256, 128
+    ks = jax.random.split(jax.random.PRNGKey(7), 3)
+    q = jax.random.normal(ks[0], (B, H, S, D))
+    k = jax.random.normal(ks[1], (B, H, S, D))
+    v = jax.random.normal(ks[2], (B, H, S, D))
+    q0, q1, k0 = 32, 96, 160  # "ref" queries 32..96 blind to keys >= 160
+    row = np.arange(S)
+    col = np.arange(S)
+    blocked = (row[:, None] >= q0) & (row[:, None] < q1) & (col[None, :] >= k0)
+    bias = jnp.asarray(np.where(blocked, -1e30, 0.0), jnp.float32)[None, None]
+    ref = sdpa_xla(q, k, v, bias=bias)
+    out = flash_attention(
+        q, k, v, block_q=128, block_k=128, interpret=True, blocked_span=(q0, q1, k0)
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
