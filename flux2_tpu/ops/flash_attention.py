@@ -100,10 +100,7 @@ def _flash_kernel(
         o_ref[0] = (acc_ref[:] / l_ref[:]).astype(o_ref.dtype)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("scale", "block_q", "block_k", "interpret", "blocked_span")
-)
-def flash_attention(
+def _flash_impl(
     q: jnp.ndarray,
     k: jnp.ndarray,
     v: jnp.ndarray,
@@ -113,13 +110,6 @@ def flash_attention(
     interpret: bool = False,
     blocked_span: Optional[tuple] = None,
 ) -> jnp.ndarray:
-    """Non-causal flash attention. q/k/v: [B, H, S, D] -> [B, H, S_q, D].
-
-    ``blocked_span=(q_start, q_end, k_start)``: contiguous-segment masking —
-    queries in [q_start, q_end) never attend keys >= k_start (klein-9b-kv
-    extraction semantics, Flux2Attention.swift:422-437) without an S x S
-    bias array.
-    """
     b, h, s_q, d = q.shape
     s_k = k.shape[2]
     if scale is None:
@@ -177,3 +167,75 @@ def _pad_seq(x: jnp.ndarray, block: int) -> jnp.ndarray:
     if pad == 0:
         return x
     return jnp.pad(x, ((0, 0), (0, 0), (0, pad), (0, 0)))
+
+
+# ---------------------------------------------------------------------------
+# Differentiability: flash forward + XLA-recompute backward
+# ---------------------------------------------------------------------------
+# pallas_call is not transparently differentiable; training (LoRA fwd+bwd on
+# TPU) needs gradients through attention. The backward recomputes the softmax
+# with standard XLA ops — it materializes S x S per (B, H) like any
+# non-flash backward, which is fine at training resolutions; a Pallas
+# backward kernel is a later-round optimization.
+
+
+def _xla_attention_grads(q, k, v, g, scale, blocked_span):
+    qf, kf, vf, gf = (t.astype(jnp.float32) for t in (q, k, v, g))
+    s = jnp.einsum("bhqd,bhkd->bhqk", qf, kf) * scale
+    if blocked_span is not None:
+        q0, q1, k0 = blocked_span
+        row = jnp.arange(q.shape[2])
+        col = jnp.arange(k.shape[2])
+        blocked = (row[:, None] >= q0) & (row[:, None] < q1) & (col[None, :] >= k0)
+        s = jnp.where(blocked[None, None], NEG_INF, s)
+    p = jax.nn.softmax(s, axis=-1)
+    dv = jnp.einsum("bhqk,bhqd->bhkd", p, gf)
+    dp = jnp.einsum("bhqd,bhkd->bhqk", gf, vf)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dq = jnp.einsum("bhqk,bhkd->bhqd", ds, kf) * scale
+    dk = jnp.einsum("bhqk,bhqd->bhkd", ds, qf) * scale
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _flash_diff(q, k, v, scale, block_q, block_k, interpret, blocked_span):
+    return _flash_impl(q, k, v, scale, block_q, block_k, interpret, blocked_span)
+
+
+def _flash_diff_fwd(q, k, v, scale, block_q, block_k, interpret, blocked_span):
+    out = _flash_impl(q, k, v, scale, block_q, block_k, interpret, blocked_span)
+    return out, (q, k, v)
+
+
+def _flash_diff_bwd(scale, block_q, block_k, interpret, blocked_span, res, g):
+    q, k, v = res
+    return _xla_attention_grads(q, k, v, g, scale, blocked_span)
+
+
+_flash_diff.defvjp(_flash_diff_fwd, _flash_diff_bwd)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "block_q", "block_k", "interpret", "blocked_span")
+)
+def flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: Optional[float] = None,
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = DEFAULT_BLOCK_K,
+    interpret: bool = False,
+    blocked_span: Optional[tuple] = None,
+) -> jnp.ndarray:
+    """Non-causal flash attention. q/k/v: [B, H, S, D] -> [B, H, S_q, D].
+
+    Differentiable (custom VJP with XLA-recompute backward).
+    ``blocked_span=(q_start, q_end, k_start)``: contiguous-segment masking —
+    queries in [q_start, q_end) never attend keys >= k_start (klein-9b-kv
+    extraction semantics, Flux2Attention.swift:422-437) without an S x S
+    bias array.
+    """
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    return _flash_diff(q, k, v, float(scale), block_q, block_k, interpret, blocked_span)

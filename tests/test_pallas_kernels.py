@@ -86,3 +86,41 @@ def test_flash_attention_blocked_span_interpret():
         q, k, v, block_q=128, block_k=128, interpret=True, blocked_span=(q0, q1, k0)
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_flash_attention_gradients_interpret():
+    """The custom VJP: grads through flash match grads through XLA attention."""
+    B, H, S, D = 1, 1, 128, 128
+    ks = jax.random.split(jax.random.PRNGKey(8), 3)
+    q = jax.random.normal(ks[0], (B, H, S, D))
+    k = jax.random.normal(ks[1], (B, H, S, D))
+    v = jax.random.normal(ks[2], (B, H, S, D))
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, block_q=128, block_k=128, interpret=True) ** 2)
+
+    def loss_xla(q, k, v):
+        return jnp.sum(sdpa_xla(q, k, v) ** 2)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-4)
+
+
+def test_flash_attention_gradients_blocked_span():
+    B, H, S, D = 1, 1, 128, 128
+    ks = jax.random.split(jax.random.PRNGKey(9), 3)
+    q = jax.random.normal(ks[0], (B, H, S, D))
+    k = jax.random.normal(ks[1], (B, H, S, D))
+    v = jax.random.normal(ks[2], (B, H, S, D))
+    span = (16, 48, 96)
+    row, col = np.arange(S), np.arange(S)
+    blocked = (row[:, None] >= span[0]) & (row[:, None] < span[1]) & (col[None, :] >= span[2])
+    bias = jnp.asarray(np.where(blocked, -1e30, 0.0), jnp.float32)[None, None]
+
+    gf = jax.grad(lambda q: jnp.sum(
+        flash_attention(q, k, v, block_q=128, block_k=128, interpret=True, blocked_span=span) ** 2
+    ))(q)
+    gx = jax.grad(lambda q: jnp.sum(sdpa_xla(q, k, v, bias=bias) ** 2))(q)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gx), atol=3e-4)
