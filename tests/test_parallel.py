@@ -173,3 +173,37 @@ def test_dev32b_sharded_aot_compile():
     if mem is not None:
         per_device_gb = mem.argument_size_in_bytes / 1e9
         assert per_device_gb < 16.0, f"{per_device_gb:.1f} GB/device won't fit a v5e chip"
+
+
+def test_decoder_sharding_rules():
+    from flux2_tpu.models.text_encoders import config as tcfg
+    from flux2_tpu.models.text_encoders import decoder as dec
+
+    params = dec.init_params(jax.random.PRNGKey(0), tcfg.TINY_DECODER, dtype=jnp.float32)
+    mesh = mesh_mod.make_mesh(data=1, fsdp=2, tp=4)
+    shardings = sh.make_shardings(params, mesh, sh.DECODER_RULES)
+    assert shardings["layers"]["q_proj"].spec == P(None, "fsdp", "tp")
+    assert shardings["layers"]["o_proj"].spec == P(None, "tp", "fsdp")
+    # tiny dims that don't divide fall back per-axis to replication
+    assert shardings["layers"]["input_norm"].spec in (P(None, None), P())
+
+
+def test_sharded_decoder_forward_matches():
+    from flux2_tpu.models.text_encoders import config as tcfg
+    from flux2_tpu.models.text_encoders import decoder as dec
+
+    cfg_d = tcfg.DecoderConfig(
+        vocab_size=256, hidden_size=128, intermediate_size=256,
+        num_hidden_layers=2, num_attention_heads=8, num_key_value_heads=4,
+        head_dim=16, qk_norm=True, tie_word_embeddings=True,
+    )
+    params = dec.init_params(jax.random.PRNGKey(0), cfg_d, dtype=jnp.float32)
+    ids = jnp.array([[1, 2, 3, 4]], jnp.int32)
+    mask = jnp.ones_like(ids)
+    ref = dec.forward_hidden_states(params, cfg_d, ids, mask)
+
+    mesh = mesh_mod.make_mesh(data=1, fsdp=2, tp=4)
+    sharded = sh.shard_params(params, mesh, sh.DECODER_RULES)
+    with mesh:
+        out = jax.jit(lambda p: dec.forward_hidden_states(p, cfg_d, ids, mask))(sharded)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
