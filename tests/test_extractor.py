@@ -1,0 +1,74 @@
+"""Conditioning-recipe tests (EmbeddingExtractor.swift:196-278 semantics)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flux2_tpu.models.text_encoders import config as tc
+from flux2_tpu.models.text_encoders import decoder as dec
+from flux2_tpu.models.text_encoders import extractor as ex
+
+
+class _Tok:
+    pad_token_id = 0
+
+    def __init__(self, n_tokens=10):
+        self.n = n_tokens
+        self.last_messages = None
+
+    def apply_chat_template(self, messages, add_generation_prompt=False):
+        self.last_messages = (messages, add_generation_prompt)
+        return list(range(1, self.n + 1))
+
+
+def test_left_padding_layout():
+    tok = _Tok(n_tokens=5)
+    ids, mask = ex.prepare_input_ids(tok, "a cat", max_length=8)
+    assert ids.shape == (1, 8) and mask.shape == (1, 8)
+    np.testing.assert_array_equal(ids[0], [0, 0, 0, 1, 2, 3, 4, 5])  # LEFT pad
+    np.testing.assert_array_equal(mask[0], [0, 0, 0, 1, 1, 1, 1, 1])
+    # no generation prompt for embeddings
+    assert tok.last_messages[1] is False
+
+
+def test_truncation_to_max_length():
+    tok = _Tok(n_tokens=20)
+    ids, mask = ex.prepare_input_ids(tok, "long", max_length=8)
+    np.testing.assert_array_equal(ids[0], list(range(1, 9)))  # first 8 kept
+    np.testing.assert_array_equal(mask[0], 1)
+
+
+def test_img_marker_stripped():
+    tok = _Tok()
+    ex.prepare_input_ids(tok, "a [IMG] cat", max_length=16)
+    messages, _ = tok.last_messages
+    assert "[IMG]" not in messages[1]["content"]
+    assert messages[0]["role"] == "system"
+    assert "object relationships" in messages[0]["content"]  # BFL embeddings prompt
+
+
+def test_modes_pick_distinct_system_prompts():
+    m_emb = ex.build_messages("p", "embeddings")[0]["content"]
+    m_t2i = ex.build_messages("p", "upsampling_t2i")[0]["content"]
+    m_i2i = ex.build_messages("p", "upsampling_i2i")[0]["content"]
+    assert len({m_emb, m_t2i, m_i2i}) == 3
+    assert "prompt engineer for FLUX.2" in m_t2i
+    assert "image-editing expert" in m_i2i
+
+
+def test_extractor_output_shape_and_padding_independence():
+    params = dec.init_params(jax.random.PRNGKey(0), tc.TINY_DECODER, dtype=jnp.float32)
+    tok = _Tok(n_tokens=6)
+    e = ex.EmbeddingExtractor(params, tc.TINY_DECODER, tok, (1, 2, 3), max_length=16)
+    out = e("a cat")
+    assert out.shape == (1, 16, 3 * tc.TINY_DECODER.hidden_size)
+    assert e.embedding_dim == 3 * tc.TINY_DECODER.hidden_size
+
+
+def test_mistral_and_qwen3_factories():
+    params = dec.init_params(jax.random.PRNGKey(0), tc.TINY_DECODER, dtype=jnp.float32)
+    m = ex.mistral_extractor(params, tc.TINY_DECODER, _Tok())
+    q = ex.qwen3_extractor(params, tc.TINY_DECODER, _Tok())
+    assert m.hidden_layers == (10, 20, 30)
+    assert q.hidden_layers == (9, 18, 27)

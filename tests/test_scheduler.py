@@ -87,3 +87,27 @@ def test_timesteps_convention():
     assert pairs.shape == (4, 2)
     np.testing.assert_allclose(pairs[:, 0], s.sigmas[:-1])
     np.testing.assert_allclose(pairs[:, 1], s.sigmas[1:])
+
+
+def test_mu_continuity_at_boundary():
+    """Piecewise mu: at seq_len just over 4300, the long-sequence branch
+    takes over; for 28-step Dev runs the two branches agree near 200 steps."""
+    below = sch.compute_empirical_mu(4300, 200)
+    above = sch.compute_empirical_mu(4301, 200)
+    assert abs(below - above) < 1e-2  # continuous at num_steps=200
+
+
+def test_sigmas_shift_with_resolution():
+    """Higher resolutions (longer sequences) shift noise later (larger mu ->
+    larger sigma at the same step index)."""
+    small = sch.set_timesteps(28, image_seq_len=1024)
+    large = sch.set_timesteps(28, image_seq_len=8192)
+    assert large.mu > small.mu
+    assert (large.sigmas[1:-1] > small.sigmas[1:-1]).all()
+
+
+def test_schedule_is_pure_function_of_inputs():
+    a = sch.set_timesteps(8, image_seq_len=2048, strength=0.75)
+    b = sch.set_timesteps(8, image_seq_len=2048, strength=0.75)
+    np.testing.assert_array_equal(a.sigmas, b.sigmas)
+    assert a.t_start == b.t_start == 2

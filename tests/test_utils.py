@@ -131,3 +131,15 @@ def test_recommended_preset():
     assert registry.recommended_preset(96) == "bf16"
     assert registry.recommended_preset(32) == "qint8"
     assert registry.recommended_preset(16) == "int4"
+
+
+def test_encoder_for_model_covers_all_models():
+    from flux2_tpu.models.flux2.config import Flux2Model
+
+    for m in Flux2Model:
+        assert m in registry.ENCODER_FOR_MODEL
+        assert registry.ENCODER_FOR_MODEL[m] in registry.TEXT_ENCODER_REPOS
+    # Dev uses Mistral; Klein uses Qwen3 sized to the joint dim
+    assert registry.ENCODER_FOR_MODEL[Flux2Model.DEV] == "mistral-small-3.2"
+    assert registry.ENCODER_FOR_MODEL[Flux2Model.KLEIN_4B] == "qwen3-4b"
+    assert registry.ENCODER_FOR_MODEL[Flux2Model.KLEIN_9B_KV] == "qwen3-8b"
