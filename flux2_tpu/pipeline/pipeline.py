@@ -209,7 +209,7 @@ class Flux2Pipeline:
         t = time.perf_counter()
         mesh_ctx = self._mesh_ctx()
         with mesh_ctx:
-          if reference_latents is not None and self.model.supports_kv_cache and step_hook is None:
+          if reference_latents is not None and self.model.supports_kv_cache:
               # klein-9b-kv: step 0 extracts reference K/V, steps 1+ reuse it
               # (~2.66x faster multi-reference I2I; Flux2Pipeline.swift:1555-1683).
               cached_ids = np.concatenate(
@@ -229,6 +229,7 @@ class Flux2Pipeline:
                   sin_c,
                   reference_latents,
                   self.model.uses_guidance_embeds,
+                  step_hook,
               )
           else:
               collect = checkpoint_interval is not None
@@ -403,7 +404,7 @@ def _denoise(
     return final
 
 
-@functools.partial(jax.jit, static_argnames=("config", "use_guidance_embeds"))
+@functools.partial(jax.jit, static_argnames=("config", "use_guidance_embeds", "hook"))
 def _denoise_kv_cached(
     params,
     config: Flux2TransformerConfig,
@@ -417,6 +418,7 @@ def _denoise_kv_cached(
     rope_sin_cached: jnp.ndarray,
     reference_latents: jnp.ndarray,
     use_guidance_embeds: bool,
+    hook=None,
 ):
     """klein-9b-kv denoising: extract at step 0, reuse the cache for 1+."""
     from flux2_tpu.models.flux2 import transformer as _tfm
@@ -446,18 +448,23 @@ def _denoise_kv_cached(
         embeddings, t0, cos_e, sin_e, guidance=g_of(sigma0),
     )
     lat = sch.euler_step(latents_seq, v0.astype(jnp.float32), sigma0, sigma0_next)
+    if hook is not None:
+        lat = hook(lat, sigma0, sigma0_next, jnp.int32(0))
 
     def body(carry, inp):
-        lat = carry
+        lat, step_idx = carry
         sigma, sigma_next = inp[0], inp[1]
         t = jnp.full((b,), sigma, jnp.float32)
         v = _tfm.forward_kv_cached(
             params, config, lat.astype(dtype), embeddings, t,
             rope_cos_cached, rope_sin_cached, dkv, skv, guidance=g_of(sigma),
         )
-        return sch.euler_step(lat, v.astype(jnp.float32), sigma, sigma_next), None
+        lat = sch.euler_step(lat, v.astype(jnp.float32), sigma, sigma_next)
+        if hook is not None:
+            lat = hook(lat, sigma, sigma_next, step_idx)
+        return (lat, step_idx + 1), None
 
-    lat, _ = jax.lax.scan(body, lat, sigma_pairs[1:])
+    (lat, _), _ = jax.lax.scan(body, (lat, jnp.int32(1)), sigma_pairs[1:])
     return lat
 
 

@@ -211,3 +211,21 @@ def test_batched_generation(pipe):
     assert res.image.shape == (64, 64, 3)
     # rows differ (different conditioning per row)
     assert np.abs(res.images[0] - res.images[1]).max() > 1e-6
+
+
+def test_kv_cached_path_supports_step_hooks():
+    """Chains (RePaint) work on klein-9b-kv too: hook runs inside both the
+    extract step and the cached scan."""
+    pipe = tiny_pipeline(model=cfg.Flux2Model.KLEIN_9B_KV)
+    ref_img = np.random.RandomState(0).rand(64, 64, 3).astype(np.float32)
+    ref_lat, ref_ids = pipe.encode_reference_images([ref_img])
+
+    def hook(lat, sigma, sigma_next, step_idx):
+        return lat.at[:, :4].set(0.0)
+
+    res = pipe.generate(
+        embeddings=_emb(pipe), height=64, width=64, num_steps=3, seed=7,
+        reference_latents=ref_lat, reference_ids=ref_ids, step_hook=hook,
+    )
+    assert np.abs(res.latents[:, :4]).max() == 0.0
+    assert np.abs(res.latents[:, 4:]).max() > 0.0
