@@ -389,3 +389,104 @@ def forward(
 def forward_logits(params: Params, cfg: Qwen35TextConfig, input_ids: jnp.ndarray, **kw) -> jnp.ndarray:
     hs = forward(params, cfg, input_ids, **kw)
     return (hs @ params["embed_tokens"].T).astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# Hybrid streaming cache (the reference's "dual cache types",
+# Qwen35Model.swift:1-45): linear-attention layers carry
+# (conv_state [B, K-1, conv_dim], recurrent_state [B, Hv, Dv, Dk]);
+# full-attention layers carry a static-length KV cache.
+# ---------------------------------------------------------------------------
+
+
+def init_hybrid_cache(cfg: Qwen35TextConfig, batch: int, max_len: int, dtype=jnp.float32):
+    """Per-layer cache list: dicts keyed by layer kind."""
+    cache = []
+    for i in range(cfg.num_hidden_layers):
+        if cfg.is_linear_layer(i):
+            cache.append(
+                {
+                    "conv": jnp.zeros((batch, cfg.linear_conv_kernel_dim - 1, cfg.conv_dim), dtype),
+                    "rec": jnp.zeros((batch, cfg.linear_num_value_heads, cfg.linear_value_head_dim, cfg.linear_key_head_dim), jnp.float32),
+                }
+            )
+        else:
+            shape = (batch, cfg.num_key_value_heads, max_len, cfg.head_dim)
+            cache.append({"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype), "len": jnp.int32(0)})
+    return cache
+
+
+def _full_attention_cached(lp, cfg, x, position_ids, layer_cache):
+    """Full-attention layer with a static-length KV cache (prefill or step)."""
+    b, s, _ = x.shape
+    nh, nkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    max_len = layer_cache["k"].shape[2]
+    pos = layer_cache["len"]
+
+    q_and_gate = (x @ lp["q_proj"]).reshape(b, s, nh, 2 * hd)
+    q, gate = q_and_gate[..., :hd], q_and_gate[..., hd:].reshape(b, s, nh * hd)
+    k = (x @ lp["k_proj"]).reshape(b, s, nkv, hd)
+    v = (x @ lp["v_proj"]).reshape(b, s, nkv, hd)
+    q = rms_norm(q, lp["q_norm"], cfg.rms_norm_eps).transpose(0, 2, 1, 3)
+    k = rms_norm(k, lp["k_norm"], cfg.rms_norm_eps).transpose(0, 2, 1, 3)
+    v = v.transpose(0, 2, 1, 3)
+    cos, sin = mrope_cos_sin(cfg, position_ids)
+    q = _apply_partial_rotary(q, cos, sin, cfg.rotary_dim)
+    k = _apply_partial_rotary(k, cos, sin, cfg.rotary_dim)
+
+    ck = jax.lax.dynamic_update_slice(layer_cache["k"], k.astype(layer_cache["k"].dtype), (0, 0, pos, 0))
+    cv = jax.lax.dynamic_update_slice(layer_cache["v"], v.astype(layer_cache["v"].dtype), (0, 0, pos, 0))
+    new_cache = {"k": ck, "v": cv, "len": pos + s}
+
+    rep = nh // nkv
+    kk = jnp.repeat(ck, rep, axis=1) if rep > 1 else ck
+    vv = jnp.repeat(cv, rep, axis=1) if rep > 1 else cv
+    # mask: query at absolute position pos+i attends keys <= pos+i
+    q_pos = pos + jnp.arange(s)
+    key_idx = jnp.arange(max_len)
+    allowed = key_idx[None, :] <= q_pos[:, None]
+    mask = jnp.where(allowed, 0.0, -1e30).astype(jnp.float32)[None, None]
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, kk, preferred_element_type=jnp.float32) * hd**-0.5 + mask
+    probs = jax.nn.softmax(logits, axis=-1).astype(vv.dtype)
+    attn = jnp.einsum("bhqk,bhkd->bhqd", probs, vv).transpose(0, 2, 1, 3).reshape(b, s, nh * hd)
+    return (attn * jax.nn.sigmoid(gate)) @ lp["o_proj"], new_cache
+
+
+def forward_cached(
+    params: Params,
+    cfg: Qwen35TextConfig,
+    input_ids: jnp.ndarray,  # [B, S]
+    cache,
+    start_pos: jnp.ndarray,  # scalar int32 — absolute position of token 0
+    inputs_embeds: Optional[jnp.ndarray] = None,
+):
+    """Streaming forward (prefill when S>1, decode when S=1).
+
+    Returns (last-token logits [B, V], new_cache). Position ids are
+    text-only (all three MRoPE axes = absolute index).
+    """
+    b, s = input_ids.shape
+    x = inputs_embeds if inputs_embeds is not None else params["embed_tokens"][input_ids]
+    pos = start_pos + jnp.arange(s)
+    position_ids = jnp.broadcast_to(pos[None], (b, s))
+    position_ids = jnp.stack([position_ids, position_ids, position_ids])
+
+    new_cache = []
+    for i, lp in enumerate(params["layers"]):
+        h = rms_norm(x, lp["input_norm"], cfg.rms_norm_eps)
+        if cfg.is_linear_layer(i):
+            attn, conv_state, rec_state = gated_deltanet_forward(
+                lp["linear_attn"], cfg, h,
+                conv_state=cache[i]["conv"], rec_state=cache[i]["rec"],
+            )
+            new_cache.append({"conv": conv_state, "rec": rec_state})
+        else:
+            attn, layer_cache = _full_attention_cached(lp["self_attn"], cfg, h, position_ids, cache[i])
+            new_cache.append(layer_cache)
+        x = x + attn
+        h2 = rms_norm(x, lp["post_attn_norm"], cfg.rms_norm_eps)
+        x = x + (jax.nn.silu(h2 @ lp["gate_proj"]) * (h2 @ lp["up_proj"])) @ lp["down_proj"]
+
+    hs = rms_norm(x[:, -1:], params["final_norm"], cfg.rms_norm_eps)
+    logits = (hs[:, 0] @ params["embed_tokens"].T).astype(jnp.float32)
+    return logits, new_cache

@@ -10,8 +10,8 @@ VLM scoring, SimpleLoRATrainer.swift:2008-2409):
   - ``Qwen35VLMService``: Qwen3.5 vision tower + hybrid LM; provides the
     ``vlm_chat(system, user, image)`` callable the chains' prompt builder
     consumes and the (scene, style) scorer the trainer's validation uses.
-    Generation is full-recompute per token (the hybrid LM's streaming caches
-    land in a later round; scoring/enrichment needs <=128 tokens).
+    Generation streams over the hybrid dual cache (conv + recurrent states
+    for linear-attention layers, KV for full-attention layers).
 """
 
 from __future__ import annotations
@@ -136,28 +136,33 @@ class Qwen35VLMService:
 
     def chat(self, system: str, user: str, image: Optional[np.ndarray] = None,
              max_tokens: int = 128, seed: int = 0) -> str:
-        """(system, user, image) -> reply; the VLMPromptBuilder callable."""
+        """(system, user, image) -> reply; the VLMPromptBuilder callable.
+
+        Streaming generation over the hybrid dual cache (conv + recurrent
+        states for linear-attention layers, KV cache for full-attention —
+        Qwen35Model.swift:1-45): one compiled prefill + one compiled decode
+        step regardless of length.
+        """
         messages = [{"role": "system", "content": system}, {"role": "user", "content": user}]
         text_ids = list(self.tokenizer.apply_chat_template(messages, add_generation_prompt=True))
         ids, merged = self._merged_inputs(text_ids, image)
 
-        # full-recompute greedy generation (aux path; streaming caches: round 2)
-        out: List[int] = []
-        forward = jax.jit(
-            lambda p, i, e: (qwen35.forward(p, self.lm_config, i, inputs_embeds=e) @ p["embed_tokens"].T)[:, -1]
-        )
+        max_len = ids.shape[1] + max_tokens
+        cache = qwen35.init_hybrid_cache(self.lm_config, batch=1, max_len=max_len)
+        prefill = jax.jit(lambda p, i, c, e: qwen35.forward_cached(p, self.lm_config, i, c, jnp.int32(0), inputs_embeds=e))
+        step = jax.jit(lambda p, t, c, pos: qwen35.forward_cached(p, self.lm_config, t, c, pos))
+
+        logits, cache = prefill(self.lm_params, ids, cache, merged)
         eos = getattr(self.tokenizer, "eos_token_id", None)
-        cur_ids, cur_embeds = ids, merged
+        out: List[int] = []
+        pos = ids.shape[1]
         for _ in range(max_tokens):
-            logits = np.asarray(forward(self.lm_params, cur_ids, cur_embeds))
-            token = int(np.argmax(logits[0]))
+            token = int(np.argmax(np.asarray(logits[0])))
             if eos is not None and token == eos:
                 break
             out.append(token)
-            cur_ids = jnp.concatenate([cur_ids, jnp.asarray([[token]], jnp.int32)], axis=1)
-            if cur_embeds is not None:
-                tok_embed = self.lm_params["embed_tokens"][jnp.asarray([[token]])]
-                cur_embeds = jnp.concatenate([cur_embeds, tok_embed], axis=1)
+            logits, cache = step(self.lm_params, jnp.asarray([[token]], jnp.int32), cache, jnp.int32(pos))
+            pos += 1
         return self.tokenizer.decode(out)
 
     def score_validation_image(

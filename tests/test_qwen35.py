@@ -118,3 +118,26 @@ def test_partial_rotary_passthrough():
         np.asarray(out[..., CFG.rotary_dim :]), np.asarray(x[..., CFG.rotary_dim :])
     )
     assert np.abs(np.asarray(out[0, 0, 1, : CFG.rotary_dim]) - 1.0).max() > 1e-6
+
+
+def test_hybrid_cache_matches_full_forward(params):
+    """Prefill + cached decode == full forward logits at every position."""
+    ids = jnp.array([[1, 2, 3, 4, 5, 6]], jnp.int32)
+    full = q35.forward_logits(params, CFG, ids)
+
+    cache = q35.init_hybrid_cache(CFG, batch=1, max_len=8)
+    logits_p, cache = q35.forward_cached(params, CFG, ids[:, :4], cache, jnp.int32(0))
+    np.testing.assert_allclose(np.asarray(logits_p), np.asarray(full[:, 3]), atol=1e-3)
+
+    logits_d, cache = q35.forward_cached(params, CFG, ids[:, 4:5], cache, jnp.int32(4))
+    np.testing.assert_allclose(np.asarray(logits_d), np.asarray(full[:, 4]), atol=1e-3)
+
+    logits_d2, cache = q35.forward_cached(params, CFG, ids[:, 5:6], cache, jnp.int32(5))
+    np.testing.assert_allclose(np.asarray(logits_d2), np.asarray(full[:, 5]), atol=1e-3)
+
+
+def test_hybrid_cache_structure(params):
+    cache = q35.init_hybrid_cache(CFG, batch=1, max_len=8)
+    assert "conv" in cache[0] and "rec" in cache[0]  # linear layer
+    assert "k" in cache[3] and "v" in cache[3]  # full-attention layer
+    assert cache[0]["conv"].shape == (1, CFG.linear_conv_kernel_dim - 1, CFG.conv_dim)
