@@ -38,8 +38,26 @@ def supported(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> bool:
     return d % 128 == 0 and q.shape[2] >= 128 and k.shape[2] >= 128
 
 
+def _flash_kernel_lse(
+    q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref, acc_ref,
+    *, scale, kv_len, block_q, block_k, blocked_span=None,
+):
+    _flash_body(q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref, acc_ref,
+                scale=scale, kv_len=kv_len, block_q=block_q, block_k=block_k,
+                blocked_span=blocked_span)
+
+
 def _flash_kernel(
     q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
+    *, scale, kv_len, block_q, block_k, blocked_span=None,
+):
+    _flash_body(q_ref, k_ref, v_ref, o_ref, None, m_ref, l_ref, acc_ref,
+                scale=scale, kv_len=kv_len, block_q=block_q, block_k=block_k,
+                blocked_span=blocked_span)
+
+
+def _flash_body(
+    q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref, acc_ref,
     *, scale, kv_len, block_q, block_k, blocked_span=None,
 ):
     """One (q_block, k_block) tile of online-softmax attention.
@@ -98,6 +116,11 @@ def _flash_kernel(
     @pl.when(kb == num_kb - 1)
     def _finalize():
         o_ref[0] = (acc_ref[:] / l_ref[:]).astype(o_ref.dtype)
+        if lse_ref is not None:
+            # LSE per query row, broadcast over a 128-lane strip (TPU block
+            # layout wants a 128-multiple last dim).
+            lse = m_ref[:] + jnp.log(l_ref[:])  # [block_q, 1]
+            lse_ref[0] = jnp.broadcast_to(lse, (block_q, 128))
 
 
 def _flash_impl(
@@ -109,7 +132,8 @@ def _flash_impl(
     block_k: int = DEFAULT_BLOCK_K,
     interpret: bool = False,
     blocked_span: Optional[tuple] = None,
-) -> jnp.ndarray:
+    return_lse: bool = False,
+):
     b, h, s_q, d = q.shape
     s_k = k.shape[2]
     if scale is None:
@@ -129,31 +153,51 @@ def _flash_impl(
     v3 = v_pad.reshape(bh, s_kp, d)
 
     grid = (bh, s_qp // block_q, s_kp // block_k)
+    in_specs = [
+        pl.BlockSpec((1, block_q, d), lambda g, i, j: (g, i, 0)),
+        pl.BlockSpec((1, block_k, d), lambda g, i, j: (g, j, 0)),
+        pl.BlockSpec((1, block_k, d), lambda g, i, j: (g, j, 0)),
+    ]
+    scratch = [
+        pltpu.VMEM((block_q, 1), jnp.float32),
+        pltpu.VMEM((block_q, 1), jnp.float32),
+        pltpu.VMEM((block_q, d), jnp.float32),
+    ]
+    params = dict(scale=float(scale), kv_len=s_k, block_q=block_q, block_k=block_k, blocked_span=blocked_span)
+    compiler = pltpu.CompilerParams(dimension_semantics=("parallel", "parallel", "arbitrary"))
+
+    if return_lse:
+        out, lse = pl.pallas_call(
+            functools.partial(_flash_kernel_lse, **params),
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=(
+                pl.BlockSpec((1, block_q, d), lambda g, i, j: (g, i, 0)),
+                pl.BlockSpec((1, block_q, 128), lambda g, i, j: (g, i, 0)),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((bh, s_qp, d), q.dtype),
+                jax.ShapeDtypeStruct((bh, s_qp, 128), jnp.float32),
+            ),
+            scratch_shapes=scratch,
+            compiler_params=compiler,
+            interpret=interpret,
+        )(q3, k3, v3)
+        return (
+            out.reshape(b, h, s_qp, d)[:, :, :s_q, :],
+            lse[:, :, 0].reshape(b, h, s_qp)[:, :, :s_q],
+        )
 
     out = pl.pallas_call(
-        functools.partial(
-            _flash_kernel, scale=float(scale), kv_len=s_k,
-            block_q=block_q, block_k=block_k, blocked_span=blocked_span,
-        ),
+        functools.partial(_flash_kernel, **params),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda g, i, j: (g, i, 0)),
-            pl.BlockSpec((1, block_k, d), lambda g, i, j: (g, j, 0)),
-            pl.BlockSpec((1, block_k, d), lambda g, i, j: (g, j, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, block_q, d), lambda g, i, j: (g, i, 0)),
         out_shape=jax.ShapeDtypeStruct((bh, s_qp, d), q.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((block_q, 1), jnp.float32),
-            pltpu.VMEM((block_q, 1), jnp.float32),
-            pltpu.VMEM((block_q, d), jnp.float32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
-        ),
+        scratch_shapes=scratch,
+        compiler_params=compiler,
         interpret=interpret,
     )(q3, k3, v3)
-
     return out.reshape(b, h, s_qp, d)[:, :, :s_q, :]
 
 
@@ -170,13 +214,181 @@ def _pad_seq(x: jnp.ndarray, block: int) -> jnp.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# Pallas backward kernels (flash backward: no S x S materialization)
+# ---------------------------------------------------------------------------
+
+
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, acc_ref,
+                   *, scale, kv_len, block_q, block_k, blocked_span):
+    kb = pl.program_id(2)
+    num_kb = pl.num_programs(2)
+
+    @pl.when(kb == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0][:, :1]  # [block_q, 1] from the 128-lane strip
+    delta = delta_ref[0][:, :1]
+
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32) * scale
+    col = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(col < kv_len, s, NEG_INF)
+    if blocked_span is not None:
+        bq0, bq1, bk0 = blocked_span
+        row = pl.program_id(1) * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+        s = jnp.where((row >= bq0) & (row < bq1) & (col >= bk0), NEG_INF, s)
+
+    p = jnp.exp(s - lse)
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    ds = p * (dp - delta)
+    acc_ref[:] += jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32) * scale
+
+    @pl.when(kb == num_kb - 1)
+    def _():
+        dq_ref[0] = acc_ref[:].astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
+                    acc_dk_ref, acc_dv_ref, *, scale, kv_len, q_len, block_q, block_k, blocked_span):
+    qb = pl.program_id(2)
+    num_qb = pl.num_programs(2)
+
+    @pl.when(qb == 0)
+    def _():
+        acc_dk_ref[:] = jnp.zeros_like(acc_dk_ref)
+        acc_dv_ref[:] = jnp.zeros_like(acc_dv_ref)
+
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0][:, :1].T  # [1, block_q], broadcast over k rows
+    delta = delta_ref[0][:, :1].T
+
+    # transposed orientation: [block_k, block_q]
+    sT = jax.lax.dot_general(k, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32) * scale
+    qcol = qb * block_q + jax.lax.broadcasted_iota(jnp.int32, sT.shape, 1)
+    krow = pl.program_id(1) * block_k + jax.lax.broadcasted_iota(jnp.int32, sT.shape, 0)
+    sT = jnp.where(qcol < q_len, sT, NEG_INF)  # padded queries contribute 0
+    sT = jnp.where(krow < kv_len, sT, NEG_INF)
+    if blocked_span is not None:
+        bq0, bq1, bk0 = blocked_span
+        sT = jnp.where((qcol >= bq0) & (qcol < bq1) & (krow >= bk0), NEG_INF, sT)
+
+    pT = jnp.exp(sT - lse)
+    acc_dv_ref[:] += jax.lax.dot_general(pT, do, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    dpT = jax.lax.dot_general(v, do, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    dsT = pT * (dpT - delta)
+    acc_dk_ref[:] += jax.lax.dot_general(dsT, q, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32) * scale
+
+    @pl.when(qb == num_qb - 1)
+    def _():
+        dk_ref[0] = acc_dk_ref[:].astype(dk_ref.dtype)
+        dv_ref[0] = acc_dv_ref[:].astype(dv_ref.dtype)
+
+
+def _flash_backward(
+    q, k, v, out, lse, g, scale, block_q, block_k, interpret, blocked_span
+):
+    """Tiled flash backward: returns (dq, dk, dv)."""
+    b, h, s_q, d = q.shape
+    s_k = k.shape[2]
+    bh = b * h
+
+    block_q = min(block_q, _round_up(s_q, 128))
+    block_k = min(block_k, _round_up(s_k, 128))
+    q_pad = _pad_seq(q, block_q)
+    do_pad = _pad_seq(g, block_q)
+    o_pad = _pad_seq(out, block_q)
+    k_pad = _pad_seq(k, block_k)
+    v_pad = _pad_seq(v, block_k)
+    s_qp, s_kp = q_pad.shape[2], k_pad.shape[2]
+
+    # delta = rowsum(dO * O); lse padded with 0 (p=exp(-inf-0)=0 on pad rows)
+    delta = jnp.sum(do_pad.astype(jnp.float32) * o_pad.astype(jnp.float32), axis=-1)
+    lse_pad = jnp.pad(lse, ((0, 0), (0, 0), (0, s_qp - s_q)))
+
+    q3 = q_pad.reshape(bh, s_qp, d)
+    k3 = k_pad.reshape(bh, s_kp, d)
+    v3 = v_pad.reshape(bh, s_kp, d)
+    do3 = do_pad.reshape(bh, s_qp, d)
+    # per-row scalars as 128-lane strips (TPU block layout)
+    lse3 = jnp.broadcast_to(lse_pad.reshape(bh, s_qp)[..., None], (bh, s_qp, 128))
+    delta3 = jnp.broadcast_to(delta.reshape(bh, s_qp)[..., None], (bh, s_qp, 128))
+
+    dq = pl.pallas_call(
+        functools.partial(
+            _bwd_dq_kernel, scale=float(scale), kv_len=s_k,
+            block_q=block_q, block_k=block_k, blocked_span=blocked_span,
+        ),
+        grid=(bh, s_qp // block_q, s_kp // block_k),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda g_, i, j: (g_, i, 0)),
+            pl.BlockSpec((1, block_k, d), lambda g_, i, j: (g_, j, 0)),
+            pl.BlockSpec((1, block_k, d), lambda g_, i, j: (g_, j, 0)),
+            pl.BlockSpec((1, block_q, d), lambda g_, i, j: (g_, i, 0)),
+            pl.BlockSpec((1, block_q, 128), lambda g_, i, j: (g_, i, 0)),
+            pl.BlockSpec((1, block_q, 128), lambda g_, i, j: (g_, i, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda g_, i, j: (g_, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, s_qp, d), q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(q3, k3, v3, do3, lse3, delta3)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(
+            _bwd_dkv_kernel, scale=float(scale), kv_len=s_k, q_len=s_q,
+            block_q=block_q, block_k=block_k, blocked_span=blocked_span,
+        ),
+        grid=(bh, s_kp // block_k, s_qp // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda g_, i, j: (g_, j, 0)),
+            pl.BlockSpec((1, block_k, d), lambda g_, i, j: (g_, i, 0)),
+            pl.BlockSpec((1, block_k, d), lambda g_, i, j: (g_, i, 0)),
+            pl.BlockSpec((1, block_q, d), lambda g_, i, j: (g_, j, 0)),
+            pl.BlockSpec((1, block_q, 128), lambda g_, i, j: (g_, j, 0)),
+            pl.BlockSpec((1, block_q, 128), lambda g_, i, j: (g_, j, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_k, d), lambda g_, i, j: (g_, i, 0)),
+            pl.BlockSpec((1, block_k, d), lambda g_, i, j: (g_, i, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, s_kp, d), k.dtype),
+            jax.ShapeDtypeStruct((bh, s_kp, d), v.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_k, d), jnp.float32),
+            pltpu.VMEM((block_k, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(q3, k3, v3, do3, lse3, delta3)
+
+    dq = dq.reshape(b, h, s_qp, d)[:, :, :s_q]
+    dk = dk.reshape(b, h, s_kp, d)[:, :, :s_k]
+    dv = dv.reshape(b, h, s_kp, d)[:, :, :s_k]
+    return dq, dk, dv
+
+
+# ---------------------------------------------------------------------------
 # Differentiability: flash forward + XLA-recompute backward
 # ---------------------------------------------------------------------------
-# pallas_call is not transparently differentiable; training (LoRA fwd+bwd on
-# TPU) needs gradients through attention. The backward recomputes the softmax
-# with standard XLA ops — it materializes S x S per (B, H) like any
-# non-flash backward, which is fine at training resolutions; a Pallas
-# backward kernel is a later-round optimization.
+# pallas_call is not transparently differentiable; the custom VJP pairs the
+# flash forward (which also emits per-row LSE) with tiled Pallas backward
+# kernels (_bwd_dq_kernel / _bwd_dkv_kernel) — no S x S materialization in
+# either direction. _xla_attention_grads remains as a reference
+# implementation for tests.
 
 
 def _xla_attention_grads(q, k, v, g, scale, blocked_span):
@@ -203,13 +415,13 @@ def _flash_diff(q, k, v, scale, block_q, block_k, interpret, blocked_span):
 
 
 def _flash_diff_fwd(q, k, v, scale, block_q, block_k, interpret, blocked_span):
-    out = _flash_impl(q, k, v, scale, block_q, block_k, interpret, blocked_span)
-    return out, (q, k, v)
+    out, lse = _flash_impl(q, k, v, scale, block_q, block_k, interpret, blocked_span, return_lse=True)
+    return out, (q, k, v, out, lse)
 
 
 def _flash_diff_bwd(scale, block_q, block_k, interpret, blocked_span, res, g):
-    q, k, v = res
-    return _xla_attention_grads(q, k, v, g, scale, blocked_span)
+    q, k, v, out, lse = res
+    return _flash_backward(q, k, v, out, lse, g, scale, block_q, block_k, interpret, blocked_span)
 
 
 _flash_diff.defvjp(_flash_diff_fwd, _flash_diff_bwd)
