@@ -268,7 +268,11 @@ def gated_deltanet_forward(
 
     if rec_state is None:
         rec_state = jnp.zeros((b, hv, dv, dk), jnp.float32)
-    y, new_rec_state = gated_delta_update(q_n, k_n, v.astype(jnp.float32), g, beta, rec_state)
+    if s > 8:
+        # chunk-parallel prefill (exact; see gated_delta_update_chunked)
+        y, new_rec_state = gated_delta_update_chunked(q_n, k_n, v.astype(jnp.float32), g, beta, rec_state)
+    else:
+        y, new_rec_state = gated_delta_update(q_n, k_n, v.astype(jnp.float32), g, beta, rec_state)
 
     # gated RMSNorm: rmsnorm(y) * silu(z)
     normed = rms_norm(y, lp["norm_weight"], cfg.rms_norm_eps) * jax.nn.silu(z.astype(jnp.float32))
@@ -490,3 +494,87 @@ def forward_cached(
     hs = rms_norm(x[:, -1:], params["final_norm"], cfg.rms_norm_eps)
     logits = (hs[:, 0] @ params["embed_tokens"].T).astype(jnp.float32)
     return logits, new_cache
+
+
+def gated_delta_update_chunked(
+    q: jnp.ndarray,  # [B, T, Hv, Dk]
+    k: jnp.ndarray,
+    v: jnp.ndarray,  # [B, T, Hv, Dv]
+    g: jnp.ndarray,  # [B, T, Hv] decay in (0, 1)
+    beta: jnp.ndarray,  # [B, T, Hv]
+    state: jnp.ndarray,  # [B, Hv, Dv, Dk]
+    chunk_size: int = 64,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Chunk-parallel gated delta rule (exact; matches gated_delta_update).
+
+    Within a chunk, the sequential recurrence
+        S_t = g_t S_{t-1} + u_t k_t^T,  u_t = beta_t (v_t - g_t S_{t-1} k_t)
+    is solved in closed form: with within-chunk cumulative decay
+    Gamma_t = prod_{j<=t} g_j, the delta writes satisfy the unit-lower-
+    triangular system
+        (I + A) U = diag(beta) (V - Gamma * K S_0^T),
+        A[t, i] = beta_t (Gamma_t / Gamma_i) (k_t . k_i)   (i < t),
+    solved by forward substitution (the UT/WY transform of Gated DeltaNet).
+    Outputs and the carried state then follow gated-linear-attention sums:
+        y_t = Gamma_t S_0 q_t + sum_{i<=t} (Gamma_t/Gamma_i)(k_i . q_t) u_i
+        S_C = Gamma_C S_0 + sum_i (Gamma_C/Gamma_i) u_i k_i^T.
+    Chunks chain under one lax.scan — O(T/C) sequential steps of dense
+    C x C matrix work instead of T steps, which is what the MXU wants.
+    """
+    b, t, hv, dk = q.shape
+    dv = v.shape[-1]
+    c = min(chunk_size, t)
+    pad = (-t) % c
+    if pad:
+        q = jnp.pad(q, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        k = jnp.pad(k, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        g = jnp.pad(g, ((0, 0), (0, pad), (0, 0)), constant_values=1.0)  # no decay
+        beta = jnp.pad(beta, ((0, 0), (0, pad), (0, 0)))  # no write
+    n_chunks = (t + pad) // c
+
+    def to_chunks(x):
+        return x.reshape(b, n_chunks, c, *x.shape[2:]).swapaxes(0, 1)
+
+    qc, kc, vc = to_chunks(q), to_chunks(k), to_chunks(v)
+    gc, bc = to_chunks(g), to_chunks(beta)
+
+    tril_mask = jnp.tril(jnp.ones((c, c), jnp.bool_), -1)
+    incl_mask = jnp.tril(jnp.ones((c, c), jnp.bool_))
+    eye = jnp.eye(c, dtype=jnp.float32)
+
+    def chunk_step(s, inp):
+        qx, kx, vx, gx, bx = inp  # [B, C, Hv, *]
+        # head-major [B, Hv, C, *]
+        qh = qx.transpose(0, 2, 1, 3).astype(jnp.float32)
+        kh = kx.transpose(0, 2, 1, 3).astype(jnp.float32)
+        vh = vx.transpose(0, 2, 1, 3).astype(jnp.float32)
+        gh = gx.transpose(0, 2, 1).astype(jnp.float32)
+        bh = bx.transpose(0, 2, 1).astype(jnp.float32)
+
+        lg = jnp.cumsum(jnp.log(gh), axis=-1)  # [B, Hv, C]
+        # ratio[t, i] = Gamma_t / Gamma_i, masked to i <= t (log-space: safe)
+        ratio = jnp.exp(lg[..., :, None] - lg[..., None, :])
+        gamma = jnp.exp(lg)  # [B, Hv, C]
+
+        kkt = jnp.einsum("bhtd,bhid->bhti", kh, kh)
+        a = bh[..., :, None] * ratio * kkt * tril_mask  # strictly lower
+        z = jnp.einsum("bhtd,bhvd->bhtv", kh, s)  # K S_0^T  [B, Hv, C, Dv]
+        rhs = bh[..., None] * (vh - gamma[..., None] * z)
+        u = jax.scipy.linalg.solve_triangular(
+            eye + a, rhs, lower=True, unit_diagonal=True
+        )  # [B, Hv, C, Dv]
+
+        qkt = jnp.einsum("bhtd,bhid->bhti", qh, kh)  # [B, Hv, C(t), C(i)]
+        y = gamma[..., None] * jnp.einsum("bhtd,bhvd->bhtv", qh, s)
+        y = y + jnp.einsum("bhti,bhiv->bhtv", qkt * ratio * incl_mask, u)
+
+        w = jnp.exp(lg[..., -1:] - lg)  # Gamma_C / Gamma_i  [B, Hv, C]
+        s_new = gamma[..., -1][..., None, None] * s + jnp.einsum(
+            "bhiv,bhid,bhi->bhvd", u, kh, w
+        )
+        return s_new, y.transpose(0, 2, 1, 3)  # back to [B, C, Hv, Dv]
+
+    state, ys = jax.lax.scan(chunk_step, state.astype(jnp.float32), (qc, kc, vc, gc, bc))
+    y = ys.swapaxes(0, 1).reshape(b, t + pad, hv, dv)[:, :t]
+    return y, state

@@ -141,3 +141,22 @@ def test_hybrid_cache_structure(params):
     assert "conv" in cache[0] and "rec" in cache[0]  # linear layer
     assert "k" in cache[3] and "v" in cache[3]  # full-attention layer
     assert cache[0]["conv"].shape == (1, CFG.linear_conv_kernel_dim - 1, CFG.conv_dim)
+
+
+def test_chunked_delta_matches_sequential():
+    """The chunk-parallel UT/WY formulation is EXACT vs the per-token scan."""
+    key = jax.random.PRNGKey(3)
+    ks = jax.random.split(key, 5)
+    b, t, hv, dk, dv = 2, 37, 3, 16, 8  # odd T exercises padding
+    q = jax.random.normal(ks[0], (b, t, hv, dk))
+    k = jax.random.normal(ks[1], (b, t, hv, dk)) * 0.3
+    v = jax.random.normal(ks[2], (b, t, hv, dv))
+    g = jax.nn.sigmoid(jax.random.normal(ks[3], (b, t, hv)) - 0.5)
+    beta = jax.nn.sigmoid(jax.random.normal(ks[4], (b, t, hv)))
+    s0 = jax.random.normal(jax.random.PRNGKey(9), (b, hv, dv, dk)) * 0.1
+
+    y_seq, s_seq = q35.gated_delta_update(q, k, v, g, beta, s0)
+    for chunk in (8, 16, 64):
+        y_chk, s_chk = q35.gated_delta_update_chunked(q, k, v, g, beta, s0, chunk_size=chunk)
+        np.testing.assert_allclose(np.asarray(y_chk), np.asarray(y_seq), atol=2e-4, err_msg=f"chunk={chunk}")
+        np.testing.assert_allclose(np.asarray(s_chk), np.asarray(s_seq), atol=2e-4, err_msg=f"chunk={chunk}")
