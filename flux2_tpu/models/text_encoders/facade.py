@@ -105,6 +105,16 @@ class TextEncoders:
         flog.info(f"loaded text encoder {name} ({cfg.num_hidden_layers} layers, {cfg.hidden_size} hidden)")
         return self.attach(name, params, cfg, tok, layers)
 
+    def shard(self, name: str, mesh) -> None:
+        """Distribute an encoder's weights over a mesh (Mistral-24B needs
+        fsdp/tp on 16 GB chips — the TPU replacement for the reference's
+        load/unload choreography)."""
+        from flux2_tpu.parallel import sharding as sh
+
+        enc = self._encoders[name]
+        enc.params = sh.shard_params(enc.params, mesh, sh.DECODER_RULES)
+        enc.extractor.params = enc.params
+
     def unload(self, name: str) -> None:
         self._encoders.pop(name, None)
 

@@ -141,3 +141,14 @@ def test_pipeline_with_attached_text_encoder(encoders):
     res = pipe.generate(prompt="a tiny cat", height=64, width=64, num_steps=1, seed=3)
     assert res.image.shape == (64, 64, 3)
     assert res.phase_timings["text_encoding"] > 0
+
+
+def test_facade_shard_encoder(encoders):
+    from flux2_tpu.parallel import mesh as mesh_mod
+
+    mesh = mesh_mod.make_mesh(data=1, fsdp=2, tp=4)
+    ref = encoders.extract_klein_embeddings("a cat", name="tiny")
+    encoders.shard("tiny", mesh)
+    with mesh:
+        out = encoders.extract_klein_embeddings("a cat", name="tiny")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
