@@ -79,6 +79,21 @@ def cmd_upsample(args):
     print(shared.upsample_prompt(args.prompt, enc.name, mode=mode, seed=args.seed))
 
 
+def cmd_compare(args):
+    """Compare two encoders' embeddings on the same prompt
+    (CompareEncoders parity)."""
+    import json as _json
+
+    from flux2_tpu.models.text_encoders.facade import compare_embeddings, shared
+
+    a = _load_encoder(args)
+    args_b = argparse.Namespace(**vars(args))
+    args_b.family, args_b.encoder_dir = args.family_b, args.encoder_dir_b
+    b = _load_encoder(args_b)
+    stats = compare_embeddings(a.extractor(args.prompt), b.extractor(args.prompt))
+    print(_json.dumps(stats, indent=2))
+
+
 def cmd_models(args):
     from flux2_tpu.io import registry
 
@@ -121,6 +136,13 @@ def main(argv=None) -> int:
     p.add_argument("--prompt", required=True)
     p.add_argument("--i2i", action="store_true", help="image-editing instruction mode")
     p.set_defaults(fn=cmd_upsample)
+
+    p = sub.add_parser("compare", help="compare two encoders' embeddings")
+    _common(p)
+    p.add_argument("--prompt", required=True)
+    p.add_argument("--family-b", default="qwen3-4b", choices=["mistral", "qwen3-4b", "qwen3-8b"])
+    p.add_argument("--encoder-dir-b")
+    p.set_defaults(fn=cmd_compare)
 
     p = sub.add_parser("models", help="list encoder repos + download status")
     p.set_defaults(fn=cmd_models)

@@ -179,3 +179,22 @@ def _bf16(tree):
 
 
 shared = TextEncoders()
+
+
+def compare_embeddings(emb_a, emb_b) -> dict:
+    """Embedding-comparison harness (the reference's CompareEncoders CLI):
+    cosine similarity + max/mean absolute difference between two encoders'
+    conditioning tensors for the same prompt — used to validate quantized
+    or alternative encoders against the bf16 reference."""
+    import numpy as np
+
+    a = np.asarray(emb_a, np.float32).reshape(-1)
+    b = np.asarray(emb_b, np.float32).reshape(-1)
+    cos = float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12))
+    diff = np.abs(a - b)
+    return {
+        "cosine_similarity": cos,
+        "max_abs_diff": float(diff.max()),
+        "mean_abs_diff": float(diff.mean()),
+        "rel_mean_diff": float(diff.mean() / (np.abs(a).mean() + 1e-12)),
+    }

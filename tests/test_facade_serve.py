@@ -152,3 +152,16 @@ def test_facade_shard_encoder(encoders):
     with mesh:
         out = encoders.extract_klein_embeddings("a cat", name="tiny")
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+
+
+def test_compare_embeddings(encoders):
+    from flux2_tpu.models.text_encoders.facade import compare_embeddings
+
+    a = encoders.extract_klein_embeddings("a cat", name="tiny")
+    stats_same = compare_embeddings(a, a)
+    assert stats_same["cosine_similarity"] == pytest.approx(1.0)
+    assert stats_same["max_abs_diff"] == 0.0
+    b = a + 0.01
+    stats = compare_embeddings(a, b)
+    assert stats["max_abs_diff"] == pytest.approx(0.01, rel=1e-3)
+    assert 0.9 < stats["cosine_similarity"] <= 1.0
