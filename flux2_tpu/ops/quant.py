@@ -19,16 +19,18 @@ matching MLX's row-group layout; int4/fp4 codes pack two nibbles per uint8
 along that axis. Works on 2D [in, out] and stacked 3D [L, in, out] leaves.
 
 Compute: ``q_matmul(x, w)`` dispatches — plain arrays hit the MXU directly;
-QTensors dequantize-then-matmul, with a Pallas fused dequant-matmul kernel
-on TPU for the int formats (the XLA path materializes the bf16 weight tile;
-the Pallas kernel dequantizes in VMEM so HBM traffic stays at the quantized
-size — the entire point of weight-only quant on a bandwidth-bound chip).
+QTensors run XLA dequantize-then-matmul (measured at bf16-GEMM speed on v5e;
+quantization is a memory-at-rest win). A Pallas fused dequant-matmul kernel
+(``FLUX2_PALLAS_DEQUANT=1``) keeps even the working set at quantized width
+for HBM-bound deployments; see the q_matmul docstring and the knowledge
+base for the measured trade-off.
 """
 
 from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -173,11 +175,22 @@ def _unpack_nibbles(q: jnp.ndarray, d_in: int) -> jnp.ndarray:
 
 
 def q_matmul(x: jnp.ndarray, w: Any) -> jnp.ndarray:
-    """x @ w where w is a plain array or a QTensor."""
+    """x @ w where w is a plain array or a QTensor.
+
+    Default path: XLA dequantize-then-matmul — measured at bf16-matmul speed
+    on v5e (the dequant materialization hides behind the compute-bound GEMM)
+    while weights at rest stay quantized in HBM. The Pallas fused
+    dequant-matmul (opt-in via FLUX2_PALLAS_DEQUANT=1) keeps the *working
+    set* at quantized width too, but its in-kernel dequant is currently
+    VPU-bound (25-200x slower at DiT shapes — see
+    docs/knowledge/decisions/quantization-formats.md); use only when HBM,
+    not speed, is the binding constraint.
+    """
     if not is_quantized(w):
         return x @ w
     if (
-        w.format in ("qint8", "int4")
+        os.environ.get("FLUX2_PALLAS_DEQUANT", "0") == "1"
+        and w.format in ("qint8", "int4")
         and jax.default_backend() == "tpu"
         and w.q.ndim == 2
     ):
