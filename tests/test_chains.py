@@ -128,3 +128,32 @@ def test_outpaint_chain_end_to_end():
 
     with pytest.raises(ValueError):
         outp.OutpaintingChain(pipeline=pipe, image=image, prompt="", embeddings=emb).run()
+
+
+def test_inpaint_chain_with_vlm_enrichment():
+    """Chain + VLMPromptBuilder wiring: enriched prompt reaches the encoder."""
+    import jax
+    from flux2_tpu.chains.vlm_prompt import InpaintIntent, VLMPromptBuilder
+
+    pipe = tiny_pipeline()
+    prompts_seen = []
+
+    def fake_encoder(prompt):
+        prompts_seen.append(prompt)
+        return jax.random.normal(
+            jax.random.PRNGKey(abs(hash(prompt)) % 1000),
+            (1, 8, pipe.transformer_config.joint_attention_dim),
+        )
+
+    pipe.text_encoder = fake_encoder
+    builder = VLMPromptBuilder(vlm_chat=lambda s, u, i: "enriched scene description")
+    image = np.full((64, 64, 3), 0.5, np.float32)
+    mask = np.ones((64, 64), np.float32)
+
+    prompt = builder.build_inpaint_prompt(InpaintIntent.REPLACE, "a duck", image) or "a duck"
+    chain = inp.MaskedInpaintingChain(
+        pipeline=pipe, prompt=prompt, image=image, mask=mask, steps=1, seed=1
+    )
+    res = chain.run()
+    assert res.image.shape == (64, 64, 3)
+    assert prompts_seen == ["enriched scene description"]

@@ -165,3 +165,35 @@ def dataclasses_replace(cfg_obj, **kw):
     import dataclasses
 
     return dataclasses.replace(cfg_obj, **kw)
+
+
+def test_train_step_with_dop(base_params):
+    """DOP regularization wired through the jitted train step."""
+    tcfg = trainer.TrainConfig(rank=4, alpha=4.0, remat=False, dop_weight=0.5, timestep_sampling="uniform")
+    state, opt = trainer.init_train_state(jax.random.PRNGKey(3), base_params, tcfg)
+    step = trainer.make_train_step(base_params, CONFIG, tcfg, opt)
+    batch = _batch()
+    batch["dop_embeddings"] = jax.random.normal(jax.random.PRNGKey(5), batch["embeddings"].shape)
+    lora, opt_state, metrics = step(state.lora, state.opt_state, batch, jax.random.PRNGKey(0))
+    # at init LoRA == base -> dop loss must be ~0; after an update it grows
+    assert float(metrics["dop_loss"]) < 1e-8
+    lora, opt_state, metrics2 = step(lora, opt_state, batch, jax.random.PRNGKey(1))
+    assert float(metrics2["dop_loss"]) > 0
+    assert np.isfinite(float(metrics2["loss"]))
+
+
+def test_mx_formats_in_model_forward(base_params):
+    """mxfp8 weights run through the full DiT forward."""
+    from flux2_tpu.ops import quant
+    from flux2_tpu.ops import latents as lu2
+    from flux2_tpu.ops.rope import rope_embeddings as re2
+
+    qparams = quant.quantize_params(base_params, "mxfp8", min_size=1024)
+    ids = np.concatenate([lu2.text_position_ids(4), lu2.image_position_ids(64, 64)], axis=0)
+    cos, sin = re2(jnp.asarray(ids))
+    hidden = jax.random.normal(jax.random.PRNGKey(1), (1, 16, 128))
+    txt = jax.random.normal(jax.random.PRNGKey(2), (1, 4, 96))
+    ref = tfm.forward(base_params, CONFIG, hidden, txt, jnp.array([0.5]), cos, sin)
+    out = tfm.forward(qparams, CONFIG, hidden, txt, jnp.array([0.5]), cos, sin)
+    rel = np.abs(np.asarray(out) - np.asarray(ref)).mean() / (np.abs(np.asarray(ref)).mean() + 1e-9)
+    assert rel < 0.2, rel  # fp8 weights stay in the ballpark
