@@ -86,6 +86,9 @@ def build_pipeline(args) -> "Flux2Pipeline":
             if fmt != "bf16" and os.path.exists(prequant):
                 tparams, _ = checkpoints.load_prequantized(prequant, expected_source_dir=tdir)
                 flog.info(f"loaded prequantized {fmt} transformer from {prequant}")
+                if getattr(args, "dequantize_runtime", False):
+                    tparams = quant.dequantize_params(tparams)
+                    flog.info("dequantized to bf16 at load (speed-first runtime)")
             else:
                 raw = checkpoints.load_weights_dir(tdir)
                 tparams = weight_mapping.map_transformer_weights(raw, tconfig, dtype=np.float32)
@@ -403,6 +406,10 @@ def _add_common(p, with_gen=True):
     p.add_argument("--vae-dir")
     p.add_argument("--small-decoder", action="store_true", help="distilled VAE decoder (faster)")
     p.add_argument("--random-init", action="store_true", help="random weights (smoke test)")
+    p.add_argument(
+        "--dequantize-runtime", action="store_true",
+        help="load quantized checkpoints but run bf16 (fast); default keeps weights quantized in HBM",
+    )
     p.add_argument("--lora", action="append", help="path[:scale], repeatable")
     if with_gen:
         p.add_argument("--prompt", default="")

@@ -227,3 +227,18 @@ def quantize_params(params: Any, fmt: str, min_size: int = 1 << 16) -> Any:
 
 def param_bytes(params: Any) -> int:
     return sum(leaf.nbytes for leaf in jax.tree_util.tree_leaves(params) if hasattr(leaf, "nbytes"))
+
+
+def dequantize_params(params: Any, dtype=jnp.bfloat16) -> Any:
+    """Expand every QTensor leaf back to a dense array.
+
+    The speed-first deployment recipe: store/ship prequantized checkpoints
+    (fast, integrity-validated loads), then dequantize once at load so the
+    runtime runs at bf16-GEMM speed — quantized runtime is reserved for
+    HBM-bound fits (see q_matmul).
+    """
+
+    def visit(leaf):
+        return dequantize(leaf, dtype) if is_quantized(leaf) else leaf
+
+    return jax.tree_util.tree_map(visit, params, is_leaf=is_quantized)

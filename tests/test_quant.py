@@ -131,3 +131,19 @@ def test_quantize_params_skips_norms():
     qparams = quant.quantize_params(params, "int4", min_size=1024)
     assert not quant.is_quantized(qparams["double_blocks"]["norm_q"])
     assert quant.is_quantized(qparams["double_blocks"]["to_q"])
+
+
+def test_dequantize_params_roundtrip():
+    config = cfg.Flux2TransformerConfig(
+        num_layers=1, num_single_layers=1, num_attention_heads=2,
+        attention_head_dim=128, joint_attention_dim=96, guidance_embeds=False,
+    )
+    params = tfm.init_params(jax.random.PRNGKey(0), config, dtype=jnp.float32)
+    qparams = quant.quantize_params(params, "qint8", min_size=1024)
+    dense = quant.dequantize_params(qparams, dtype=jnp.float32)
+    # every leaf is dense again, close to the original
+    assert not any(quant.is_quantized(l) for l in jax.tree_util.tree_leaves(dense))
+    rel = np.abs(
+        np.asarray(dense["double_blocks"]["to_q"]) - np.asarray(params["double_blocks"]["to_q"])
+    ).max()
+    assert rel < 0.01
