@@ -152,6 +152,9 @@ class Flux2Pipeline:
     ) -> GenerationResult:
         """Generate an image. T2I by default; I2I via reference_latents;
         img2img via init_latents + strength < 1."""
+        from flux2_tpu.utils.profiler import shared as _profiler
+
+        prof = _profiler()
         t0 = time.perf_counter()
         timings: Dict[str, float] = {}
 
@@ -163,10 +166,12 @@ class Flux2Pipeline:
 
         # --- Phase 1: text encoding ---
         t = time.perf_counter()
+        prof.start("1. Text Encoding")
         if embeddings is None:
             embeddings = self.encode_prompt(prompt or "")
         if self.model.uses_classical_cfg and negative_embeddings is None and self.text_encoder is not None:
             negative_embeddings = self.encode_prompt("")
+        prof.end("1. Text Encoding")
         timings["text_encoding"] = time.perf_counter() - t
 
         # --- schedule ---
@@ -207,6 +212,7 @@ class Flux2Pipeline:
 
         # --- denoise (one compiled scan) ---
         t = time.perf_counter()
+        prof.start("2. Denoising")
         mesh_ctx = self._mesh_ctx()
         with mesh_ctx:
           if reference_latents is not None and self.model.supports_kv_cache:
@@ -253,6 +259,9 @@ class Flux2Pipeline:
               if collect:
                   final_seq, intermediates = final_seq
         final_seq.block_until_ready()
+        prof.end("2. Denoising")
+        if schedule.num_steps:
+            prof.record_step((time.perf_counter() - t) / schedule.num_steps)
         timings["denoising"] = time.perf_counter() - t
 
         # --- checkpoint images (decoded every N steps AFTER the scan; the
@@ -266,11 +275,13 @@ class Flux2Pipeline:
 
         # --- decode ---
         t = time.perf_counter()
+        prof.start("3. VAE Decoding")
         image = images = None
         if decode:
             with self._mesh_ctx():
                 images = np.asarray(self.decode_latents(final_seq, height, width))
             image = images[0]
+        prof.end("3. VAE Decoding")
         timings["vae_decoding"] = time.perf_counter() - t
 
         return GenerationResult(

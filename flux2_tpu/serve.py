@@ -12,6 +12,11 @@ program at a time; the compiled-fn cache makes repeat shapes fast.
                               "guidance", "seed", "format": "png"|"json"}
                              returns image/png bytes or base64 JSON
 
+Micro-batching: concurrent /generate requests with the same
+(width, height, steps, guidance) coalesce into one batched generate call
+(batch follows the conditioning's leading axis) — throughput scales with
+batch while the chip runs one program.
+
 Run: python -m flux2_tpu.serve --random-init --port 8080
 """
 
@@ -49,35 +54,102 @@ def _enable_compile_cache():
 
 
 
+class _Pending:
+    __slots__ = ("req", "emb", "event", "image", "error")
+
+    def __init__(self, req, emb):
+        self.req = req
+        self.emb = emb
+        self.event = threading.Event()
+        self.image = None
+        self.error = None
+
+
 class Flux2Server:
-    def __init__(self, pipeline, embeddings_fn=None):
+    def __init__(self, pipeline, embeddings_fn=None, max_batch: int = 4, batch_window_s: float = 0.05):
         self.pipeline = pipeline
         self.embeddings_fn = embeddings_fn  # prompt -> embeddings (random-init mode)
         self.lock = threading.Lock()
         self.started = time.time()
         self.requests_served = 0
+        self.batches_run = 0
+        self.max_batch = max_batch
+        self.batch_window_s = batch_window_s
+        self._queue: list = []
+        self._queue_cv = threading.Condition()
+        self._worker = threading.Thread(target=self._serve_loop, daemon=True)
+        self._worker.start()
+
+    # -- micro-batching worker ------------------------------------------------
+
+    def _shape_key(self, req: dict):
+        return (
+            int(req.get("height", 1024)),
+            int(req.get("width", 1024)),
+            req.get("steps"),
+            req.get("guidance"),
+        )
+
+    def _serve_loop(self):
+        while True:
+            with self._queue_cv:
+                while not self._queue:
+                    self._queue_cv.wait()
+                # small window to let same-shape requests coalesce
+                self._queue_cv.wait(self.batch_window_s)
+                key = self._shape_key(self._queue[0].req)
+                batch = [p for p in self._queue if self._shape_key(p.req) == key][: self.max_batch]
+                for p in batch:
+                    self._queue.remove(p)
+            self._run_batch(batch)
+
+    def _run_batch(self, batch):
+        import jax.numpy as jnp
+
+        try:
+            h, w, steps, guidance = self._shape_key(batch[0].req)
+            emb = None
+            if batch[0].emb is not None:
+                emb = jnp.concatenate([p.emb for p in batch], axis=0)
+            res = self.pipeline.generate(
+                prompt=batch[0].req.get("prompt", ""),
+                embeddings=emb,
+                height=h,
+                width=w,
+                num_steps=steps,
+                guidance=guidance,
+                seed=int(batch[0].req.get("seed", 0)),
+            )
+            images = res.images if res.images is not None else res.image[None]
+            for i, p in enumerate(batch):
+                p.image = images[min(i, images.shape[0] - 1)]
+        except Exception as e:  # pragma: no cover - surfaced per request
+            for p in batch:
+                p.error = e
+        finally:
+            with self.lock:
+                self.requests_served += len(batch)
+                self.batches_run += 1
+            for p in batch:
+                p.event.set()
+
+    # -- request path -----------------------------------------------------------
 
     def generate_png(self, req: dict) -> bytes:
-        import jax
-
         emb = None
         if self.embeddings_fn is not None:
             emb = self.embeddings_fn(req.get("prompt", ""))
-        with self.lock:
-            res = self.pipeline.generate(
-                prompt=req.get("prompt", ""),
-                embeddings=emb,
-                height=int(req.get("height", 1024)),
-                width=int(req.get("width", 1024)),
-                num_steps=req.get("steps"),
-                guidance=req.get("guidance"),
-                seed=int(req.get("seed", 0)),
-            )
-            self.requests_served += 1
+        pending = _Pending(req, emb)
+        with self._queue_cv:
+            self._queue.append(pending)
+            self._queue_cv.notify_all()
+        pending.event.wait()
+        if pending.error is not None:
+            raise pending.error
         from PIL import Image
 
         buf = io.BytesIO()
-        Image.fromarray((np.clip(res.image, 0, 1) * 255).astype(np.uint8)).save(buf, "PNG")
+        Image.fromarray((np.clip(pending.image, 0, 1) * 255).astype(np.uint8)).save(buf, "PNG")
         return buf.getvalue()
 
     def info(self) -> dict:
@@ -90,6 +162,8 @@ class Flux2Server:
             "sharded": self.pipeline.mesh is not None,
             "uptime_s": round(time.time() - self.started, 1),
             "requests_served": self.requests_served,
+            "batches_run": self.batches_run,
+            "max_batch": self.max_batch,
         }
 
 

@@ -165,3 +165,31 @@ def test_compare_embeddings(encoders):
     stats = compare_embeddings(a, b)
     assert stats["max_abs_diff"] == pytest.approx(0.01, rel=1e-3)
     assert 0.9 < stats["cosine_similarity"] <= 1.0
+
+
+def test_serving_micro_batching():
+    """Concurrent same-shape requests coalesce into one batched generate."""
+    import concurrent.futures
+
+    from flux2_tpu.serve import Flux2Server
+    from tests.test_pipeline import tiny_pipeline
+
+    pipe = tiny_pipeline()
+
+    def emb_fn(prompt):
+        key = jax.random.PRNGKey(abs(hash(prompt)) % (2**31))
+        return jax.random.normal(key, (1, 8, pipe.transformer_config.joint_attention_dim))
+
+    server = Flux2Server(pipe, emb_fn, max_batch=4, batch_window_s=0.3)
+    # warm the compiled path so the batch window isn't spent compiling
+    server.generate_png({"prompt": "warm", "width": 64, "height": 64, "steps": 1})
+    base_batches = server.batches_run
+
+    reqs = [{"prompt": f"p{i}", "width": 64, "height": 64, "steps": 1} for i in range(4)]
+    with concurrent.futures.ThreadPoolExecutor(max_workers=4) as ex:
+        pngs = list(ex.map(server.generate_png, reqs))
+    assert all(p[:8] == b"\x89PNG\r\n\x1a\n" for p in pngs)
+    # 4 requests ran in fewer than 4 batches (window coalescing); different
+    # prompts -> different conditioning -> distinct images
+    assert server.batches_run - base_batches < 4
+    assert len({bytes(p) for p in pngs}) == len(pngs)
