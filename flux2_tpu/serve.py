@@ -77,8 +77,16 @@ class Flux2Server:
         self.batch_window_s = batch_window_s
         self._queue: list = []
         self._queue_cv = threading.Condition()
+        self._shutdown = False
         self._worker = threading.Thread(target=self._serve_loop, daemon=True)
         self._worker.start()
+
+    def shutdown(self) -> None:
+        """Stop the batching worker (tests / graceful restarts)."""
+        with self._queue_cv:
+            self._shutdown = True
+            self._queue_cv.notify_all()
+        self._worker.join(timeout=5)
 
     # -- micro-batching worker ------------------------------------------------
 
@@ -93,8 +101,10 @@ class Flux2Server:
     def _serve_loop(self):
         while True:
             with self._queue_cv:
-                while not self._queue:
+                while not self._queue and not self._shutdown:
                     self._queue_cv.wait()
+                if self._shutdown:
+                    return
                 # small window to let same-shape requests coalesce
                 self._queue_cv.wait(self.batch_window_s)
                 key = self._shape_key(self._queue[0].req)

@@ -20,3 +20,22 @@ jax.config.update("jax_platforms", "cpu")
 
 assert jax.default_backend() == "cpu"
 assert len(jax.devices()) == 8
+
+
+import gc
+
+import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Free compiled-program memory between test modules.
+
+    The suite compiles hundreds of programs in one process; on small hosts
+    the accumulated executables have intermittently crashed the XLA CPU
+    client late in the run. Clearing per module keeps the high-water mark
+    bounded (each module recompiles only its own programs).
+    """
+    yield
+    jax.clear_caches()
+    gc.collect()

@@ -116,6 +116,7 @@ def test_serving_endpoint():
         assert e.value.code == 400
     finally:
         httpd.shutdown()
+        server.shutdown()
 
 
 def test_pipeline_with_attached_text_encoder(encoders):
@@ -193,3 +194,4 @@ def test_serving_micro_batching():
     # prompts -> different conditioning -> distinct images
     assert server.batches_run - base_batches < 4
     assert len({bytes(p) for p in pngs}) == len(pngs)
+    server.shutdown()
