@@ -181,3 +181,56 @@ def test_cli_export_quantized_then_fast_path(model_dirs, tmp_path, monkeypatch):
         "--quantization", "qint8", "--width", "64", "--height", "64", "--steps", "1", "-o", out,
     ])
     assert os.path.exists(out)
+
+
+def test_cli_inpaint_from_disk(model_dirs, tmp_path, monkeypatch):
+    """inpaint CLI end-to-end from disk checkpoints."""
+    from PIL import Image
+
+    tdir, vdir = model_dirs
+    img_path = str(tmp_path / "src.png")
+    mask_path = str(tmp_path / "mask.png")
+    Image.fromarray(np.full((64, 64, 3), 128, np.uint8)).save(img_path)
+    m = np.zeros((64, 64), np.uint8)
+    m[:, 32:] = 255
+    Image.fromarray(m, mode="L").save(mask_path)
+
+    import flux2_tpu.cli.main as cli
+
+    monkeypatch.setattr(
+        cli, "_embeddings_for",
+        lambda pipe, args: jax.random.normal(
+            jax.random.PRNGKey(0), (1, 8, pipe.transformer_config.joint_attention_dim), jnp.bfloat16
+        ),
+    )
+    out = str(tmp_path / "inpainted.png")
+    main([
+        "inpaint", "--model", "klein-4b", "--transformer-dir", tdir, "--vae-dir", vdir,
+        "--image", img_path, "--mask", mask_path, "--steps", "1", "-o", out,
+    ])
+    with Image.open(out) as im:
+        assert im.size == (64, 64)
+
+
+def test_cli_outpaint_from_disk(model_dirs, tmp_path, monkeypatch):
+    from PIL import Image
+
+    tdir, vdir = model_dirs
+    img_path = str(tmp_path / "src.png")
+    Image.fromarray(np.full((64, 64, 3), 100, np.uint8)).save(img_path)
+
+    import flux2_tpu.cli.main as cli
+
+    monkeypatch.setattr(
+        cli, "_embeddings_for",
+        lambda pipe, args: jax.random.normal(
+            jax.random.PRNGKey(0), (1, 8, pipe.transformer_config.joint_attention_dim), jnp.bfloat16
+        ),
+    )
+    out = str(tmp_path / "outpainted.png")
+    main([
+        "outpaint", "--model", "klein-4b", "--transformer-dir", tdir, "--vae-dir", vdir,
+        "--image", img_path, "--right", "32", "--steps", "1", "-o", out,
+    ])
+    with Image.open(out) as im:
+        assert im.size == (96, 64)
