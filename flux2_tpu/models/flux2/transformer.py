@@ -50,7 +50,9 @@ Params = Dict[str, Any]
 
 def _linear(key, d_in, d_out, dtype, scale=None):
     scale = scale if scale is not None else d_in**-0.5
-    return jax.random.normal(key, (d_in, d_out), dtype=jnp.float32).astype(dtype) * scale
+    # generate at the target dtype: no f32 transient (random-init of a 4B
+    # model in f32 would exceed a 16 GB chip before the cast)
+    return jax.random.normal(key, (d_in, d_out), dtype=dtype) * jnp.asarray(scale, dtype)
 
 
 def init_params(

@@ -42,7 +42,7 @@ NEG_INF = -1e30  # finite "minus infinity" keeps fully-masked rows NaN-free
 
 
 def _linear(key, d_in, d_out, dtype):
-    return jax.random.normal(key, (d_in, d_out), jnp.float32).astype(dtype) * d_in**-0.5
+    return jax.random.normal(key, (d_in, d_out), dtype=dtype) * jnp.asarray(d_in**-0.5, dtype)
 
 
 def init_params(key: jax.Array, cfg: DecoderConfig, dtype: jnp.dtype = jnp.bfloat16) -> Params:
@@ -56,7 +56,7 @@ def init_params(key: jax.Array, cfg: DecoderConfig, dtype: jnp.dtype = jnp.bfloa
         return jnp.stack([f(k) for k in jax.random.split(next(keys), n)])
 
     params: Params = {
-        "embed_tokens": jax.random.normal(next(keys), (cfg.vocab_size, h), jnp.float32).astype(dtype) * 0.02,
+        "embed_tokens": jax.random.normal(next(keys), (cfg.vocab_size, h), dtype=dtype) * jnp.asarray(0.02, dtype),
         "layers": {
             "input_norm": jnp.ones((n, h), dtype),
             "q_proj": stack(lambda k: _linear(k, h, q_dim, dtype)),
