@@ -1,5 +1,7 @@
 """Mesh/sharding tests on the 8-device virtual CPU mesh."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -86,9 +88,29 @@ def test_sharded_forward_matches_single_device():
 
 
 def test_dryrun_multichip_entrypoint():
-    import __graft_entry__ as g
+    # Run in a subprocess: this is the single heaviest compile in the suite
+    # (full sharded train step over an 8-device mesh) and has intermittently
+    # aborted the shared XLA CPU client when run mid-suite with the
+    # executable-cache high-water mark already elevated. A child process is
+    # also exactly how the driver invokes dryrun_multichip.
+    import pathlib
+    import subprocess
+    import sys
 
-    g.dryrun_multichip(8)
+    repo = pathlib.Path(__file__).resolve().parents[1]
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            "import jax; jax.config.update('jax_platforms', 'cpu');"
+            "import __graft_entry__ as g; g.dryrun_multichip(8)",
+        ],
+        cwd=str(repo), env=env, capture_output=True, text=True, timeout=900,
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
 
 
 def test_sharded_pipeline_generate():
