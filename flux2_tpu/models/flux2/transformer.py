@@ -211,6 +211,7 @@ def double_block(
     attn_bias: Optional[jnp.ndarray] = None,
     kv_extract_span: Optional[Tuple[int, int]] = None,
     blocked_span: Optional[Tuple[int, int, int]] = None,
+    ring: Optional[tuple] = None,
 ):
     """One double-stream block (Flux2TransformerBlock.swift:80-168).
 
@@ -254,7 +255,7 @@ def double_block(
         k = jnp.concatenate([k[:, :, :s_txt], ck, k[:, :, s_txt:]], axis=2)
         v = jnp.concatenate([v[:, :, :s_txt], cv, v[:, :, s_txt:]], axis=2)
 
-    attn = sdpa(q, k, v, bias=attn_bias, blocked_span=blocked_span)
+    attn = sdpa(q, k, v, bias=attn_bias, blocked_span=blocked_span, ring=ring)
     txt_attn, img_attn = attn[:, :, :s_txt], attn[:, :, s_txt:]
 
     img = img + gate(mm(_unheads(img_attn), bp["to_out"]), bp_gate(img_mod, 0))
@@ -282,6 +283,7 @@ def single_block(
     attn_bias: Optional[jnp.ndarray] = None,
     kv_extract_span: Optional[Tuple[int, int]] = None,
     blocked_span: Optional[Tuple[int, int, int]] = None,
+    ring: Optional[tuple] = None,
 ):
     """One single-stream block (Flux2SingleBlock.swift:59-98).
 
@@ -310,7 +312,7 @@ def single_block(
         k = jnp.concatenate([k[:, :, :txt_len], ck, k[:, :, txt_len:]], axis=2)
         v = jnp.concatenate([v[:, :, :txt_len], cv, v[:, :, txt_len:]], axis=2)
 
-    attn = _unheads(sdpa(q, k, v, bias=attn_bias, blocked_span=blocked_span))
+    attn = _unheads(sdpa(q, k, v, bias=attn_bias, blocked_span=blocked_span, ring=ring))
     mlp = jax.nn.silu(mm(x_n, bp["mlp_gate"])) * (mm(x_n, bp["mlp_up"]))
     out = mm(attn, bp["out_attn"]) + mm(mlp, bp["out_mlp"])
     res = x + gate(out, bp_gate(mod, 0))
@@ -355,6 +357,7 @@ def forward(
     rope_sin: jnp.ndarray,
     guidance: Optional[jnp.ndarray] = None,  # [B]
     remat: "bool | str" = False,
+    ring: Optional[tuple] = None,
 ) -> jnp.ndarray:
     """DiT forward: [B, S_img, 128] velocity prediction.
 
@@ -363,6 +366,13 @@ def forward(
     False = none; True or "block" = full per-block recompute;
     "dots" = per-block but keep matmul outputs resident
     (checkpoint_dots_with_no_batch_dims — less recompute, more memory).
+
+    ``ring=(mesh, axis)`` enables sequence-parallel ring attention in every
+    block: the joint [txt;img] token axis is sharded over ``axis`` and K/V
+    shards rotate over the ICI ring — per-device attention memory drops from
+    O(S^2) to O((S/n)^2), the TPU-native answer to the reference's max-pixel
+    caps on long multi-reference sequences. Total tokens must divide by the
+    axis size.
     """
     d = config.inner_dim
     nh = config.num_attention_heads
@@ -386,7 +396,7 @@ def forward(
 
     def double_body(carry, bp):
         i, t = carry
-        fn = _remat_wrap(functools.partial(double_block, num_heads=nh), remat)
+        fn = _remat_wrap(functools.partial(double_block, num_heads=nh, ring=ring), remat)
         i, t = fn(bp, i, t, img_mod, txt_mod, rope_cos, rope_sin)
         return (i, t), None
 
@@ -395,7 +405,7 @@ def forward(
     x = jnp.concatenate([txt, img], axis=1)
 
     def single_body(carry, bp):
-        fn = _remat_wrap(functools.partial(single_block, num_heads=nh), remat)
+        fn = _remat_wrap(functools.partial(single_block, num_heads=nh, ring=ring), remat)
         return fn(bp, carry, single_mod, rope_cos, rope_sin), None
 
     x, _ = jax.lax.scan(single_body, x, params["single_blocks"])

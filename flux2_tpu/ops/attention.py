@@ -61,13 +61,26 @@ def sdpa(
     scale: Optional[float] = None,
     bias: Optional[jnp.ndarray] = None,
     blocked_span: Optional[tuple] = None,
+    ring: Optional[tuple] = None,
 ) -> jnp.ndarray:
     """Dispatching scaled dot-product attention ([B, H, S, D]).
 
     ``blocked_span=(q0, q1, k0)``: contiguous-segment mask (queries in
     [q0, q1) blind to keys >= k0) — O(1) metadata instead of an O(S^2)
     additive bias; the flash kernel applies it in-tile.
+
+    ``ring=(mesh, axis)``: sequence-parallel exact attention — the token
+    axis is sharded over ``mesh.shape[axis]`` devices and K/V blocks rotate
+    around the ICI ring (``flux2_tpu.parallel.ring_attention``). Only taken
+    for unmasked attention (bias/blocked_span fall back to the dense paths,
+    which the masked KV-extract pass uses once per generation).
     """
+    if ring is not None and bias is None and blocked_span is None:
+        from flux2_tpu.parallel.ring_attention import ring_attention
+
+        mesh, axis = ring
+        if q.shape[2] % mesh.shape[axis] == 0 and k.shape[2] % mesh.shape[axis] == 0:
+            return ring_attention(q, k, v, mesh=mesh, axis=axis, scale=scale)
     if bias is None and _flash_enabled() and _on_tpu():
         from flux2_tpu.ops import flash_attention as fa
 

@@ -69,6 +69,7 @@ class Flux2Pipeline:
     text_encoder: Optional[Any] = None  # EmbeddingExtractor (callable prompt -> emb)
     max_pixels: int = 4096 * 4096
     mesh: Optional[Any] = None  # jax.sharding.Mesh; set via shard()
+    ring: Optional[Any] = None  # (mesh, axis) for sequence-parallel attention; set via shard()
 
     # ------------------------------------------------------------------
     # Construction helpers
@@ -96,19 +97,28 @@ class Flux2Pipeline:
             vae_config=vc,
         )
 
-    def shard(self, mesh) -> "Flux2Pipeline":
+    def shard(self, mesh, context_parallel: bool = False) -> "Flux2Pipeline":
         """Distribute parameters over a (data, fsdp, tp) mesh.
 
         The reference's scale levers (phase-wise load/unload, eval
         segmentation, cache limits — Flux2Pipeline.swift:89-98) are replaced
         wholesale by GSPMD sharding: DiT attention heads + MLP hidden shard
         over tp, weights-at-rest over fsdp, and XLA inserts the collectives.
+
+        ``context_parallel=True`` additionally runs every attention as
+        sequence-parallel ring attention over the tp axis (token axis sharded,
+        K/V rotating on the ICI ring) — the long-sequence lever for
+        multi-reference I2I where the joint sequence outgrows one chip's
+        O(S^2/n) attention memory. Requires the joint token count to divide
+        by the tp size.
         """
         from flux2_tpu.parallel import sharding as sh
+        from flux2_tpu.parallel.mesh import TP_AXIS
 
         self.transformer_params = sh.shard_params(self.transformer_params, mesh, sh.DIT_RULES)
         self.vae_params = sh.shard_params(self.vae_params, mesh, sh.VAE_RULES)
         self.mesh = mesh
+        self.ring = (mesh, TP_AXIS) if context_parallel else None
         return self
 
     def _mesh_ctx(self):
@@ -255,6 +265,7 @@ class Flux2Pipeline:
                   self.model.uses_classical_cfg,
                   _make_progress_cb(on_progress, schedule.num_steps),
                   collect,
+                  self.ring,
               )
               if collect:
                   final_seq, intermediates = final_seq
@@ -348,7 +359,9 @@ class Flux2Pipeline:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("config", "hook", "use_guidance_embeds", "use_cfg", "progress_cb", "collect_latents"),
+    static_argnames=(
+        "config", "hook", "use_guidance_embeds", "use_cfg", "progress_cb", "collect_latents", "ring",
+    ),
 )
 def _denoise(
     params,
@@ -366,6 +379,7 @@ def _denoise(
     use_cfg: bool,
     progress_cb=None,
     collect_latents: bool = False,
+    ring=None,  # (Mesh, axis) -> sequence-parallel ring attention in every block
 ):
     b = latents_seq.shape[0]
     s_img = latents_seq.shape[1]
@@ -391,11 +405,11 @@ def _denoise(
             emb2 = jnp.concatenate([embeddings, negative_embeddings], axis=0)
             t2 = jnp.concatenate([tstep, tstep], axis=0)
             g2 = jnp.concatenate([g, g], axis=0) if g is not None else None
-            v2 = tfm.forward(params, config, x2, emb2, t2, rope_cos, rope_sin, guidance=g2)
+            v2 = tfm.forward(params, config, x2, emb2, t2, rope_cos, rope_sin, guidance=g2, ring=ring)
             v_cond, v_uncond = v2[:b], v2[b:]
             v = v_uncond + guidance.astype(v2.dtype) * (v_cond - v_uncond)
         else:
-            v = tfm.forward(params, config, x, embeddings, tstep, rope_cos, rope_sin, guidance=g)
+            v = tfm.forward(params, config, x, embeddings, tstep, rope_cos, rope_sin, guidance=g, ring=ring)
         return v[:, :s_img].astype(jnp.float32)  # slice off reference tokens
 
     def body(carry, inp):

@@ -144,6 +144,55 @@ def test_ring_attention_matches_full():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
+def test_ring_forward_matches_dense():
+    """Full DiT forward with sequence-parallel ring attention in every block
+    == the dense forward (exact online softmax, lifted to device shards)."""
+    from flux2_tpu.ops import latents as lu
+    from flux2_tpu.ops.rope import rope_embeddings
+
+    config = cfg.Flux2TransformerConfig(
+        num_layers=1, num_single_layers=2, num_attention_heads=2,
+        attention_head_dim=128, joint_attention_dim=96, guidance_embeds=False,
+    )
+    params = tfm.init_params(jax.random.PRNGKey(0), config, dtype=jnp.float32)
+
+    s_txt, h, w = 8, 64, 64  # joint sequence 8 + 16 = 24 = 8 devices x 3
+    hidden = jax.random.normal(jax.random.PRNGKey(1), (1, 16, 128))
+    txt = jax.random.normal(jax.random.PRNGKey(2), (1, s_txt, 96))
+    ids = np.concatenate([lu.text_position_ids(s_txt), lu.image_position_ids(h, w)], axis=0)
+    cos, sin = rope_embeddings(jnp.asarray(ids))
+    t = jnp.array([0.5])
+
+    ref = tfm.forward(params, config, hidden, txt, t, cos, sin)
+
+    mesh = mesh_mod.make_mesh(data=1, fsdp=1, tp=8)
+
+    @jax.jit
+    def fwd_ring(p, x, e):
+        return tfm.forward(p, config, x, e, t, cos, sin, ring=(mesh, "tp"))
+
+    with mesh:
+        out = fwd_ring(params, hidden, txt)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+
+
+def test_context_parallel_pipeline_generate():
+    """generate() under shard(mesh, context_parallel=True) == unsharded
+    (joint sequence 8 txt + 16 img = 24 tokens over tp=8)."""
+    from tests.test_pipeline import tiny_pipeline, _emb
+
+    pipe = tiny_pipeline()
+    emb = _emb(pipe, s_txt=8)
+    ref = pipe.generate(embeddings=emb, height=64, width=64, num_steps=2, seed=7)
+
+    pipe_cp = tiny_pipeline().shard(
+        mesh_mod.make_mesh(data=1, fsdp=1, tp=8), context_parallel=True
+    )
+    assert pipe_cp.ring is not None
+    out = pipe_cp.generate(embeddings=emb, height=64, width=64, num_steps=2, seed=7)
+    np.testing.assert_allclose(out.image, ref.image, atol=2e-3)
+
+
 def test_ring_attention_rejects_indivisible():
     from flux2_tpu.parallel import ring_attention as ra
 
