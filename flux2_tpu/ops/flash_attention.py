@@ -26,8 +26,19 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 DEFAULT_BLOCK_Q = 512
-DEFAULT_BLOCK_K = 512
+DEFAULT_BLOCK_K = None  # adaptive: whole KV in one block when it fits (see _pick_block_k)
+# Largest single KV block: the f32 [block_q, block_k] logits tile is the VMEM
+# driver (512 x 6144 x 4 B = 12.6 MB); one block removes every online-softmax
+# rescale pass. Measured on v5e, Klein-4B 1024^2 (S_kv = 4608): one block =
+# 239.6 ms/step vs 273.5 at block_k=512 (-12%).
+MAX_SINGLE_BLOCK_K = 6144
+TILED_BLOCK_K = 1024  # beyond that, 1024 beat 512 at full-model level
 NEG_INF = -1e30
+
+
+def _pick_block_k(s_k: int) -> int:
+    padded = _round_up(s_k, 128)
+    return padded if padded <= MAX_SINGLE_BLOCK_K else TILED_BLOCK_K
 
 
 def supported(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> bool:
@@ -129,7 +140,7 @@ def _flash_impl(
     v: jnp.ndarray,
     scale: Optional[float] = None,
     block_q: int = DEFAULT_BLOCK_Q,
-    block_k: int = DEFAULT_BLOCK_K,
+    block_k: Optional[int] = DEFAULT_BLOCK_K,
     interpret: bool = False,
     blocked_span: Optional[tuple] = None,
     return_lse: bool = False,
@@ -139,6 +150,8 @@ def _flash_impl(
     if scale is None:
         scale = d**-0.5
 
+    if block_k is None:
+        block_k = _pick_block_k(s_k)
     block_q = min(block_q, _round_up(s_q, 128))
     block_k = min(block_k, _round_up(s_k, 128))
 
@@ -299,6 +312,8 @@ def _flash_backward(
     s_k = k.shape[2]
     bh = b * h
 
+    if block_k is None:
+        block_k = _pick_block_k(s_k)
     block_q = min(block_q, _round_up(s_q, 128))
     block_k = min(block_k, _round_up(s_k, 128))
     q_pad = _pad_seq(q, block_q)
@@ -436,11 +451,15 @@ def flash_attention(
     v: jnp.ndarray,
     scale: Optional[float] = None,
     block_q: int = DEFAULT_BLOCK_Q,
-    block_k: int = DEFAULT_BLOCK_K,
+    block_k: Optional[int] = DEFAULT_BLOCK_K,
     interpret: bool = False,
     blocked_span: Optional[tuple] = None,
 ) -> jnp.ndarray:
     """Non-causal flash attention. q/k/v: [B, H, S, D] -> [B, H, S_q, D].
+
+    ``block_k=None`` (default) picks the tile adaptively: the whole padded KV
+    as one block when <= MAX_SINGLE_BLOCK_K (single softmax pass, no online
+    rescaling), else 1024-wide tiles.
 
     Differentiable (custom VJP with XLA-recompute backward).
     ``blocked_span=(q_start, q_end, k_start)``: contiguous-segment masking —
