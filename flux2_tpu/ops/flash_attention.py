@@ -27,11 +27,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 DEFAULT_BLOCK_Q = 512
 DEFAULT_BLOCK_K = None  # adaptive: whole KV in one block when it fits (see _pick_block_k)
-# Largest single KV block: the f32 [block_q, block_k] logits tile is the VMEM
-# driver (512 x 6144 x 4 B = 12.6 MB); one block removes every online-softmax
-# rescale pass. Measured on v5e, Klein-4B 1024^2 (S_kv = 4608): one block =
-# 239.6 ms/step vs 273.5 at block_k=512 (-12%).
-MAX_SINGLE_BLOCK_K = 6144
+# Largest single KV block: one block removes every online-softmax rescale
+# pass. Measured on v5e, Klein-4B 1024^2 (S_kv = 4608): one block =
+# 239.6 ms/step vs 273.5 at block_k=512 (-12%). 4608 is also the empirical
+# ceiling — at bq=512 the kernel's scoped VMEM (16 MB: f32 logits tile +
+# operand buffers) compiles at 4608 keys and OOMs at 5120 (probed on v5e).
+MAX_SINGLE_BLOCK_K = 4608
 TILED_BLOCK_K = 1024  # beyond that, 1024 beat 512 at full-model level
 NEG_INF = -1e30
 
