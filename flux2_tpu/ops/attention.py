@@ -29,6 +29,18 @@ def _flash_enabled() -> bool:
     return os.environ.get("FLUX2_DISABLE_FLASH", "0") != "1"
 
 
+@functools.lru_cache(maxsize=64)
+def _warn_ring_fallback(s_q: int, s_k: int, n: int) -> None:
+    """Once per shape: context parallelism was requested but not taken."""
+    import logging
+
+    logging.getLogger("flux2_tpu").warning(
+        "ring attention requested but sequence (%d q / %d kv tokens) is not "
+        "divisible by the %d-way mesh axis; falling back to dense attention "
+        "(no context-parallel memory savings for this shape)", s_q, s_k, n,
+    )
+
+
 def _on_tpu() -> bool:
     try:
         return jax.default_backend() == "tpu"
@@ -81,6 +93,7 @@ def sdpa(
         mesh, axis = ring
         if q.shape[2] % mesh.shape[axis] == 0 and k.shape[2] % mesh.shape[axis] == 0:
             return ring_attention(q, k, v, mesh=mesh, axis=axis, scale=scale)
+        _warn_ring_fallback(q.shape[2], k.shape[2], mesh.shape[axis])
     if bias is None and _flash_enabled() and _on_tpu():
         from flux2_tpu.ops import flash_attention as fa
 

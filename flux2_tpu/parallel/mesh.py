@@ -1,7 +1,7 @@
 """Device mesh construction for flux2-tpu.
 
 The reference is strictly single-device (SURVEY.md §2.6); parallelism is a
-new first-class subsystem here. One mesh, three axes:
+new first-class subsystem here. One mesh, four axes:
 
   - ``data``: data parallelism (batch > 1 generation, LoRA training).
   - ``fsdp``: weight sharding for the 32B DiT / 24B encoder (ZeRO-3 style —
@@ -9,9 +9,16 @@ new first-class subsystem here. One mesh, three axes:
   - ``tp``  : tensor parallelism inside each DiT block (attention heads and
     MLP hidden sharded; XLA inserts the psum on the row-parallel output
     projections).
+  - ``sp``  : sequence (context) parallelism — the joint token axis sharded
+    for ring attention on very long multi-reference sequences. Size 1 unless
+    requested; keeping it separate from ``tp`` avoids the head-sharded ↔
+    seq-sharded layout flip (an involuntary full reshard) at the ring's
+    shard_map boundary.
 
-Axes are sized so ``data * fsdp * tp == len(devices)``; collectives ride ICI
-when the mesh is built from a contiguous slice (jax's default device order).
+Axes are sized so ``data * fsdp * tp * sp == len(devices)``; collectives
+ride ICI when the mesh is built from a contiguous slice (jax's default
+device order). ``sp`` is innermost so ring ppermute hops are
+nearest-neighbor.
 """
 
 from __future__ import annotations
@@ -25,19 +32,21 @@ from jax.sharding import Mesh
 DATA_AXIS = "data"
 FSDP_AXIS = "fsdp"
 TP_AXIS = "tp"
-AXIS_NAMES = (DATA_AXIS, FSDP_AXIS, TP_AXIS)
+SP_AXIS = "sp"
+AXIS_NAMES = (DATA_AXIS, FSDP_AXIS, TP_AXIS, SP_AXIS)
 
 
 def make_mesh(
     data: int = 1,
     fsdp: int = 1,
     tp: int = -1,
+    sp: int = 1,
     devices: Optional[Sequence[jax.Device]] = None,
 ) -> Mesh:
-    """Build a (data, fsdp, tp) mesh. ``-1`` sizes one axis from the rest."""
+    """Build a (data, fsdp, tp, sp) mesh. ``-1`` sizes one axis from the rest."""
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
-    sizes = [data, fsdp, tp]
+    sizes = [data, fsdp, tp, sp]
     if sizes.count(-1) > 1:
         raise ValueError("at most one axis may be -1")
     if -1 in sizes:
@@ -53,7 +62,7 @@ def make_mesh(
 
 def single_device_mesh(device: Optional[jax.Device] = None) -> Mesh:
     dev = device if device is not None else jax.devices()[0]
-    return Mesh(np.asarray([dev]).reshape(1, 1, 1), AXIS_NAMES)
+    return Mesh(np.asarray([dev]).reshape(1, 1, 1, 1), AXIS_NAMES)
 
 
 def best_mesh_for_inference(n_devices: Optional[int] = None) -> Mesh:

@@ -106,19 +106,25 @@ class Flux2Pipeline:
         over tp, weights-at-rest over fsdp, and XLA inserts the collectives.
 
         ``context_parallel=True`` additionally runs every attention as
-        sequence-parallel ring attention over the tp axis (token axis sharded,
-        K/V rotating on the ICI ring) — the long-sequence lever for
-        multi-reference I2I where the joint sequence outgrows one chip's
-        O(S^2/n) attention memory. Requires the joint token count to divide
-        by the tp size.
+        sequence-parallel ring attention (token axis sharded, K/V rotating
+        on the ICI ring) — the long-sequence lever for multi-reference I2I
+        where the joint sequence outgrows one chip's O(S^2/n) attention
+        memory. Uses the dedicated ``sp`` axis when the mesh sizes it (>1),
+        else the ``tp`` axis (which costs a head-sharded -> seq-sharded
+        reshard at the ring boundary). Requires the joint token count to
+        divide by the chosen axis size.
         """
         from flux2_tpu.parallel import sharding as sh
-        from flux2_tpu.parallel.mesh import TP_AXIS
+        from flux2_tpu.parallel.mesh import SP_AXIS, TP_AXIS
 
         self.transformer_params = sh.shard_params(self.transformer_params, mesh, sh.DIT_RULES)
         self.vae_params = sh.shard_params(self.vae_params, mesh, sh.VAE_RULES)
         self.mesh = mesh
-        self.ring = (mesh, TP_AXIS) if context_parallel else None
+        if context_parallel:
+            axis = SP_AXIS if mesh.shape.get(SP_AXIS, 1) > 1 else TP_AXIS
+            self.ring = (mesh, axis)
+        else:
+            self.ring = None
         return self
 
     def _mesh_ctx(self):

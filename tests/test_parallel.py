@@ -16,16 +16,18 @@ from flux2_tpu.parallel import sharding as sh
 
 def test_make_mesh_shapes():
     m = mesh_mod.make_mesh(data=2, fsdp=2, tp=2)
-    assert m.shape == {"data": 2, "fsdp": 2, "tp": 2}
+    assert m.shape == {"data": 2, "fsdp": 2, "tp": 2, "sp": 1}
     m2 = mesh_mod.make_mesh(data=1, fsdp=1, tp=-1)
     assert m2.shape["tp"] == 8
+    m3 = mesh_mod.make_mesh(data=1, fsdp=1, tp=2, sp=4)
+    assert m3.shape["sp"] == 4
     with pytest.raises(ValueError):
         mesh_mod.make_mesh(data=3, fsdp=1, tp=1)
 
 
 def test_single_device_mesh():
     m = mesh_mod.single_device_mesh()
-    assert m.shape == {"data": 1, "fsdp": 1, "tp": 1}
+    assert m.shape == {"data": 1, "fsdp": 1, "tp": 1, "sp": 1}
 
 
 def test_dit_param_sharding_resolves():
@@ -189,6 +191,22 @@ def test_context_parallel_pipeline_generate():
         mesh_mod.make_mesh(data=1, fsdp=1, tp=8), context_parallel=True
     )
     assert pipe_cp.ring is not None
+    out = pipe_cp.generate(embeddings=emb, height=64, width=64, num_steps=2, seed=7)
+    np.testing.assert_allclose(out.image, ref.image, atol=2e-3)
+
+
+def test_context_parallel_prefers_sp_axis():
+    """With the mesh sizing sp>1, CP rings over sp (tp keeps head sharding —
+    no layout flip at the shard_map boundary) and still matches unsharded."""
+    from tests.test_pipeline import tiny_pipeline, _emb
+
+    pipe = tiny_pipeline()
+    emb = _emb(pipe, s_txt=8)
+    ref = pipe.generate(embeddings=emb, height=64, width=64, num_steps=2, seed=7)
+
+    mesh = mesh_mod.make_mesh(data=1, fsdp=1, tp=2, sp=4)
+    pipe_cp = tiny_pipeline().shard(mesh, context_parallel=True)
+    assert pipe_cp.ring == (mesh, "sp")
     out = pipe_cp.generate(embeddings=emb, height=64, width=64, num_steps=2, seed=7)
     np.testing.assert_allclose(out.image, ref.image, atol=2e-3)
 
