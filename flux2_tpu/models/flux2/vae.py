@@ -229,7 +229,13 @@ def _resnet_fwd(p: Params, x: jnp.ndarray, groups: int, eps: float) -> jnp.ndarr
 
 
 def _attn_fwd(p: Params, x: jnp.ndarray, groups: int, eps: float) -> jnp.ndarray:
-    """Single-head spatial self-attention in the mid blocks (ResnetBlock.swift:262+)."""
+    """Single-head spatial self-attention in the mid blocks (ResnetBlock.swift:262+).
+
+    Deliberately the dense XLA path, NOT the flash kernel: measured on v5e at
+    1024px (16384 tokens, f32), full decode is 134.8 ms dense vs 144.8 ms
+    through flash — the VAE is conv-dominated and f32, and XLA's fused
+    einsum+softmax wins at this single-head shape.
+    """
     b, h, w, c = x.shape
     hidden = group_norm(x, p["group_norm"]["scale"], p["group_norm"]["bias"], groups, eps)
     hidden = hidden.reshape(b, h * w, c)
