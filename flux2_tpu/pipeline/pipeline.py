@@ -159,6 +159,7 @@ class Flux2Pipeline:
         reference_ids: Optional[np.ndarray] = None,  # [S_ref, 4]
         strength: float = 1.0,
         init_latents: Optional[jnp.ndarray] = None,  # [B, S_img, 128] packed+normalized
+        noise: Optional[jnp.ndarray] = None,  # [B, S_img, 128] initial noise (overrides seed)
         custom_sigmas: Optional[Sequence[float]] = None,
         step_hook: Optional[StepHook] = None,
         decode: bool = True,
@@ -201,10 +202,16 @@ class Flux2Pipeline:
         # Batch follows the conditioning: [B, 512, joint] embeddings drive
         # B images per call (the data axis of the mesh shards it).
         batch = int(embeddings.shape[0])
-        key = jax.random.PRNGKey(seed)
-        key, noise_key = jax.random.split(key)
-        noise = lu.generate_patchified_latents(noise_key, height, width, batch_size=batch)
-        noise_seq = lu.pack_patchified_to_sequence(noise)
+        if noise is not None:
+            # per-row noise injection (the serving micro-batcher honors each
+            # request's seed this way; rows stay reproducible independent of
+            # batch composition)
+            noise_seq = jnp.asarray(noise, jnp.float32)
+        else:
+            key = jax.random.PRNGKey(seed)
+            key, noise_key = jax.random.split(key)
+            noise_p = lu.generate_patchified_latents(noise_key, height, width, batch_size=batch)
+            noise_seq = lu.pack_patchified_to_sequence(noise_p)
         if init_latents is not None and strength < 1.0:
             # img2img: mix encoded image with noise at the starting sigma.
             latents_seq = sch.scale_noise(init_latents, schedule.initial_sigma, noise_seq)

@@ -114,13 +114,27 @@ class Flux2Server:
             self._run_batch(batch)
 
     def _run_batch(self, batch):
+        import jax
         import jax.numpy as jnp
+
+        from flux2_tpu.ops import latents as lu
 
         try:
             h, w, steps, guidance = self._shape_key(batch[0].req)
             emb = None
             if batch[0].emb is not None:
                 emb = jnp.concatenate([p.emb for p in batch], axis=0)
+            # Per-request noise so every request's seed is honored even when
+            # coalesced: row i is identical to a solo generate(seed=seed_i).
+            hv, wv = lu.validate_dimensions(h, w)
+            noise_rows = []
+            for p in batch:
+                k = jax.random.split(jax.random.PRNGKey(int(p.req.get("seed", 0))))[1]
+                noise_rows.append(
+                    lu.pack_patchified_to_sequence(
+                        lu.generate_patchified_latents(k, hv, wv, batch_size=1)
+                    )
+                )
             res = self.pipeline.generate(
                 prompt=batch[0].req.get("prompt", ""),
                 embeddings=emb,
@@ -129,6 +143,7 @@ class Flux2Server:
                 num_steps=steps,
                 guidance=guidance,
                 seed=int(batch[0].req.get("seed", 0)),
+                noise=jnp.concatenate(noise_rows, axis=0),
             )
             images = res.images if res.images is not None else res.image[None]
             for i, p in enumerate(batch):
