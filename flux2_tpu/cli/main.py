@@ -122,6 +122,25 @@ def build_pipeline(args) -> "Flux2Pipeline":
             pipe.transformer_params, [loaded], pipe.transformer_config
         )
         flog.info(f"merged LoRA {path} (scale {loaded.scale:.3f})")
+
+    # Multi-chip sharding (GSPMD): --shard 'data,fsdp,tp[,sp]' or --shard auto
+    spec = getattr(args, "shard", None)
+    if spec:
+        from flux2_tpu.parallel import mesh as mesh_mod
+
+        if spec == "auto":
+            mesh = mesh_mod.best_mesh_for_inference()
+        else:
+            try:
+                dims = [int(x) for x in spec.split(",")]
+            except ValueError:
+                dims = []
+            if len(dims) not in (3, 4):
+                raise SystemExit("--shard expects 'data,fsdp,tp' or 'data,fsdp,tp,sp' or 'auto'")
+            sp = dims[3] if len(dims) == 4 else 1
+            mesh = mesh_mod.make_mesh(data=dims[0], fsdp=dims[1], tp=dims[2], sp=sp)
+        pipe.shard(mesh, context_parallel=getattr(args, "context_parallel", False))
+        flog.info(f"sharded over mesh {dict(mesh.shape)}")
     return pipe
 
 
@@ -411,6 +430,13 @@ def _add_common(p, with_gen=True):
         help="load quantized checkpoints but run bf16 (fast); default keeps weights quantized in HBM",
     )
     p.add_argument("--lora", action="append", help="path[:scale], repeatable")
+    p.add_argument(
+        "--shard", help="mesh spec 'data,fsdp,tp[,sp]' or 'auto' (all devices on tp)"
+    )
+    p.add_argument(
+        "--context-parallel", action="store_true",
+        help="ring attention over the sp (or tp) axis for long sequences",
+    )
     if with_gen:
         p.add_argument("--prompt", default="")
         p.add_argument("--width", type=int, default=1024)

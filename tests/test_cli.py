@@ -112,3 +112,40 @@ training:
     state = json.loads((ckpt / "training_state.json").read_text())
     assert state["step"] == 2
     assert len(state["loss_history"]) == 2
+
+
+@pytest.fixture()
+def _tiny_model_config():
+    """Shrink Flux2Model.transformer_config so --random-init is CPU-feasible
+    (full Klein-4B random-init aborts the CPU client)."""
+    from flux2_tpu.models.flux2 import config as cfg_mod
+
+    tiny = cfg_mod.Flux2TransformerConfig(
+        num_layers=1, num_single_layers=2, num_attention_heads=2,
+        attention_head_dim=128, joint_attention_dim=96, guidance_embeds=False,
+    )
+    orig = cfg_mod.Flux2Model.transformer_config
+    cfg_mod.Flux2Model.transformer_config = property(lambda self: tiny)
+    try:
+        yield
+    finally:
+        cfg_mod.Flux2Model.transformer_config = orig
+
+
+def test_cli_shard_flag(tmp_path, _tiny_model_config):
+    """--shard data,fsdp,tp[,sp] shards the pipeline on the virtual mesh."""
+    out = str(tmp_path / "sharded.png")
+    main([
+        "t2i", "--random-init", "--width", "64", "--height", "64", "--steps", "1",
+        "--shard", "1,2,4", "-o", out,
+    ])
+    assert os.path.exists(out)
+
+
+def test_cli_shard_context_parallel(tmp_path, _tiny_model_config):
+    out = str(tmp_path / "cp.png")
+    main([
+        "t2i", "--random-init", "--width", "64", "--height", "64", "--steps", "1",
+        "--shard", "1,1,2,4", "--context-parallel", "-o", out,
+    ])
+    assert os.path.exists(out)
