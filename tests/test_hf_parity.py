@@ -1,0 +1,217 @@
+"""Cross-framework fidelity: our generic GQA decoder vs HuggingFace
+transformers' torch reference implementations with IDENTICAL weights.
+
+The reference validates its Mistral/Qwen3 ports against mlx-lm outputs
+(SURVEY.md §4); with no checkpoints in this environment, HF transformers
+(torch CPU) is the independent oracle: random-init a tiny HF model, map its
+state_dict through ``map_decoder_weights`` (the same path real checkpoints
+take), and demand logits + hidden-state agreement.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+from flux2_tpu.io.weight_mapping import map_decoder_weights
+from flux2_tpu.models.text_encoders import decoder as dec
+from flux2_tpu.models.text_encoders.config import DecoderConfig
+
+
+def _to_numpy_state(model):
+    return {k: v.detach().to(torch.float32).numpy() for k, v in model.state_dict().items()}
+
+
+def _run_ours(cfg, params, ids, mask):
+    hs = dec.forward_hidden_states(
+        params, cfg, jnp.asarray(ids, jnp.int32), jnp.asarray(mask, jnp.int32)
+    )
+    logits = dec.forward_logits(
+        params, cfg, jnp.asarray(ids, jnp.int32), jnp.asarray(mask, jnp.int32)
+    )
+    return np.asarray(hs), np.asarray(logits)
+
+
+def _run_hf(model, ids, mask):
+    with torch.no_grad():
+        out = model(
+            input_ids=torch.tensor(ids, dtype=torch.long),
+            attention_mask=torch.tensor(mask, dtype=torch.long),
+            output_hidden_states=True,
+        )
+    hs = np.stack([h.to(torch.float32).numpy() for h in out.hidden_states])
+    return hs, out.logits.to(torch.float32).numpy()
+
+
+def _compare(cfg, params, model, seed=0):
+    rng = np.random.default_rng(seed)
+    b, s = 2, 12
+    ids = rng.integers(0, cfg.vocab_size, size=(b, s))
+    # row 0 dense; row 1 LEFT-padded (the conditioning recipe's padding side)
+    mask = np.ones((b, s), np.int64)
+    mask[1, :4] = 0
+    ids[1, :4] = 0
+
+    ours_hs, ours_logits = _run_ours(cfg, params, ids, mask)
+    hf_hs, hf_logits = _run_hf(model, ids, mask)
+
+    # HF's LAST hidden state is post-final-norm; ours is the raw layer output
+    # (the conditioning recipe never reads the last layer). Compare the rest.
+    valid = mask.astype(bool)
+    for li in range(cfg.num_hidden_layers):  # embeddings + all but last
+        d = np.abs(ours_hs[li] - hf_hs[li])[valid].max()
+        assert d < 5e-5, (li, d)
+    dlog = np.abs(ours_logits - hf_logits)[valid].max()
+    assert dlog < 5e-4, dlog
+
+
+def test_qwen3_parity_vs_hf():
+    """Qwen3 semantics: GQA + per-head q/k RMSNorm before RoPE + tied lm_head."""
+    hf_cfg = transformers.Qwen3Config(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=3, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=32, rms_norm_eps=1e-6, rope_theta=1_000_000.0,
+        tie_word_embeddings=True, attention_bias=False,
+    )
+    torch.manual_seed(0)
+    model = transformers.Qwen3ForCausalLM(hf_cfg).eval()
+
+    cfg = DecoderConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=3, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=32, rms_norm_eps=1e-6, rope_theta=1_000_000.0,
+        tie_word_embeddings=True, qk_norm=True,
+    )
+    params = map_decoder_weights(_to_numpy_state(model), cfg)
+    _compare(cfg, params, model)
+
+
+def test_mistral_parity_vs_hf():
+    """Mistral semantics: plain GQA, untied lm_head, no qk-norm."""
+    hf_cfg = transformers.MistralConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=3, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, rms_norm_eps=1e-5, rope_theta=1_000_000.0,
+        tie_word_embeddings=False, sliding_window=None,
+    )
+    torch.manual_seed(1)
+    model = transformers.MistralForCausalLM(hf_cfg).eval()
+
+    cfg = DecoderConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=3, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, rms_norm_eps=1e-5, rope_theta=1_000_000.0,
+        tie_word_embeddings=False, qk_norm=False,
+    )
+    params = map_decoder_weights(_to_numpy_state(model), cfg)
+    _compare(cfg, params, model, seed=2)
+
+
+def test_pixtral_vision_parity_vs_hf():
+    """Pixtral ViT semantics: patch conv, 2D alternating-axis RoPE, pre-LN
+    RMSNorm blocks, SiLU-gated MLP — vs HF PixtralVisionModel."""
+    from flux2_tpu.models.text_encoders import pixtral as px
+
+    hf_cfg = transformers.PixtralVisionConfig(
+        hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+        num_attention_heads=2, patch_size=14, image_size=14 * 8,
+        hidden_act="silu", rope_theta=10000.0,
+    )
+    torch.manual_seed(3)
+    model = transformers.PixtralVisionModel(hf_cfg).eval()
+    sd = _to_numpy_state(model)
+
+    cfg = px.PixtralVisionConfig(
+        hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+        num_attention_heads=2, patch_size=14, image_size=14 * 8,
+    )
+    p = cfg.patch_size
+    blocks = []
+    for i in range(cfg.num_hidden_layers):
+        pre = f"transformer.layers.{i}."
+        blocks.append({
+            "attention_norm": jnp.asarray(sd[pre + "attention_norm.weight"]),
+            "q_proj": jnp.asarray(sd[pre + "attention.q_proj.weight"].T),
+            "k_proj": jnp.asarray(sd[pre + "attention.k_proj.weight"].T),
+            "v_proj": jnp.asarray(sd[pre + "attention.v_proj.weight"].T),
+            "o_proj": jnp.asarray(sd[pre + "attention.o_proj.weight"].T),
+            "ffn_norm": jnp.asarray(sd[pre + "ffn_norm.weight"]),
+            "gate_proj": jnp.asarray(sd[pre + "feed_forward.gate_proj.weight"].T),
+            "up_proj": jnp.asarray(sd[pre + "feed_forward.up_proj.weight"].T),
+            "down_proj": jnp.asarray(sd[pre + "feed_forward.down_proj.weight"].T),
+        })
+    # conv [h, 3, p, p] -> linear over our (ph, pw, c)-flattened patches
+    conv = np.transpose(sd["patch_conv.weight"], (2, 3, 1, 0)).reshape(p * p * 3, -1)
+    params = {
+        "patch_conv": jnp.asarray(conv),
+        "ln_pre": jnp.asarray(sd["ln_pre.weight"]),
+        "blocks": blocks,
+        "projector": None,  # not part of PixtralVisionModel
+    }
+
+    rng = np.random.default_rng(4)
+    h = w = 14 * 4  # 4x4 patches
+    pixels = rng.normal(size=(1, h, w, 3)).astype(np.float32)
+
+    ours = np.asarray(px.encode_image(params, cfg, jnp.asarray(pixels)))
+    with torch.no_grad():
+        out = model(
+            pixel_values=torch.tensor(np.transpose(pixels, (0, 3, 1, 2))),
+            image_sizes=torch.tensor([[h, w]]),
+        )
+    theirs = out.last_hidden_state.to(torch.float32).numpy()
+    d = np.abs(ours - theirs).max()
+    assert d < 5e-5, d
+
+
+def test_qwen3vl_mrope_parity_vs_hf():
+    """Qwen3-VL text tower: per-section interleaved MRoPE ([6,5,5] ladder on
+    head_dim 32) + QK-norm GQA — vs HF Qwen3VLTextModel (text-only ids)."""
+    from flux2_tpu.models.text_encoders import qwen3vl as vl
+
+    hf_cfg = transformers.Qwen3VLTextConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=3, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=32, rms_norm_eps=1e-6, rope_theta=1_000_000.0,
+        tie_word_embeddings=True,
+        rope_scaling={"rope_type": "default", "mrope_section": [6, 5, 5], "mrope_interleaved": True},
+    )
+    torch.manual_seed(5)
+    model = transformers.Qwen3VLTextModel(hf_cfg).eval()
+
+    cfg = DecoderConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=3, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=32, rms_norm_eps=1e-6, rope_theta=1_000_000.0,
+        tie_word_embeddings=True, qk_norm=True,
+    )
+    params = map_decoder_weights(_to_numpy_state(model), cfg)
+
+    rng = np.random.default_rng(6)
+    b, s = 1, 10
+    ids = rng.integers(0, 256, size=(b, s))
+    mask = np.ones((b, s), np.int64)
+
+    # HF's text-only default expands position_ids to T=H=W=arange (NOT the
+    # reference's H=W=0) — match it explicitly.
+    ar = jnp.arange(s)
+    pos = jnp.stack([ar, ar, ar])
+    ours = np.asarray(
+        vl.forward_hidden_states(
+            params, cfg, jnp.asarray(ids, jnp.int32), jnp.asarray(mask, jnp.int32),
+            position_ids=pos, section=(6, 5, 5), hf_canonical=True,
+        )
+    )
+    with torch.no_grad():
+        out = model(
+            input_ids=torch.tensor(ids, dtype=torch.long),
+            attention_mask=torch.tensor(mask, dtype=torch.long),
+            output_hidden_states=True,
+        )
+    theirs = np.stack([h.to(torch.float32).numpy() for h in out.hidden_states])
+    for li in range(cfg.num_hidden_layers):  # embeddings + all but final-normed last
+        d = np.abs(ours[li] - theirs[li]).max()
+        assert d < 5e-5, (li, d)
