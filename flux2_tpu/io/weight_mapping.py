@@ -428,3 +428,93 @@ def map_decoder_weights(w: Weights, cfg: DecoderConfig, dtype=np.float32) -> Dic
     if not cfg.tie_word_embeddings:
         params["lm_head"] = _t(w["lm_head.weight"]).astype(dtype)
     return params
+
+
+# ---------------------------------------------------------------------------
+# Qwen3.5 / Qwen3-Next hybrid (Gated DeltaNet + gated full attention)
+# ---------------------------------------------------------------------------
+
+
+def map_qwen35_weights(w: Weights, cfg, dtype=np.float32) -> Dict[str, Any]:
+    """HF qwen3_next-layout keys -> the qwen35 hybrid pytree.
+
+    Three checkpoint conventions are normalized here (validated elementwise
+    against transformers' torch implementation in tests/test_hf_parity.py):
+
+      - ``in_proj_qkvz`` / ``in_proj_ba`` pack per KEY-HEAD groups
+        [q | k | v*rep | z*rep] / [b*rep | a*rep]; we split into separate
+        q/k/v (conv path), z, b, a projections.
+      - ``conv1d.weight`` [conv_dim, 1, K] -> our [K, conv_dim] kernel.
+      - Qwen3NextRMSNorm weights are ZERO-CENTERED (runtime applies
+        ``x * (1 + w)``, init zeros); we fold the +1 at load so runtime
+        stays the standard ``x * w`` (the DeltaNet's gated ``norm.weight``
+        is ones-init standard and passes through unchanged).
+    """
+    w = dequantize_quanto(w)
+    pre = "model." if any(k.startswith("model.") for k in w) else ""
+
+    hk, hv = cfg.linear_num_key_heads, cfg.linear_num_value_heads
+    dk, dv = cfg.linear_key_head_dim, cfg.linear_value_head_dim
+    rep = hv // hk
+    blk = 2 * dk + 2 * rep * dv
+
+    def t(a):
+        return _t(a).astype(dtype)
+
+    def centered(a):
+        return (1.0 + a).astype(dtype)
+
+    layers = []
+    for i in range(cfg.num_hidden_layers):
+        lpre = f"{pre}layers.{i}."
+        lp: Dict[str, Any] = {
+            "input_norm": centered(w[lpre + "input_layernorm.weight"]),
+            "post_attn_norm": centered(w[lpre + "post_attention_layernorm.weight"]),
+            "gate_proj": t(w[lpre + "mlp.gate_proj.weight"]),
+            "up_proj": t(w[lpre + "mlp.up_proj.weight"]),
+            "down_proj": t(w[lpre + "mlp.down_proj.weight"]),
+        }
+        if cfg.is_linear_layer(i):
+            apre = lpre + "linear_attn."
+            qkvz = w[apre + "in_proj_qkvz.weight"]
+            q_rows, k_rows, v_rows, z_rows = [], [], [], []
+            for g in range(hk):
+                base = g * blk
+                q_rows.append(qkvz[base : base + dk])
+                k_rows.append(qkvz[base + dk : base + 2 * dk])
+                v_rows.append(qkvz[base + 2 * dk : base + 2 * dk + rep * dv])
+                z_rows.append(qkvz[base + 2 * dk + rep * dv : base + blk])
+            ba = w[apre + "in_proj_ba.weight"]
+            b_rows, a_rows = [], []
+            for g in range(hk):
+                base = g * 2 * rep
+                b_rows.append(ba[base : base + rep])
+                a_rows.append(ba[base + rep : base + 2 * rep])
+            lp["linear_attn"] = {
+                "in_proj_qkv": np.concatenate(q_rows + k_rows + v_rows).T.astype(dtype),
+                "in_proj_z": np.concatenate(z_rows).T.astype(dtype),
+                "in_proj_b": np.concatenate(b_rows).T.astype(dtype),
+                "in_proj_a": np.concatenate(a_rows).T.astype(dtype),
+                "out_proj": t(w[apre + "out_proj.weight"]),
+                "conv_kernel": np.transpose(w[apre + "conv1d.weight"][:, 0, :]).astype(dtype),
+                "norm_weight": w[apre + "norm.weight"].astype(dtype),  # gated norm: standard
+                "a_log": w[apre + "A_log"].astype(np.float32),
+                "dt_bias": w[apre + "dt_bias"].astype(np.float32),
+            }
+        else:
+            apre = lpre + "self_attn."
+            lp["self_attn"] = {
+                "q_proj": t(w[apre + "q_proj.weight"]),
+                "k_proj": t(w[apre + "k_proj.weight"]),
+                "v_proj": t(w[apre + "v_proj.weight"]),
+                "o_proj": t(w[apre + "o_proj.weight"]),
+                "q_norm": centered(w[apre + "q_norm.weight"]),
+                "k_norm": centered(w[apre + "k_norm.weight"]),
+            }
+        layers.append(lp)
+
+    return {
+        "embed_tokens": w[pre + "embed_tokens.weight"].astype(dtype),
+        "layers": layers,
+        "final_norm": centered(w[pre + "norm.weight"]),
+    }

@@ -252,11 +252,12 @@ def gated_deltanet_forward(
     v = conv_out[..., 2 * kd :].reshape(b, s, hv, dv)
 
     # L2-normalize q/k with asymmetric scaling (Qwen35GatedDeltaNet.swift:
-    # q gets 1/Dk, k gets 1/sqrt(Dk)).
-    inv_scale = dk**-0.5
+    # q gets 1/Dk, k gets 1/sqrt(Dk) relative to rms). Written sum-based to
+    # match HF's fla-style l2norm eps placement bit-for-bit
+    # (modeling_qwen3_next.l2norm: x * rsqrt(sum(x^2) + 1e-6)).
     qf, kf = q.astype(jnp.float32), k.astype(jnp.float32)
-    q_n = (inv_scale * inv_scale) * qf / jnp.sqrt(jnp.mean(qf * qf, axis=-1, keepdims=True) + 1e-6)
-    k_n = inv_scale * kf / jnp.sqrt(jnp.mean(kf * kf, axis=-1, keepdims=True) + 1e-6)
+    q_n = qf * jax.lax.rsqrt(jnp.sum(qf * qf, axis=-1, keepdims=True) + 1e-6) * dk**-0.5
+    k_n = kf * jax.lax.rsqrt(jnp.sum(kf * kf, axis=-1, keepdims=True) + 1e-6)
 
     g = jnp.exp(-jnp.exp(lp["a_log"]) * jax.nn.softplus(a.astype(jnp.float32) + lp["dt_bias"]))
     beta = jax.nn.sigmoid(bb.astype(jnp.float32))

@@ -215,3 +215,192 @@ def test_qwen3vl_mrope_parity_vs_hf():
     for li in range(cfg.num_hidden_layers):  # embeddings + all but final-normed last
         d = np.abs(ours[li] - theirs[li]).max()
         assert d < 5e-5, (li, d)
+
+
+def test_gated_deltanet_parity_vs_hf():
+    """Qwen3.5/Qwen3-Next Gated DeltaNet layer vs HF's torch reference
+    (modeling_qwen3_next.Qwen3NextGatedDeltaNet): causal depthwise conv,
+    l2-normed delta rule, gated RMSNorm — identical weights, both the
+    sequential (S<=8) and chunk-parallel (S>8) paths."""
+    from transformers.models.qwen3_next import modeling_qwen3_next as hf_mod
+
+    from flux2_tpu.models.text_encoders import qwen35 as q35
+
+    cfg = q35.TINY_QWEN35  # hk=2, hv=4, dk=16, dv=16, K=4, H=64
+    hf_cfg = transformers.Qwen3NextConfig(
+        vocab_size=cfg.vocab_size, hidden_size=cfg.hidden_size,
+        intermediate_size=cfg.intermediate_size, num_hidden_layers=4,
+        num_attention_heads=2, num_key_value_heads=1, head_dim=32,
+        linear_num_key_heads=cfg.linear_num_key_heads,
+        linear_num_value_heads=cfg.linear_num_value_heads,
+        linear_key_head_dim=cfg.linear_key_head_dim,
+        linear_value_head_dim=cfg.linear_value_head_dim,
+        linear_conv_kernel_dim=cfg.linear_conv_kernel_dim,
+        full_attention_interval=4, rms_norm_eps=cfg.rms_norm_eps,
+    )
+    torch.manual_seed(7)
+    layer = hf_mod.Qwen3NextGatedDeltaNet(hf_cfg, layer_idx=0).eval()
+    # non-degenerate decay/step parameters
+    with torch.no_grad():
+        layer.A_log.uniform_(-2.0, 1.0)
+        layer.dt_bias.uniform_(0.2, 1.5)
+    sd = {k: v.detach().to(torch.float32).numpy() for k, v in layer.state_dict().items()}
+
+    hk, hv = cfg.linear_num_key_heads, cfg.linear_num_value_heads
+    dk, dv = cfg.linear_key_head_dim, cfg.linear_value_head_dim
+    rep = hv // hk
+    blk = 2 * dk + 2 * rep * dv
+    qkvz = sd["in_proj_qkvz.weight"]  # [(hk*blk), H]
+    q_rows, k_rows, v_rows, z_rows = [], [], [], []
+    for g in range(hk):
+        base = g * blk
+        q_rows.append(qkvz[base : base + dk])
+        k_rows.append(qkvz[base + dk : base + 2 * dk])
+        v_rows.append(qkvz[base + 2 * dk : base + 2 * dk + rep * dv])
+        z_rows.append(qkvz[base + 2 * dk + rep * dv : base + blk])
+    in_proj_qkv = np.concatenate(q_rows + k_rows + v_rows).T  # [H, conv_dim]
+    in_proj_z = np.concatenate(z_rows).T
+    ba = sd["in_proj_ba.weight"]  # [(hk*2*rep), H]
+    b_rows, a_rows = [], []
+    for g in range(hk):
+        base = g * 2 * rep
+        b_rows.append(ba[base : base + rep])
+        a_rows.append(ba[base + rep : base + 2 * rep])
+    lp = {
+        "in_proj_qkv": jnp.asarray(in_proj_qkv),
+        "in_proj_z": jnp.asarray(in_proj_z),
+        "in_proj_b": jnp.asarray(np.concatenate(b_rows).T),
+        "in_proj_a": jnp.asarray(np.concatenate(a_rows).T),
+        "out_proj": jnp.asarray(sd["out_proj.weight"].T),
+        "conv_kernel": jnp.asarray(np.transpose(sd["conv1d.weight"][:, 0, :])),  # [K, conv_dim]
+        "norm_weight": jnp.asarray(sd["norm.weight"]),
+        "a_log": jnp.asarray(sd["A_log"]),
+        "dt_bias": jnp.asarray(sd["dt_bias"]),
+    }
+
+    rng = np.random.default_rng(8)
+    for s in (6, 12):  # sequential and chunk-parallel paths
+        x = rng.normal(size=(1, s, cfg.hidden_size)).astype(np.float32) * 0.5
+        ours, _, _ = q35.gated_deltanet_forward(lp, cfg, jnp.asarray(x))
+        with torch.no_grad():
+            theirs = layer(torch.tensor(x)).to(torch.float32).numpy()
+        d = np.abs(np.asarray(ours) - theirs).max()
+        assert d < 1e-4, (s, d)
+
+
+def test_gated_attention_parity_vs_hf():
+    """Qwen3.5/Qwen3-Next output-gated attention (q_proj -> [q;gate] per head,
+    QK head-dim RMSNorm, sigmoid gate on the attention output) vs HF's
+    Qwen3NextAttention. Position ids zero -> rotation is identity in both
+    (Qwen3.5's MRoPE vs Qwen3-Next's partial RoPE differ by design)."""
+    from transformers.models.qwen3_next import modeling_qwen3_next as hf_mod
+
+    from flux2_tpu.models.text_encoders import qwen35 as q35
+
+    cfg = q35.TINY_QWEN35
+    hf_cfg = transformers.Qwen3NextConfig(
+        vocab_size=cfg.vocab_size, hidden_size=cfg.hidden_size,
+        intermediate_size=cfg.intermediate_size, num_hidden_layers=4,
+        num_attention_heads=cfg.num_attention_heads,
+        num_key_value_heads=cfg.num_key_value_heads, head_dim=cfg.head_dim,
+        partial_rotary_factor=cfg.partial_rotary_factor,
+        rope_theta=cfg.rope_theta, rms_norm_eps=cfg.rms_norm_eps,
+        attention_bias=False, attention_dropout=0.0,
+        linear_num_key_heads=cfg.linear_num_key_heads,
+        linear_num_value_heads=cfg.linear_num_value_heads,
+        linear_key_head_dim=cfg.linear_key_head_dim,
+        linear_value_head_dim=cfg.linear_value_head_dim,
+        full_attention_interval=4,
+    )
+    hf_cfg._attn_implementation = "eager"  # standalone module: no auto-dispatch
+    torch.manual_seed(9)
+    layer = hf_mod.Qwen3NextAttention(hf_cfg, layer_idx=3).eval()
+    sd = {k: v.detach().to(torch.float32).numpy() for k, v in layer.state_dict().items()}
+
+    lp = {
+        "q_proj": jnp.asarray(sd["q_proj.weight"].T),
+        "k_proj": jnp.asarray(sd["k_proj.weight"].T),
+        "v_proj": jnp.asarray(sd["v_proj.weight"].T),
+        "o_proj": jnp.asarray(sd["o_proj.weight"].T),
+        # Qwen3NextRMSNorm is zero-centered (x * (1 + w)); fold the +1 as the
+        # checkpoint mapper does
+        "q_norm": jnp.asarray(1.0 + sd["q_norm.weight"]),
+        "k_norm": jnp.asarray(1.0 + sd["k_norm.weight"]),
+    }
+
+    rng = np.random.default_rng(10)
+    b, s = 1, 7
+    x = rng.normal(size=(b, s, cfg.hidden_size)).astype(np.float32) * 0.5
+
+    pos = jnp.zeros((3, b, s), jnp.int32)
+    ours = np.asarray(q35.full_attention_forward(lp, cfg, jnp.asarray(x), pos))
+
+    rot = cfg.rotary_dim
+    cos = torch.ones(b, s, rot)
+    sin = torch.zeros(b, s, rot)
+    mask = torch.full((1, 1, s, s), float("-inf")).triu(1)
+    with torch.no_grad():
+        theirs, _ = layer(
+            torch.tensor(x), position_embeddings=(cos, sin), attention_mask=mask
+        )
+    d = np.abs(ours - theirs.to(torch.float32).numpy()).max()
+    assert d < 1e-5, d
+
+
+def test_qwen35_full_model_parity_vs_hf():
+    """Whole hybrid model through the real checkpoint path: HF
+    Qwen3NextForCausalLM state_dict -> map_qwen35_weights -> our forward.
+    Dense MLPs (mlp_only_layers = all); position_ids ZERO on both sides so
+    the rotary conventions (Qwen3.5 MRoPE vs Qwen3-Next partial RoPE, which
+    differ by design) drop out and everything else must match: embeddings,
+    zero-centered norms, DeltaNet conv/recurrence, gated attention, MLPs,
+    tied logits."""
+    from flux2_tpu.io.weight_mapping import map_qwen35_weights
+    from flux2_tpu.models.text_encoders import qwen35 as q35
+
+    cfg = q35.TINY_QWEN35
+    hf_cfg = transformers.Qwen3NextConfig(
+        vocab_size=cfg.vocab_size, hidden_size=cfg.hidden_size,
+        intermediate_size=cfg.intermediate_size,
+        num_hidden_layers=cfg.num_hidden_layers,
+        num_attention_heads=cfg.num_attention_heads,
+        num_key_value_heads=cfg.num_key_value_heads, head_dim=cfg.head_dim,
+        partial_rotary_factor=cfg.partial_rotary_factor,
+        rope_theta=cfg.rope_theta, rms_norm_eps=cfg.rms_norm_eps,
+        linear_num_key_heads=cfg.linear_num_key_heads,
+        linear_num_value_heads=cfg.linear_num_value_heads,
+        linear_key_head_dim=cfg.linear_key_head_dim,
+        linear_value_head_dim=cfg.linear_value_head_dim,
+        linear_conv_kernel_dim=cfg.linear_conv_kernel_dim,
+        full_attention_interval=cfg.full_attention_interval,
+        tie_word_embeddings=True, attention_bias=False, attention_dropout=0.0,
+        mlp_only_layers=list(range(cfg.num_hidden_layers)),  # dense, no MoE
+    )
+    torch.manual_seed(11)
+    model = transformers.Qwen3NextForCausalLM(hf_cfg).eval()
+    with torch.no_grad():  # non-degenerate decay/step params
+        for layer in model.model.layers:
+            if hasattr(layer, "linear_attn"):
+                layer.linear_attn.A_log.uniform_(-2.0, 1.0)
+                layer.linear_attn.dt_bias.uniform_(0.2, 1.5)
+
+    params = map_qwen35_weights(_to_numpy_state(model), cfg)
+
+    rng = np.random.default_rng(12)
+    b, s = 1, 12
+    ids = rng.integers(0, cfg.vocab_size, size=(b, s))
+
+    ours = np.asarray(
+        q35.forward_logits(
+            params, cfg, jnp.asarray(ids, jnp.int32),
+            position_ids=jnp.zeros((3, b, s), jnp.int32),
+        )
+    )
+    with torch.no_grad():
+        out = model(
+            input_ids=torch.tensor(ids, dtype=torch.long),
+            position_ids=torch.zeros(b, s, dtype=torch.long),
+        )
+    theirs = out.logits.to(torch.float32).numpy()
+    d = np.abs(ours - theirs).max()
+    assert d < 5e-4, d
