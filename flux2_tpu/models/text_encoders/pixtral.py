@@ -169,7 +169,9 @@ def project_to_text_space(
     x = x.reshape(b, grid_h // m, m, grid_w // m, m, d).transpose(0, 1, 3, 2, 4, 5)
     x = x.reshape(b, (grid_h // m) * (grid_w // m), m * m * d)
     x = x @ proj["merge"]
-    x = jax.nn.gelu(x @ proj["linear_1"])
+    # exact erf GELU: both MLX's gelu and HF's ACT2FN["gelu"] are exact
+    # (jax.nn.gelu defaults to the tanh approximation)
+    x = jax.nn.gelu(x @ proj["linear_1"], approximate=False)
     return x @ proj["linear_2"]
 
 

@@ -404,3 +404,67 @@ def test_qwen35_full_model_parity_vs_hf():
     theirs = out.logits.to(torch.float32).numpy()
     d = np.abs(ours - theirs).max()
     assert d < 5e-4, d
+
+
+def test_mistral3_projector_parity_vs_hf():
+    """Mistral Small 3.x multimodal projector (RMSNorm -> 2x2 patch merge ->
+    linear -> exact GELU -> linear) vs HF Mistral3MultiModalProjector.
+
+    HF's unfold-based merger flattens each 2x2 block channel-major
+    (c*m*m + kh*m + kw); ours is spatial-major ((kh*m + kw)*d + c) — the
+    merging weight's input columns permute accordingly at mapping time."""
+    from transformers.models.mistral3 import modeling_mistral3 as hf_m3
+
+    from flux2_tpu.models.text_encoders import pixtral as px
+
+    d, m, text_h = 32, 2, 48
+    vision_cfg = transformers.PixtralVisionConfig(
+        hidden_size=d, intermediate_size=64, num_hidden_layers=1,
+        num_attention_heads=2, patch_size=14, image_size=14 * 8,
+    )
+    text_cfg = transformers.MistralConfig(hidden_size=text_h, rms_norm_eps=1e-5)
+    m3_cfg = transformers.Mistral3Config(
+        vision_config=vision_cfg, text_config=text_cfg,
+        spatial_merge_size=m, multimodal_projector_bias=False,
+        projector_hidden_act="gelu", vision_feature_layer=-1,
+    )
+    torch.manual_seed(13)
+    proj = hf_m3.Mistral3MultiModalProjector(m3_cfg).eval()
+    sd = {k: v.detach().to(torch.float32).numpy() for k, v in proj.state_dict().items()}
+
+    # permute merging weight columns: HF input idx c*m*m + kh*m + kw ->
+    # ours (kh*m + kw)*d + c
+    merge_hf = sd["patch_merger.merging_layer.weight"]  # [d, d*m*m]
+    perm = np.empty(d * m * m, np.int64)
+    for c in range(d):
+        for kh in range(m):
+            for kw in range(m):
+                perm[(kh * m + kw) * d + c] = c * m * m + kh * m + kw
+    merge_ours = merge_hf[:, perm].T  # [m*m*d, d]
+
+    cfg = px.PixtralVisionConfig(
+        hidden_size=d, intermediate_size=64, num_hidden_layers=1,
+        num_attention_heads=2, patch_size=14, image_size=14 * 8, text_hidden_size=text_h,
+        rms_norm_eps=1e-5, spatial_merge_size=m,
+    )
+    params = {
+        "projector": {
+            "norm": jnp.asarray(sd["norm.weight"]),
+            "merge": jnp.asarray(merge_ours),
+            "linear_1": jnp.asarray(sd["linear_1.weight"].T),
+            "linear_2": jnp.asarray(sd["linear_2.weight"].T),
+        }
+    }
+
+    rng = np.random.default_rng(14)
+    gh, gw = 4, 6
+    feats = rng.normal(size=(1, gh * gw, d)).astype(np.float32)
+
+    ours = np.asarray(px.project_to_text_space(params, cfg, jnp.asarray(feats), gh, gw))
+    with torch.no_grad():
+        theirs = proj(
+            torch.tensor(feats[0]),
+            image_sizes=torch.tensor([[gh * cfg.patch_size, gw * cfg.patch_size]]),
+        ).numpy()
+    d_max = np.abs(ours[0] - theirs).max()
+    assert d_max < 5e-6, d_max
