@@ -234,11 +234,13 @@ def encode_image(params: Params, cfg: Qwen35VisionConfig, pixels: jnp.ndarray) -
         x = x + _dense(attn, blk["proj"])
         x = x + _dense(jax.nn.gelu(_dense(_ln(x, blk["norm2"]), blk["fc1"])), blk["fc2"])
 
-    # spatial merger (patches are already in merge order)
+    # spatial merger (patches are already in merge order). Act is EXACT-erf
+    # GELU (HF Qwen3VLVisionPatchMerger uses nn.GELU(), unlike the blocks'
+    # gelu_pytorch_tanh); block MLPs above keep jax.nn.gelu's tanh default.
     merged_dim = cfg.hidden_size * m * m
     x = _ln(x, params["merger"]["norm"])
     x = x.reshape(b, s // (m * m), merged_dim)
-    x = _dense(jax.nn.gelu(_dense(x, params["merger"]["fc1"])), params["merger"]["fc2"])
+    x = _dense(jax.nn.gelu(_dense(x, params["merger"]["fc1"]), approximate=False), params["merger"]["fc2"])
     return x
 
 

@@ -468,3 +468,81 @@ def test_mistral3_projector_parity_vs_hf():
         ).numpy()
     d_max = np.abs(ours[0] - theirs).max()
     assert d_max < 5e-6, d_max
+
+
+def test_qwen35_vision_parity_vs_hf():
+    """Qwen3.5/Qwen3-VL vision tower vs HF Qwen3VLVisionModel: Conv3d-as-
+    linear patch embed, bilinear-interpolated learned positions (merge
+    order), 2D half-split rotary, LayerNorm blocks with tanh-GELU MLPs,
+    exact-GELU spatial merger."""
+    from transformers.models.qwen3_vl import modeling_qwen3_vl as hf_vl
+
+    from flux2_tpu.models.text_encoders import qwen35_vision as qv
+
+    cfg = qv.Qwen35VisionConfig(
+        depth=2, hidden_size=32, num_heads=2, intermediate_size=64,
+        patch_size=16, temporal_patch_size=2, spatial_merge_size=2,
+        num_position_embeddings=16, out_hidden_size=48,
+    )
+    from transformers.models.qwen3_vl.configuration_qwen3_vl import Qwen3VLVisionConfig
+
+    hf_cfg = Qwen3VLVisionConfig(
+        depth=2, hidden_size=32, num_heads=2, intermediate_size=64,
+        patch_size=16, temporal_patch_size=2, spatial_merge_size=2,
+        num_position_embeddings=16, out_hidden_size=48,
+        hidden_act="gelu_pytorch_tanh", deepstack_visual_indexes=[],
+    )
+    hf_cfg._attn_implementation = "eager"
+    torch.manual_seed(15)
+    model = hf_vl.Qwen3VLVisionModel(hf_cfg).eval()
+    sd = {k: v.detach().to(torch.float32).numpy() for k, v in model.state_dict().items()}
+
+    p, t = cfg.patch_size, cfg.temporal_patch_size
+    # Conv3d [D, C, T, P, P] -> our (t, ph, pw, c)-flattened linear kernel
+    conv = np.transpose(sd["patch_embed.proj.weight"], (2, 3, 4, 1, 0)).reshape(t * p * p * 3, -1)
+    blocks = []
+    for i in range(cfg.depth):
+        pre = f"blocks.{i}."
+        blocks.append({
+            "norm1": {"scale": jnp.asarray(sd[pre + "norm1.weight"]), "bias": jnp.asarray(sd[pre + "norm1.bias"])},
+            "norm2": {"scale": jnp.asarray(sd[pre + "norm2.weight"]), "bias": jnp.asarray(sd[pre + "norm2.bias"])},
+            "qkv": {"kernel": jnp.asarray(sd[pre + "attn.qkv.weight"].T), "bias": jnp.asarray(sd[pre + "attn.qkv.bias"])},
+            "proj": {"kernel": jnp.asarray(sd[pre + "attn.proj.weight"].T), "bias": jnp.asarray(sd[pre + "attn.proj.bias"])},
+            "fc1": {"kernel": jnp.asarray(sd[pre + "mlp.linear_fc1.weight"].T), "bias": jnp.asarray(sd[pre + "mlp.linear_fc1.bias"])},
+            "fc2": {"kernel": jnp.asarray(sd[pre + "mlp.linear_fc2.weight"].T), "bias": jnp.asarray(sd[pre + "mlp.linear_fc2.bias"])},
+        })
+    params = {
+        "patch_embed": {"kernel": jnp.asarray(conv), "bias": jnp.asarray(sd["patch_embed.proj.bias"])},
+        "pos_embed": jnp.asarray(sd["pos_embed.weight"]),
+        "blocks": blocks,
+        "merger": {
+            "norm": {"scale": jnp.asarray(sd["merger.norm.weight"]), "bias": jnp.asarray(sd["merger.norm.bias"])},
+            "fc1": {"kernel": jnp.asarray(sd["merger.linear_fc1.weight"].T), "bias": jnp.asarray(sd["merger.linear_fc1.bias"])},
+            "fc2": {"kernel": jnp.asarray(sd["merger.linear_fc2.weight"].T), "bias": jnp.asarray(sd["merger.linear_fc2.bias"])},
+        },
+    }
+
+    rng = np.random.default_rng(16)
+    gh = gw = 4
+    h, w = gh * p, gw * p
+    pixels = rng.normal(size=(1, h, w, 3)).astype(np.float32) * 0.5
+
+    ours = np.asarray(qv.encode_image(params, cfg, jnp.asarray(pixels)))
+
+    # HF input: flattened patches in merge order, each (c, t, ph, pw)
+    px4 = pixels.reshape(1, gh, p, gw, p, 3).transpose(0, 1, 3, 2, 4, 5)  # [1,gh,gw,p,p,c]
+    px4 = px4.reshape(gh, gw, p, p, 3)
+    merge = cfg.spatial_merge_size
+    px4 = px4.reshape(gh // merge, merge, gw // merge, merge, p, p, 3).transpose(0, 2, 1, 3, 4, 5, 6)
+    px4 = px4.reshape(gh * gw, p, p, 3)  # merge-order patches
+    single = np.transpose(px4, (0, 3, 1, 2))  # (S, c, ph, pw)
+    hf_patches = np.stack([single, single], axis=2).reshape(gh * gw, -1)  # (c, t, ph, pw) flat
+
+    with torch.no_grad():
+        theirs, deepstack = model(
+            torch.tensor(hf_patches), grid_thw=torch.tensor([[1, gh, gw]])
+        )
+    theirs = theirs.to(torch.float32).numpy()
+    assert deepstack == []
+    d = np.abs(ours[0] - theirs).max()
+    assert d < 1e-4, d
