@@ -42,6 +42,9 @@ class HFTokenizerAdapter:
 
         return cls(AutoTokenizer.from_pretrained(path_or_repo))
 
+    def encode(self, text: str) -> List[int]:
+        return list(self._tok.encode(text, add_special_tokens=False))
+
     def apply_chat_template(self, messages: List[dict], add_generation_prompt: bool = False) -> List[int]:
         return list(
             self._tok.apply_chat_template(

@@ -546,3 +546,60 @@ def test_qwen35_vision_parity_vs_hf():
     assert deepstack == []
     d = np.abs(ours[0] - theirs).max()
     assert d < 1e-4, d
+
+
+def test_tokenizer_adapter_with_real_hf_tokenizer(tmp_path):
+    """HFTokenizerAdapter over a real (tiny, in-test) HF fast tokenizer with
+    a Qwen-style chat template: template rendering, left-padding ids, decode."""
+    tokenizers = pytest.importorskip("tokenizers")
+
+    from flux2_tpu.models.text_encoders.extractor import prepare_input_ids
+    from flux2_tpu.models.text_encoders.facade import HFTokenizerAdapter
+
+    # tiny byte-level BPE trained on a few strings
+    tok = tokenizers.Tokenizer(tokenizers.models.BPE(unk_token=None))
+    tok.pre_tokenizer = tokenizers.pre_tokenizers.ByteLevel(add_prefix_space=False)
+    tok.decoder = tokenizers.decoders.ByteLevel()
+    trainer = tokenizers.trainers.BpeTrainer(
+        vocab_size=512, special_tokens=["<|im_start|>", "<|im_end|>", "<|pad|>"],
+        initial_alphabet=tokenizers.pre_tokenizers.ByteLevel.alphabet(),
+    )
+    tok.train_from_iterator(
+        ["a photo of a cat", "render the scene in watercolor", "system user assistant\n"], trainer
+    )
+    from transformers import PreTrainedTokenizerFast
+
+    hf_tok = PreTrainedTokenizerFast(
+        tokenizer_object=tok, pad_token="<|pad|>", eos_token="<|im_end|>",
+        chat_template=(
+            "{% for message in messages %}<|im_start|>{{ message.role }}\n"
+            "{{ message.content }}<|im_end|>\n{% endfor %}"
+            "{% if add_generation_prompt %}<|im_start|>assistant\n{% endif %}"
+        ),
+    )
+    adapter = HFTokenizerAdapter(hf_tok)
+
+    msgs = [{"role": "system", "content": "s"}, {"role": "user", "content": "a photo of a cat"}]
+    ids = adapter.apply_chat_template(msgs)
+    assert isinstance(ids, list) and len(ids) > 4
+    # no generation prompt by default (the conditioning recipe's convention);
+    # with it, the assistant header tokens are appended
+    ids_gen = adapter.apply_chat_template(msgs, add_generation_prompt=True)
+    assert len(ids_gen) > len(ids)
+    assert ids_gen[: len(ids)] == ids
+
+    # decode round-trips the visible text
+    text = adapter.decode(adapter.encode("a photo of a cat"))
+    assert text == "a photo of a cat"
+
+    # the real conditioning input builder: chat template (no generation
+    # prompt), truncate, LEFT-pad with mask
+    batch, mask = prepare_input_ids(adapter, "a photo of a cat")  # default 512
+    assert batch.shape == mask.shape == (1, 512)
+    n_tok = int(mask.sum())
+    assert n_tok > 4
+    assert mask[0, : 512 - n_tok].sum() == 0  # left pad
+    assert (batch[0, : 512 - n_tok] == adapter.pad_token_id).all()
+    # the unpadded tail decodes back to text containing the prompt
+    tail = [int(t) for t in batch[0, 512 - n_tok :]]
+    assert "a photo of a cat" in adapter.decode(tail)
