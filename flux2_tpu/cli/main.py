@@ -111,6 +111,17 @@ def build_pipeline(args) -> "Flux2Pipeline":
             vae_config=vae_config,
         )
 
+    # Text encoder: phase-1 of the reference's pipeline
+    # (Flux2Pipeline.swift:404-447) — loaded here so `flux2 t2i --prompt ...`
+    # works from disk checkpoints with no precomputed embeddings.
+    if not getattr(args, "random_init", False) and not getattr(args, "no_text_encoder", False):
+        with profiler().phase("1. Load Text Encoder"):
+            attach_text_encoder(
+                pipe,
+                encoder_dir=getattr(args, "encoder_dir", None),
+                tokenizer_dir=getattr(args, "encoder_tokenizer_dir", None),
+            )
+
     # LoRAs
     for spec in getattr(args, "lora", []) or []:
         from flux2_tpu.training import lora_loader
@@ -180,9 +191,67 @@ def _to_bf16(tree):
     )
 
 
+def attach_text_encoder(pipe, encoder_dir=None, tokenizer_dir=None) -> None:
+    """Load the model family's conditioning encoder and attach it.
+
+    Resolution: explicit ``--encoder-dir`` -> configured models dir -> HF
+    cache (the reference's phase-1 encoder load,
+    Flux2Pipeline.swift:404-447). Also wires the facade + a lazy
+    Mistral-VLM loader so --upsample/--interpret work (including the Klein
+    Mistral-swap, Flux2Pipeline.swift:1290-1385).
+    """
+    from flux2_tpu.io import registry
+    from flux2_tpu.models.text_encoders import facade
+    from flux2_tpu.utils import logging as flog
+
+    name = registry.ENCODER_FOR_MODEL[pipe.model]
+    spec = registry.TEXT_ENCODER_REPOS[name]
+    edir = registry.find_model_path(spec, encoder_dir)
+    if edir is None:
+        raise SystemExit(
+            f"text encoder {name} weights not found; run `flux2 download --model "
+            f"{pipe.model.value}`, pass --encoder-dir, or pass --no-text-encoder "
+            f"to run with precomputed embeddings"
+        )
+    if name == "mistral-small-3.2":
+        enc = facade.shared.load_mistral(edir, tokenizer_dir)
+    else:
+        enc = facade.shared.load_qwen3(edir, tokenizer_dir, size="4b" if "4b" in name else "8b")
+    pipe.text_encoder = enc.extractor
+    pipe.text_encoder_name = enc.name
+    pipe.encoders = facade.shared
+    pipe.vlm_loader = _make_vlm_loader(encoder_dir if name == "mistral-small-3.2" else None)
+    flog.info(f"attached text encoder {enc.name} ({enc.extractor.embedding_dim}-dim conditioning)")
+
+
+def _make_vlm_loader(mistral_dir_hint=None):
+    """Lazy Mistral+Pixtral VLM loader for --interpret / vision --upsample.
+
+    Returns None (pipeline raises a clear error) when the Mistral checkpoint
+    is not on disk — vision services need its weights regardless of which
+    conditioning encoder the model family uses.
+    """
+    def load():
+        from flux2_tpu.io import registry
+        from flux2_tpu.models.text_encoders import facade
+
+        mdir = registry.find_model_path(
+            registry.TEXT_ENCODER_REPOS["mistral-small-3.2"], mistral_dir_hint
+        )
+        if mdir is None:
+            raise SystemExit(
+                "--interpret/--upsample with images needs the Mistral-Small "
+                "VLM weights on disk; run `flux2 download --model dev` or set "
+                "FLUX2_MODELS_DIR"
+            )
+        return facade.shared.load_mistral_vlm(mdir)
+
+    return load
+
+
 def _embeddings_for(pipe, args):
-    """Prompt -> embeddings: random for --random-init (no encoder), else the
-    attached text encoder."""
+    """Prompt -> embeddings: random for --random-init (no encoder), else
+    None so the pipeline encodes through its attached text encoder."""
     jax, jnp = _lazy_imports()
     if getattr(args, "random_init", False):
         key = jax.random.PRNGKey(abs(hash(args.prompt)) % (2**31))
@@ -223,9 +292,18 @@ def cmd_t2i(args):
             num_steps=args.steps,
             guidance=args.guidance,
             seed=args.seed,
+            upsample=getattr(args, "upsample", False),
+            interpret_images=_interpret_images(args),
         )
+    if res.was_upsampled:
+        print(f"[upsample] final prompt: {res.final_prompt}")
     _save_image(res.image, args.output)
     print(json.dumps({"seed": res.seed, "steps": res.num_steps, "duration_s": round(res.duration_s, 2), "phases": {k: round(v, 2) for k, v in res.phase_timings.items()}}))
+
+
+def _interpret_images(args):
+    paths = getattr(args, "interpret", None) or []
+    return [_load_image(p) for p in paths] or None
 
 
 def cmd_i2i(args):
@@ -247,7 +325,14 @@ def cmd_i2i(args):
         reference_ids=ref_ids,
         strength=args.strength,
         init_latents=init,
+        upsample=getattr(args, "upsample", False),
+        # I2I --upsample is vision-aware: the VLM sees the reference images
+        # (Flux2Pipeline.swift:1330-1404).
+        upsample_images=refs if getattr(args, "upsample", False) else None,
+        interpret_images=_interpret_images(args),
     )
+    if res.was_upsampled:
+        print(f"[upsample] final prompt: {res.final_prompt}")
     _save_image(res.image, args.output)
 
 
@@ -308,7 +393,10 @@ def cmd_download(args):
     from flux2_tpu.models.flux2.config import Flux2Model
 
     model = Flux2Model(args.model)
-    spec = registry.TRANSFORMER_REPOS[model]
+    fmt = getattr(args, "quantization", "bf16") or "bf16"
+    spec, on_the_fly = registry.variant_for_quantization(model, fmt)
+    if on_the_fly:
+        print(f"no pre-quantized {fmt} repo for {model.value}; downloading bf16 (quantize on load)")
     print(f"downloading {spec.repo_id} (~{spec.approx_size_gb} GB, gated={spec.gated})")
     path = registry.download(spec, token=args.token)
     print(f"transformer -> {path}")
@@ -437,8 +525,19 @@ def _add_common(p, with_gen=True):
         "--context-parallel", action="store_true",
         help="ring attention over the sp (or tp) axis for long sequences",
     )
+    p.add_argument("--encoder-dir", help="text-encoder weights dir (default: registry resolution)")
+    p.add_argument("--encoder-tokenizer-dir", help="tokenizer dir when separate from weights")
+    p.add_argument(
+        "--no-text-encoder", action="store_true",
+        help="skip encoder load (requires precomputed embeddings via the library API)",
+    )
     if with_gen:
         p.add_argument("--prompt", default="")
+        p.add_argument("--upsample", action="store_true", help="VLM prompt upsampling (BFL protocol)")
+        p.add_argument(
+            "--interpret", action="append", metavar="IMAGE",
+            help="VLM-describe this image and inject into the prompt (repeatable)",
+        )
         p.add_argument("--width", type=int, default=1024)
         p.add_argument("--height", type=int, default=1024)
         p.add_argument("--steps", type=int)
@@ -489,6 +588,7 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     p = sub.add_parser("download", help="download model weights from HF")
     p.add_argument("--model", default="klein-4b", choices=[m.value for m in _models()])
+    p.add_argument("--quantization", default="bf16", choices=["bf16", "qint8", "int4", "mxfp8", "mxfp4", "nvfp4"])
     p.add_argument("--token", help="HF token (or env HF_TOKEN)")
     p.set_defaults(fn=cmd_download)
 

@@ -430,6 +430,69 @@ def map_decoder_weights(w: Weights, cfg: DecoderConfig, dtype=np.float32) -> Dic
     return params
 
 
+def strip_language_model_prefix(w: Weights) -> Weights:
+    """``language_model.*`` keys (Mistral3ForConditionalGeneration layout)
+    -> the plain decoder layout map_decoder_weights expects."""
+    pre = "language_model."
+    if not any(k.startswith(pre) for k in w):
+        return w
+    return {k[len(pre):] if k.startswith(pre) else k: v for k, v in w.items()}
+
+
+def map_pixtral_weights(w: Weights, cfg, dtype=np.float32) -> Dict[str, Any]:
+    """Mistral3 VLM checkpoint (``vision_tower.*`` + ``multi_modal_projector.*``
+    keys) -> the pixtral vision+projector pytree.
+
+    Conversion rules validated elementwise vs HF PixtralVisionModel /
+    Mistral3MultiModalProjector in tests/test_hf_parity.py:
+
+      - patch conv [h, 3, p, p] OIHW -> linear [(p*p*3), h] over our
+        (ph, pw, c)-flattened patches;
+      - the patch merger's unfold flattens 2x2 blocks channel-major
+        (c*m*m + kh*m + kw); ours is spatial-major ((kh*m + kw)*d + c) —
+        input columns permute at mapping time.
+    """
+    vt = "vision_tower."
+    mp = "multi_modal_projector."
+    p = cfg.patch_size
+    blocks = []
+    for i in range(cfg.num_hidden_layers):
+        pre = f"{vt}transformer.layers.{i}."
+        blocks.append({
+            "attention_norm": w[pre + "attention_norm.weight"].astype(dtype),
+            "q_proj": _t(w[pre + "attention.q_proj.weight"]).astype(dtype),
+            "k_proj": _t(w[pre + "attention.k_proj.weight"]).astype(dtype),
+            "v_proj": _t(w[pre + "attention.v_proj.weight"]).astype(dtype),
+            "o_proj": _t(w[pre + "attention.o_proj.weight"]).astype(dtype),
+            "ffn_norm": w[pre + "ffn_norm.weight"].astype(dtype),
+            "gate_proj": _t(w[pre + "feed_forward.gate_proj.weight"]).astype(dtype),
+            "up_proj": _t(w[pre + "feed_forward.up_proj.weight"]).astype(dtype),
+            "down_proj": _t(w[pre + "feed_forward.down_proj.weight"]).astype(dtype),
+        })
+    conv = np.transpose(w[vt + "patch_conv.weight"], (2, 3, 1, 0)).reshape(p * p * 3, -1)
+
+    d, m = cfg.hidden_size, cfg.spatial_merge_size
+    merge_hf = w[mp + "patch_merger.merging_layer.weight"]  # [d, d*m*m]
+    perm = np.empty(d * m * m, np.int64)
+    for c in range(d):
+        for kh in range(m):
+            for kw in range(m):
+                perm[(kh * m + kw) * d + c] = c * m * m + kh * m + kw
+    merge = np.ascontiguousarray(merge_hf[:, perm].T)  # [m*m*d, d-out]
+
+    return {
+        "patch_conv": np.ascontiguousarray(conv).astype(dtype),
+        "ln_pre": w[vt + "ln_pre.weight"].astype(dtype),
+        "blocks": blocks,
+        "projector": {
+            "norm": w[mp + "norm.weight"].astype(dtype),
+            "merge": merge.astype(dtype),
+            "linear_1": _t(w[mp + "linear_1.weight"]).astype(dtype),
+            "linear_2": _t(w[mp + "linear_2.weight"]).astype(dtype),
+        },
+    }
+
+
 # ---------------------------------------------------------------------------
 # Qwen3.5 / Qwen3-Next hybrid (Gated DeltaNet + gated full attention)
 # ---------------------------------------------------------------------------

@@ -70,6 +70,7 @@ class TextEncoders:
 
     def __init__(self):
         self._encoders: Dict[str, LoadedEncoder] = {}
+        self._vlm = None  # MistralVLMService (Pixtral + Mistral LM)
 
     # -- loading -------------------------------------------------------------
 
@@ -100,13 +101,74 @@ class TextEncoders:
             import json
 
             with open(cfg_json) as f:
-                cfg = tc.DecoderConfig.from_json_dict(json.load(f), qk_norm=qk_norm, llama4=llama4)
-        raw = checkpoints.load_weights_dir(weights_dir)
+                d = json.load(f)
+            # Mistral3ForConditionalGeneration nests the decoder config
+            # under text_config (the VLM checkpoint layout).
+            d = d.get("text_config", d)
+            cfg = tc.DecoderConfig.from_json_dict(d, qk_norm=qk_norm, llama4=llama4)
+        raw = weight_mapping.strip_language_model_prefix(checkpoints.load_weights_dir(weights_dir))
         params = weight_mapping.map_decoder_weights(raw, cfg, dtype=np.float32)
         params = {k: _bf16(v) for k, v in params.items()}
         tok = HFTokenizerAdapter.from_pretrained(tokenizer_dir or weights_dir)
         flog.info(f"loaded text encoder {name} ({cfg.num_hidden_layers} layers, {cfg.hidden_size} hidden)")
         return self.attach(name, params, cfg, tok, layers)
+
+    def load_mistral_vlm(self, weights_dir: str, tokenizer_dir: Optional[str] = None):
+        """Mistral-Small-3.2 VLM: Pixtral vision tower + projector + LM from
+        one checkpoint -> a MistralVLMService (FluxTextEncoders.swift
+        loadVLMModel analogue). Reuses the LM if load_mistral already ran."""
+        from flux2_tpu.io import checkpoints, weight_mapping
+        from flux2_tpu.models.text_encoders import pixtral
+        from flux2_tpu.models.text_encoders.vlm_service import MistralVLMService
+
+        if self._vlm is not None:
+            return self._vlm
+        if not self.is_loaded("mistral"):
+            self.load_mistral(weights_dir, tokenizer_dir)
+        lm = self._encoders["mistral"]
+
+        import json
+
+        vcfg = pixtral.PixtralVisionConfig(text_hidden_size=lm.config.hidden_size)
+        image_token_id = 10
+        cfg_json = os.path.join(weights_dir, "config.json")
+        if os.path.exists(cfg_json):
+            with open(cfg_json) as f:
+                d = json.load(f)
+            v = d.get("vision_config", {})
+            vcfg = pixtral.PixtralVisionConfig(
+                hidden_size=v.get("hidden_size", 1024),
+                intermediate_size=v.get("intermediate_size", 4096),
+                num_hidden_layers=v.get("num_hidden_layers", 24),
+                num_attention_heads=v.get("num_attention_heads", 16),
+                patch_size=v.get("patch_size", 14),
+                image_size=v.get("image_size", 1540),
+                rope_theta=v.get("rope_theta", 10000.0),
+                spatial_merge_size=d.get("spatial_merge_size", 2),
+                text_hidden_size=lm.config.hidden_size,
+            )
+            image_token_id = d.get("image_token_index", 10)
+        raw = checkpoints.load_weights_dir(weights_dir)
+        vparams = weight_mapping.map_pixtral_weights(raw, vcfg, dtype=np.float32)
+        vparams = _bf16(vparams)
+        self._vlm = MistralVLMService(
+            lm_params=lm.params, lm_config=lm.config,
+            vision_params=vparams, vision_config=vcfg,
+            tokenizer=lm.tokenizer, image_token_id=image_token_id,
+        )
+        flog.info(f"loaded Mistral VLM (Pixtral {vcfg.num_hidden_layers}-layer tower)")
+        return self._vlm
+
+    def attach_vlm(self, vlm) -> None:
+        """Register an already-built vision service (tests, custom VLMs)."""
+        self._vlm = vlm
+
+    @property
+    def is_vlm_loaded(self) -> bool:
+        return self._vlm is not None
+
+    def unload_vlm(self) -> None:
+        self._vlm = None
 
     def shard(self, name: str, mesh) -> None:
         """Distribute an encoder's weights over a mesh (Mistral-24B needs
@@ -162,6 +224,12 @@ class TextEncoders:
 
     def generate_text(self, prompt: str, name: str, **kw) -> str:
         return self.chat([{"role": "user", "content": prompt}], name, **kw)
+
+    def analyze_image(self, image, prompt: str, seed: int = 0) -> str:
+        """VLM image analysis (FluxTextEncoders.analyzeImage)."""
+        if self._vlm is None:
+            raise ValueError("no VLM loaded; call load_mistral_vlm first")
+        return self._vlm.analyze_image(image, prompt, seed=seed)
 
     def upsample_prompt(self, prompt: str, name: str, mode: str = "upsampling_t2i", seed: int = 0) -> str:
         enc = self._encoders[name]

@@ -55,6 +55,8 @@ class GenerationResult:
     duration_s: float
     phase_timings: Dict[str, float]
     images: Optional[np.ndarray] = None  # [B, H, W, 3] when batch > 1
+    final_prompt: Optional[str] = None  # prompt actually encoded (after VLM rewrite)
+    was_upsampled: bool = False
 
 
 @dataclasses.dataclass
@@ -67,6 +69,10 @@ class Flux2Pipeline:
     vae_params: Any
     vae_config: vae_mod.VAEConfig
     text_encoder: Optional[Any] = None  # EmbeddingExtractor (callable prompt -> emb)
+    text_encoder_name: Optional[str] = None  # facade key of the attached encoder
+    encoders: Optional[Any] = None  # TextEncoders facade (chat/upsample surface)
+    vlm: Optional[Any] = None  # vision service with analyze_image() (Pixtral+Mistral)
+    vlm_loader: Optional[Callable[[], Any]] = None  # lazy VLM load (Klein Mistral-swap)
     max_pixels: int = 4096 * 4096
     mesh: Optional[Any] = None  # jax.sharding.Mesh; set via shard()
     ring: Optional[Any] = None  # (mesh, axis) for sequence-parallel attention; set via shard()
@@ -141,6 +147,86 @@ class Flux2Pipeline:
             raise ValueError("no text encoder attached; pass `embeddings=` to generate()")
         return self.text_encoder(prompt)
 
+    # -- VLM prompt services (interpret / upsample) ----------------------
+
+    VLM_ANALYSIS_PROMPT = (
+        "Describe this image in detail. Focus on the main subject, colors, "
+        "style, and any notable elements."
+    )
+
+    def _get_vlm(self):
+        """Resolve the vision service, lazily loading it on first use.
+
+        The reference's Klein path temporarily swaps Qwen3 out for the
+        Mistral VLM to gain vision (Flux2Pipeline.swift:1290-1385); with HBM
+        sharding both can stay resident, so the "swap" reduces to a lazy
+        load via ``vlm_loader``.
+        """
+        if self.vlm is None and self.vlm_loader is not None:
+            self.vlm = self.vlm_loader()
+        return self.vlm
+
+    def interpret_images(self, images: Sequence[np.ndarray], prompt: str, seed: int = 0) -> str:
+        """VLM semantic analysis injected into the prompt (--interpret).
+
+        Parity with Flux2Pipeline.swift:1253-1326: describe each image,
+        prefix the descriptions, append the user request.
+        """
+        vlm = self._get_vlm()
+        if vlm is None:
+            raise ValueError(
+                "image interpretation requires a VLM (Mistral+Pixtral); none "
+                "attached and no vlm_loader configured"
+            )
+        descs = []
+        for i, img in enumerate(images):
+            d = vlm.analyze_image(np.asarray(img), self.VLM_ANALYSIS_PROMPT, seed=seed).strip()
+            if d:
+                descs.append(f"Interpret image {i + 1}: {d}")
+        if not descs:
+            return prompt
+        return "\n".join(descs) + f"\n\nUser request: {prompt}"
+
+    def upsample_prompt(
+        self,
+        prompt: str,
+        images: Optional[Sequence[np.ndarray]] = None,
+        mode: str = "upsampling_t2i",
+        seed: int = 0,
+    ) -> str:
+        """Rewrite the prompt with the BFL upsampling protocol (--upsample).
+
+        Text-only: chat through the attached conditioning encoder
+        (MistralEncoder.swift:70-91 / KleinTextEncoder.swift:117-138).
+        With reference images: VLM-describe each image, compose the
+        reference's enriched-context template, then T2I-upsample the result
+        (MistralEncoder.swift:100-180 — T2I mode deliberately, the I2I mode
+        is for single-image edit instructions).
+        """
+        if self.encoders is None or self.text_encoder_name is None:
+            raise ValueError("prompt upsampling requires an attached text encoder facade")
+        if images:
+            vlm = self._get_vlm()
+            if vlm is None:
+                raise ValueError(
+                    "vision upsampling requires a VLM (Mistral+Pixtral); none "
+                    "attached and no vlm_loader configured"
+                )
+            descs = []
+            for i, img in enumerate(images):
+                d = vlm.analyze_image(np.asarray(img), self.VLM_ANALYSIS_PROMPT, seed=seed).strip()
+                if d:
+                    descs.append(f"Image {i + 1}: {d}")
+            if descs:
+                prompt = (
+                    "Reference images context:\n" + "\n".join(descs)
+                    + f"\n\nUser request: {prompt}\n\n"
+                    + "Generate an image that combines elements from the "
+                    + "reference images according to the user's request."
+                )
+            mode = "upsampling_t2i"
+        return self.encoders.upsample_prompt(prompt, self.text_encoder_name, mode=mode, seed=seed)
+
     # ------------------------------------------------------------------
     # Phase 2+3: denoise + decode
     # ------------------------------------------------------------------
@@ -166,9 +252,18 @@ class Flux2Pipeline:
         on_progress: Optional[Callable[[int, int], None]] = None,
         checkpoint_interval: Optional[int] = None,
         on_checkpoint: Optional[Callable[[int, np.ndarray], None]] = None,
+        upsample: bool = False,
+        upsample_images: Optional[Sequence[np.ndarray]] = None,
+        interpret_images: Optional[Sequence[np.ndarray]] = None,
     ) -> GenerationResult:
         """Generate an image. T2I by default; I2I via reference_latents;
-        img2img via init_latents + strength < 1."""
+        img2img via init_latents + strength < 1.
+
+        ``interpret_images`` injects VLM descriptions of the given images
+        into the prompt; ``upsample`` rewrites the (possibly enriched)
+        prompt via the BFL upsampling protocol, using vision when
+        ``upsample_images`` is given (Flux2Pipeline.swift:1250-1404). Both
+        apply only when the prompt is encoded here (``embeddings=None``)."""
         from flux2_tpu.utils.profiler import shared as _profiler
 
         prof = _profiler()
@@ -184,8 +279,16 @@ class Flux2Pipeline:
         # --- Phase 1: text encoding ---
         t = time.perf_counter()
         prof.start("1. Text Encoding")
+        final_prompt = prompt
+        was_upsampled = False
         if embeddings is None:
-            embeddings = self.encode_prompt(prompt or "")
+            if interpret_images:
+                final_prompt = self.interpret_images(interpret_images, final_prompt or "", seed=seed)
+            if upsample:
+                rewritten = self.upsample_prompt(final_prompt or "", images=upsample_images, seed=seed)
+                was_upsampled = rewritten != final_prompt
+                final_prompt = rewritten
+            embeddings = self.encode_prompt(final_prompt or "")
         if self.model.uses_classical_cfg and negative_embeddings is None and self.text_encoder is not None:
             negative_embeddings = self.encode_prompt("")
         prof.end("1. Text Encoding")
@@ -316,6 +419,8 @@ class Flux2Pipeline:
             duration_s=time.perf_counter() - t0,
             phase_timings=timings,
             images=images if images is not None and images.shape[0] > 1 else None,
+            final_prompt=final_prompt,
+            was_upsampled=was_upsampled,
         )
 
     # ------------------------------------------------------------------

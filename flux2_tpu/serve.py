@@ -245,6 +245,8 @@ def main(argv=None):
     parser.add_argument("--random-init", action="store_true")
     parser.add_argument("--transformer-dir")
     parser.add_argument("--vae-dir")
+    parser.add_argument("--encoder-dir")
+    parser.add_argument("--no-text-encoder", action="store_true")
     parser.add_argument("--small-decoder", action="store_true")
     parser.add_argument("--tp", type=int, default=0, help="shard over N devices (0 = no sharding)")
     args = parser.parse_args(argv)
@@ -267,6 +269,10 @@ def main(argv=None):
         def emb_fn(prompt):
             key = jax.random.PRNGKey(abs(hash(prompt)) % (2**31))
             return jax.random.normal(key, (1, 512, pipe.transformer_config.joint_attention_dim), jnp.bfloat16)
+    elif pipe.text_encoder is not None:
+        # Real weights: encode on the request thread so the batching worker
+        # only ever sees ready embeddings (per-request prompts batch cleanly).
+        emb_fn = pipe.encode_prompt
 
     server = Flux2Server(pipe, emb_fn)
     httpd = ThreadingHTTPServer((args.host, args.port), make_handler(server))

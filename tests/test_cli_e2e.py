@@ -1,6 +1,8 @@
 """CLI end-to-end with synthetic checkpoints on disk: the full slow path
-(directory scan -> dialect mapping -> config.json parse -> generate ->
-export-quantized -> prequantized fast path)."""
+(directory scan -> dialect mapping -> config.json parse -> text-encoder
+load through the real facade -> generate -> export-quantized ->
+prequantized fast path). No embedding monkeypatches: prompts flow through
+a tiny-but-real encoder checkpoint + HF tokenizer on disk."""
 
 import json
 import os
@@ -16,6 +18,87 @@ from flux2_tpu.models.flux2 import config as cfg
 from flux2_tpu.models.flux2 import transformer as tfm
 from flux2_tpu.models.flux2 import vae as vae_mod
 from tests.test_weight_mapping import make_diffusers_ckpt, CONFIG as T_CONFIG
+
+
+@pytest.fixture(scope="module")
+def encoder_dir(tmp_path_factory):
+    """Tiny-but-real Qwen3-style encoder checkpoint: HF-layout safetensors,
+    config.json, and a real fast tokenizer with a chat template — exercises
+    the exact files `flux2 t2i --encoder-dir` reads."""
+    tokenizers = pytest.importorskip("tokenizers")
+    from transformers import PreTrainedTokenizerFast
+
+    base = tmp_path_factory.mktemp("encoder")
+
+    tok = tokenizers.Tokenizer(tokenizers.models.BPE(unk_token=None))
+    tok.pre_tokenizer = tokenizers.pre_tokenizers.ByteLevel(add_prefix_space=False)
+    tok.decoder = tokenizers.decoders.ByteLevel()
+    trainer = tokenizers.trainers.BpeTrainer(
+        vocab_size=512, special_tokens=["<|im_start|>", "<|im_end|>", "<|pad|>"],
+        initial_alphabet=tokenizers.pre_tokenizers.ByteLevel.alphabet(),
+    )
+    tok.train_from_iterator(
+        ["a photo of a cat", "structured responses about images", "system user assistant\n"],
+        trainer,
+    )
+    hf_tok = PreTrainedTokenizerFast(
+        tokenizer_object=tok, pad_token="<|pad|>", eos_token="<|im_end|>",
+        chat_template=(
+            "{% for message in messages %}<|im_start|>{{ message.role }}\n"
+            "{{ message.content }}<|im_end|>\n{% endfor %}"
+            "{% if add_generation_prompt %}<|im_start|>assistant\n{% endif %}"
+        ),
+    )
+    hf_tok.save_pretrained(str(base))
+
+    # Klein conditioning needs hidden layers [9, 18, 27], so >= 28 layers;
+    # keep every dim tiny. 3 x hidden 32 = the DiT test config's joint 96.
+    n_layers, hidden, inter, heads, kv_heads, head_dim = 28, 32, 64, 2, 1, 16
+    vocab = max(600, len(hf_tok) + 1)
+    rng = np.random.default_rng(7)
+
+    def lin(o, i):
+        return (rng.standard_normal((o, i)) * 0.02).astype(np.float32)
+
+    w = {"model.embed_tokens.weight": lin(vocab, hidden), "model.norm.weight": np.ones(hidden, np.float32)}
+    for i in range(n_layers):
+        pre = f"model.layers.{i}."
+        w[pre + "input_layernorm.weight"] = np.ones(hidden, np.float32)
+        w[pre + "self_attn.q_proj.weight"] = lin(heads * head_dim, hidden)
+        w[pre + "self_attn.k_proj.weight"] = lin(kv_heads * head_dim, hidden)
+        w[pre + "self_attn.v_proj.weight"] = lin(kv_heads * head_dim, hidden)
+        w[pre + "self_attn.o_proj.weight"] = lin(hidden, heads * head_dim)
+        w[pre + "self_attn.q_norm.weight"] = np.ones(head_dim, np.float32)
+        w[pre + "self_attn.k_norm.weight"] = np.ones(head_dim, np.float32)
+        w[pre + "post_attention_layernorm.weight"] = np.ones(hidden, np.float32)
+        w[pre + "mlp.gate_proj.weight"] = lin(inter, hidden)
+        w[pre + "mlp.up_proj.weight"] = lin(inter, hidden)
+        w[pre + "mlp.down_proj.weight"] = lin(hidden, inter)
+    safetensors_io.save_file(w, str(base / "model.safetensors"))
+    with open(base / "config.json", "w") as f:
+        json.dump(
+            {
+                "vocab_size": vocab, "hidden_size": hidden, "intermediate_size": inter,
+                "num_hidden_layers": n_layers, "num_attention_heads": heads,
+                "num_key_value_heads": kv_heads, "head_dim": head_dim,
+                "rms_norm_eps": 1e-6, "rope_theta": 1e6, "tie_word_embeddings": True,
+            },
+            f,
+        )
+    return str(base)
+
+
+@pytest.fixture(autouse=True)
+def _fresh_facade():
+    """Each test attaches encoders through the module-level facade; keep it
+    clean across tests."""
+    from flux2_tpu.models.text_encoders import facade
+
+    facade.shared.unload_all()
+    facade.shared.unload_vlm()
+    yield
+    facade.shared.unload_all()
+    facade.shared.unload_vlm()
 
 
 @pytest.fixture(scope="module")
@@ -123,24 +206,14 @@ def _vae_to_diffusers(params):
     return w
 
 
-def test_cli_t2i_from_disk(model_dirs, tmp_path, monkeypatch):
-    """t2i loads real safetensors from disk and produces a PNG."""
+def test_cli_t2i_from_disk(model_dirs, encoder_dir, tmp_path):
+    """t2i loads transformer + VAE + text encoder from disk and encodes the
+    prompt through the real facade path — no embedding patching."""
     tdir, vdir = model_dirs
     out = str(tmp_path / "out.png")
-    # embeddings come from the text encoder normally; with no encoder the
-    # pipeline raises — patch in random embeddings through --random-init's
-    # helper by monkeypatching _embeddings_for to use the loaded config.
-    import flux2_tpu.cli.main as cli
-
-    monkeypatch.setattr(
-        cli,
-        "_embeddings_for",
-        lambda pipe, args: jax.random.normal(
-            jax.random.PRNGKey(0), (1, 8, pipe.transformer_config.joint_attention_dim), jnp.bfloat16
-        ),
-    )
     main([
         "t2i", "--model", "klein-4b", "--transformer-dir", tdir, "--vae-dir", vdir,
+        "--encoder-dir", encoder_dir, "--prompt", "a photo of a cat",
         "--width", "64", "--height", "64", "--steps", "1", "-o", out,
     ])
     assert os.path.exists(out)
@@ -150,11 +223,23 @@ def test_cli_t2i_from_disk(model_dirs, tmp_path, monkeypatch):
         assert im.size == (64, 64)
 
 
-def test_cli_export_quantized_then_fast_path(model_dirs, tmp_path, monkeypatch):
+def test_cli_t2i_missing_encoder_fails_clearly(model_dirs, tmp_path, monkeypatch):
+    """Without encoder weights the CLI exits with an actionable message
+    instead of dying inside encode_prompt."""
+    tdir, vdir = model_dirs
+    monkeypatch.setenv("FLUX2_MODELS_DIR", str(tmp_path / "nothing"))
+    monkeypatch.setenv("HF_HOME", str(tmp_path / "nohf"))
+    with pytest.raises(SystemExit, match="text encoder"):
+        main([
+            "t2i", "--model", "klein-4b", "--transformer-dir", tdir, "--vae-dir", vdir,
+            "--width", "64", "--height", "64", "--steps", "1", "-o", str(tmp_path / "x.png"),
+        ])
+
+
+def test_cli_export_quantized_then_fast_path(model_dirs, encoder_dir, tmp_path):
     """export-quantized writes a prequantized checkpoint; a following load
     takes the fast path (asserted via the integrity-validated file)."""
     tdir, vdir = model_dirs
-    import flux2_tpu.cli.main as cli
 
     main(["export-quantized", "--model", "klein-4b", "--quantization", "qint8", "--transformer-dir", tdir])
     from flux2_tpu.io import checkpoints
@@ -168,22 +253,16 @@ def test_cli_export_quantized_then_fast_path(model_dirs, tmp_path, monkeypatch):
     assert quant.is_quantized(loaded["double_blocks"]["to_q"])
 
     # and the t2i path picks it up
-    monkeypatch.setattr(
-        cli,
-        "_embeddings_for",
-        lambda pipe, args: jax.random.normal(
-            jax.random.PRNGKey(0), (1, 8, pipe.transformer_config.joint_attention_dim), jnp.bfloat16
-        ),
-    )
     out = str(tmp_path / "q.png")
     main([
         "t2i", "--model", "klein-4b", "--transformer-dir", tdir, "--vae-dir", vdir,
+        "--encoder-dir", encoder_dir, "--prompt", "a photo of a cat",
         "--quantization", "qint8", "--width", "64", "--height", "64", "--steps", "1", "-o", out,
     ])
     assert os.path.exists(out)
 
 
-def test_cli_inpaint_from_disk(model_dirs, tmp_path, monkeypatch):
+def test_cli_inpaint_from_disk(model_dirs, encoder_dir, tmp_path):
     """inpaint CLI end-to-end from disk checkpoints."""
     from PIL import Image
 
@@ -195,41 +274,27 @@ def test_cli_inpaint_from_disk(model_dirs, tmp_path, monkeypatch):
     m[:, 32:] = 255
     Image.fromarray(m, mode="L").save(mask_path)
 
-    import flux2_tpu.cli.main as cli
-
-    monkeypatch.setattr(
-        cli, "_embeddings_for",
-        lambda pipe, args: jax.random.normal(
-            jax.random.PRNGKey(0), (1, 8, pipe.transformer_config.joint_attention_dim), jnp.bfloat16
-        ),
-    )
     out = str(tmp_path / "inpainted.png")
     main([
         "inpaint", "--model", "klein-4b", "--transformer-dir", tdir, "--vae-dir", vdir,
+        "--encoder-dir", encoder_dir, "--prompt", "a photo of a cat",
         "--image", img_path, "--mask", mask_path, "--steps", "1", "-o", out,
     ])
     with Image.open(out) as im:
         assert im.size == (64, 64)
 
 
-def test_cli_outpaint_from_disk(model_dirs, tmp_path, monkeypatch):
+def test_cli_outpaint_from_disk(model_dirs, encoder_dir, tmp_path):
     from PIL import Image
 
     tdir, vdir = model_dirs
     img_path = str(tmp_path / "src.png")
     Image.fromarray(np.full((64, 64, 3), 100, np.uint8)).save(img_path)
 
-    import flux2_tpu.cli.main as cli
-
-    monkeypatch.setattr(
-        cli, "_embeddings_for",
-        lambda pipe, args: jax.random.normal(
-            jax.random.PRNGKey(0), (1, 8, pipe.transformer_config.joint_attention_dim), jnp.bfloat16
-        ),
-    )
     out = str(tmp_path / "outpainted.png")
     main([
         "outpaint", "--model", "klein-4b", "--transformer-dir", tdir, "--vae-dir", vdir,
+        "--encoder-dir", encoder_dir, "--prompt", "a photo of a cat",
         "--image", img_path, "--right", "32", "--steps", "1", "-o", out,
     ])
     with Image.open(out) as im:
