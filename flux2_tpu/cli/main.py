@@ -70,6 +70,11 @@ def build_pipeline(args) -> "Flux2Pipeline":
     if getattr(args, "random_init", False):
         flog.warning("random-init weights: outputs are noise (smoke-test mode)")
         pipe = Flux2Pipeline.from_random(model=model, vae_config=vae_config)
+        fmt = getattr(args, "quantization", "bf16")
+        if fmt != "bf16":
+            # quantize the random weights too: `profile --compare --random-init`
+            # is the checkpoint-free quantization benchmark harness
+            pipe.transformer_params = quant.quantize_params(pipe.transformer_params, fmt)
     else:
         tconfig = model.transformer_config
         with profiler().phase("4. Load Transformer"):
@@ -82,11 +87,18 @@ def build_pipeline(args) -> "Flux2Pipeline":
                 )
             tconfig = _read_config_json(tdir, tconfig)
             fmt = getattr(args, "quantization", "bf16")
-            prequant = checkpoints.prequantized_path(tdir, fmt)
+            # w8a8 is a RUNTIME compute format (int8 MXU matmuls, measured
+            # faster than bf16 at bs=1); its storage format is qint8 — a
+            # prequantized qint8 checkpoint converts at load.
+            storage_fmt = "qint8" if fmt == "w8a8" else fmt
+            prequant = checkpoints.prequantized_path(tdir, storage_fmt)
             if fmt != "bf16" and os.path.exists(prequant):
                 tparams, _ = checkpoints.load_prequantized(prequant, expected_source_dir=tdir)
-                flog.info(f"loaded prequantized {fmt} transformer from {prequant}")
-                if getattr(args, "dequantize_runtime", False):
+                flog.info(f"loaded prequantized {storage_fmt} transformer from {prequant}")
+                if fmt == "w8a8":
+                    tparams = quant.w8a8_params(tparams)
+                    flog.info("converted to the w8a8 runtime format (int8 MXU)")
+                elif getattr(args, "dequantize_runtime", False):
                     tparams = quant.dequantize_params(tparams)
                     flog.info("dequantized to bf16 at load (speed-first runtime)")
             else:
@@ -388,6 +400,113 @@ def cmd_outpaint(args):
     _save_image(res.image, args.output)
 
 
+def cmd_mask_subject(args):
+    """Auto-segmentation subject mask (MaskSubjectCommand.swift parity;
+    Apple-Vision segmentation substituted by the pluggable segmenter —
+    see chains/subject_mask.py)."""
+    from flux2_tpu.chains.subject_mask import subject_mask
+
+    image = _load_image(args.image)
+    mask = subject_mask(
+        image,
+        threshold=args.threshold,
+        dilation_px=args.dilation,
+        ramp_px=args.ramp,
+        invert_for_change_scene=not args.keep_scene,
+    )
+    _save_image(np.repeat(mask[..., None], 3, axis=-1), args.output)
+    covered = float((mask > 0.5).mean())
+    print(json.dumps({"mask_coverage": round(covered, 3), "convention": "white = regenerate"}))
+    if not args.quiet:
+        print(
+            "note: built-in segmenter is a saliency heuristic (busy backgrounds "
+            "degrade it); pass a segmentation model via the library API for "
+            "production masks (chains.subject_mask.subject_mask(segmenter=...))"
+        )
+
+
+def cmd_evaluate_lora(args):
+    """LoRA training-need gap analysis (EvaluateLoRA / LoRAEvaluator.swift:13-45).
+
+    Pipeline: read dataset captions -> generate baseline images with the
+    (distilled) base model -> VLM-score them against the dataset references
+    -> recommend rank/steps/timestep-sampling.
+    """
+    from flux2_tpu.training.data import load_dataset
+    from flux2_tpu.training.validation import evaluate_training_need
+
+    entries = load_dataset(args.dataset)
+    if not entries:
+        raise SystemExit(f"no (image, caption) pairs found under {args.dataset}")
+    entries = entries[: args.max_samples]
+
+    pipe = build_pipeline(args)
+    scorer = _vlm_scorer(pipe) if not args.no_vlm else None
+
+    baseline_scores = []
+    os.makedirs(args.output_dir, exist_ok=True)
+    for i, entry in enumerate(entries):
+        ref_img = _load_image(entry.image_path)
+        res = pipe.generate(
+            prompt=entry.caption,
+            embeddings=_embeddings_for_prompt(pipe, args, entry.caption),
+            height=args.height,
+            width=args.width,
+            num_steps=args.steps,
+            seed=args.seed + i,
+        )
+        _save_image(res.image, os.path.join(args.output_dir, f"baseline_{i:03d}.png"))
+        if scorer is not None:
+            scene, style = scorer(res.image, [ref_img], entry.caption)
+        else:
+            scene, style = _pixel_scorer(res.image, ref_img)
+        baseline_scores.append((scene, style))
+        print(f"[{i+1}/{len(entries)}] scene={scene:.1f} style={style:.1f}  {entry.caption[:60]}")
+
+    gap = evaluate_training_need(baseline_scores)
+    print(json.dumps({
+        "scene_score": round(gap.scene_score, 2),
+        "style_score": round(gap.style_score, 2),
+        "recommended_rank": gap.recommended_rank,
+        "recommended_steps": gap.recommended_steps,
+        "recommended_timestep_sampling": gap.recommended_timestep_sampling,
+        "notes": gap.notes,
+    }))
+
+
+def _vlm_scorer(pipe):
+    """VLM scene/style scorer when a scoring-capable service is reachable,
+    else None (the caller falls back to the pixel scorer)."""
+    service = getattr(pipe, "vlm_service", None)
+    if service is None and getattr(pipe, "vlm_loader", None) is not None:
+        try:
+            service = pipe.vlm_loader()
+        except SystemExit:
+            return None
+    if service is None or not hasattr(service, "score_validation_image"):
+        return None
+    return service.score_validation_image
+
+
+def _pixel_scorer(image, reference):
+    """Headless fallback scorer: luminance-histogram + color-moment
+    similarity mapped to the 0-10 scene/style axes. Crude but monotonic —
+    keeps `evaluate-lora` functional with no VLM on disk."""
+    from flux2_tpu.utils.quality import histogram_similarity, color_moment_similarity
+
+    scene = 10.0 * histogram_similarity(image, reference)
+    style = 10.0 * color_moment_similarity(image, reference)
+    return float(scene), float(style)
+
+
+def _embeddings_for_prompt(pipe, args, prompt):
+    jax, jnp = _lazy_imports()
+    if getattr(args, "random_init", False):
+        key = jax.random.PRNGKey(abs(hash(prompt)) % (2**31))
+        return jax.random.normal(key, (1, 512, pipe.transformer_config.joint_attention_dim), jnp.bfloat16)
+    return None
+
+
 def cmd_download(args):
     from flux2_tpu.io import registry
     from flux2_tpu.models.flux2.config import Flux2Model
@@ -448,12 +567,14 @@ def cmd_export_quantized(args):
     print(f"exported {args.quantization} checkpoint -> {path} ({size_gb:.2f} GB)")
 
 
-def cmd_profile(args):
-    os.environ["FLUX2_PROFILE"] = "1"
+def _profile_once(args, quantization=None):
+    """One profiled configuration: build, warmup, N timed runs -> stats dict."""
     from flux2_tpu.utils.profiler import shared
 
     prof = shared()
     prof.enabled = True
+    if quantization is not None:
+        args.quantization = quantization
     pipe = build_pipeline(args)
     emb = _embeddings_for(pipe, args)
 
@@ -466,9 +587,42 @@ def cmd_profile(args):
             )
         if run >= args.warmup:
             durations.append(res.duration_s)
+    stats = {
+        "runs": len(durations),
+        "mean_s": round(float(np.mean(durations)), 3) if durations else None,
+        "min_s": round(float(np.min(durations)), 3) if durations else None,
+        "max_s": round(float(np.max(durations)), 3) if durations else None,
+    }
+    return pipe, prof, stats
+
+
+def cmd_profile(args):
+    os.environ["FLUX2_PROFILE"] = "1"
+
+    if args.compare:
+        # Cross-config comparison (ProfileCommand.swift:10-22 `compare`):
+        # same prompt/shape/steps across quantization configs, one table.
+        rows = []
+        for fmt in args.compare.split(","):
+            fmt = fmt.strip()
+            pipe, prof, stats = _profile_once(args, quantization=fmt)
+            rows.append((fmt, stats))
+            del pipe  # free HBM before the next config
+            import jax
+
+            jax.clear_caches()
+        base = rows[0][1]["mean_s"] or 1.0
+        print(f"{'config':<10} {'mean_s':>8} {'min_s':>8} {'max_s':>8} {'vs_first':>9}")
+        for fmt, s in rows:
+            rel = base / s["mean_s"] if s["mean_s"] else float("nan")
+            print(f"{fmt:<10} {s['mean_s']:>8} {s['min_s']:>8} {s['max_s']:>8} {rel:>8.2f}x")
+        print(json.dumps({fmt: s for fmt, s in rows}))
+        return
+
+    pipe, prof, stats = _profile_once(args)
     print(prof.report())
-    if durations:
-        print(json.dumps({"runs": len(durations), "mean_s": round(float(np.mean(durations)), 3), "min_s": round(float(np.min(durations)), 3), "max_s": round(float(np.max(durations)), 3)}))
+    if stats["runs"]:
+        print(json.dumps(stats))
     if args.trace:
         prof.export_chrome_trace(args.trace)
         print(f"chrome trace -> {args.trace} (open in Perfetto)")
@@ -508,7 +662,7 @@ def cmd_beacons(args):
 
 def _add_common(p, with_gen=True):
     p.add_argument("--model", default="klein-4b", choices=[m.value for m in _models()])
-    p.add_argument("--quantization", default="bf16", choices=["bf16", "qint8", "int4", "mxfp8", "mxfp4", "nvfp4"])
+    p.add_argument("--quantization", default="bf16", choices=["bf16", "qint8", "w8a8", "int4", "mxfp8", "mxfp4", "nvfp4"])
     p.add_argument("--transformer-dir")
     p.add_argument("--vae-dir")
     p.add_argument("--small-decoder", action="store_true", help="distilled VAE decoder (faster)")
@@ -588,7 +742,7 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     p = sub.add_parser("download", help="download model weights from HF")
     p.add_argument("--model", default="klein-4b", choices=[m.value for m in _models()])
-    p.add_argument("--quantization", default="bf16", choices=["bf16", "qint8", "int4", "mxfp8", "mxfp4", "nvfp4"])
+    p.add_argument("--quantization", default="bf16", choices=["bf16", "qint8", "w8a8", "int4", "mxfp8", "mxfp4", "nvfp4"])
     p.add_argument("--token", help="HF token (or env HF_TOKEN)")
     p.set_defaults(fn=cmd_download)
 
@@ -607,7 +761,29 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--runs", type=int, default=3)
     p.add_argument("--trace", help="export Chrome-trace JSON here")
     p.add_argument("--no-decode", action="store_true")
+    p.add_argument(
+        "--compare", metavar="FMT,FMT,...",
+        help="cross-config comparison over quantization formats (e.g. bf16,qint8,w8a8)",
+    )
     p.set_defaults(fn=cmd_profile)
+
+    p = sub.add_parser("mask-subject", help="auto-segmentation subject mask")
+    p.add_argument("--image", required=True)
+    p.add_argument("-o", "--output", default="mask.png")
+    p.add_argument("--threshold", type=float, default=0.5)
+    p.add_argument("--dilation", type=int, default=8)
+    p.add_argument("--ramp", type=int, default=16)
+    p.add_argument("--keep-scene", action="store_true", help="mask the subject instead of the scene")
+    p.add_argument("--quiet", action="store_true")
+    p.set_defaults(fn=cmd_mask_subject)
+
+    p = sub.add_parser("evaluate-lora", help="LoRA training-need gap analysis")
+    _add_common(p)
+    p.add_argument("--dataset", required=True, help="images + .txt captions (or manifest.jsonl)")
+    p.add_argument("--output-dir", default="lora_eval")
+    p.add_argument("--max-samples", type=int, default=4)
+    p.add_argument("--no-vlm", action="store_true", help="skip VLM scoring (pixel-stat fallback)")
+    p.set_defaults(fn=cmd_evaluate_lora)
 
     p = sub.add_parser("train-lora", help="flow-matching LoRA training")
     p.add_argument("--config", required=True, help="YAML training config")

@@ -75,8 +75,66 @@ class QTensor:
         return n + (self.bias.nbytes if self.bias is not None else 0)
 
 
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class W8A8Tensor:
+    """Runtime W8A8 weight: symmetric int8 codes + per-column f32 scale.
+
+    The *compute* format for quantized inference on the MXU (the storage
+    format stays the MLX-parity QTensor). Per-column weight scale + per-token
+    dynamic activation scale let the kernel accumulate in int32 across ALL
+    K blocks and rescale once at the end (a single rank-1 f32 epilogue);
+    see quant_kernels.w8a8_matmul.
+    """
+
+    q: jnp.ndarray  # int8 [.., K, N]
+    scale: jnp.ndarray  # f32 [.., 1, N]
+    orig_in: int  # static
+
+    def tree_flatten(self):
+        return (self.q, self.scale), (self.orig_in,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+    @property
+    def nbytes(self) -> int:
+        return self.q.nbytes + self.scale.nbytes
+
+
+def to_w8a8(w: Any) -> Any:
+    """Convert a dense weight or a stored QTensor into the W8A8 compute format."""
+    if isinstance(w, W8A8Tensor):
+        return w
+    if isinstance(w, QTensor):
+        w = dequantize(w, jnp.bfloat16)
+    *lead, d_in, d_out = w.shape
+
+    def quant2d(w2):  # [K, N] any float -> (int8 [K, N], f32 [1, N])
+        wf = w2.astype(jnp.float32)
+        amax = jnp.max(jnp.abs(wf), axis=0, keepdims=True)
+        scale = jnp.maximum(amax, 1e-30) / 127.0
+        q = jnp.clip(jnp.round(wf / scale), -127, 127).astype(jnp.int8)
+        return q, scale
+
+    if w.ndim == 2:
+        q, scale = jax.jit(quant2d)(w)
+    else:
+        # Stacked scan leaves [L, K, N]: slice-wise so the f32 transient is
+        # one layer, not the whole stack (Dev-32B leaves OOM otherwise).
+        q, scale = jax.lax.map(quant2d, w.reshape(-1, d_in, d_out))
+        q = q.reshape(*lead, d_in, d_out)
+        scale = scale.reshape(*lead, 1, d_out)
+    return W8A8Tensor(q, scale, d_in)
+
+
+def dequantize_w8a8(w: W8A8Tensor, dtype=jnp.bfloat16) -> jnp.ndarray:
+    return (w.q.astype(jnp.float32) * w.scale).astype(dtype)
+
+
 def is_quantized(w: Any) -> bool:
-    return isinstance(w, QTensor)
+    return isinstance(w, (QTensor, W8A8Tensor))
 
 
 # ---------------------------------------------------------------------------
@@ -188,6 +246,12 @@ def q_matmul(x: jnp.ndarray, w: Any) -> jnp.ndarray:
     """
     if not is_quantized(w):
         return x @ w
+    if isinstance(w, W8A8Tensor):
+        from flux2_tpu.ops import quant_kernels
+
+        if jax.default_backend() == "tpu" and w.q.ndim == 2 and quant_kernels.w8a8_supported(x, w):
+            return quant_kernels.w8a8_matmul(x, w)
+        return x @ dequantize_w8a8(w, dtype=x.dtype)
     if (
         os.environ.get("FLUX2_PALLAS_DEQUANT", "0") == "1"
         and w.format in ("qint8", "int4")
@@ -209,6 +273,8 @@ def quantize_params(params: Any, fmt: str, min_size: int = 1 << 16) -> Any:
     """
     if fmt == "bf16":
         return params
+    if fmt == "w8a8":
+        return w8a8_params(params, min_size=min_size)
 
     def visit(leaf):
         if (
@@ -225,6 +291,28 @@ def quantize_params(params: Any, fmt: str, min_size: int = 1 << 16) -> Any:
     return jax.tree_util.tree_map(visit, params)
 
 
+def w8a8_params(params: Any, min_size: int = 1 << 16) -> Any:
+    """Convert eligible weight leaves (dense or stored QTensor) to W8A8.
+
+    The speed deployment for quantized serving: int8 codes halve weight HBM
+    AND run the matmuls on the MXU's int8 path (quant_kernels.w8a8_matmul).
+    """
+
+    def visit(leaf):
+        if isinstance(leaf, QTensor):
+            return to_w8a8(leaf)
+        if (
+            hasattr(leaf, "ndim")
+            and leaf.ndim >= 2
+            and leaf.size >= min_size
+            and jnp.issubdtype(leaf.dtype, jnp.floating)
+        ):
+            return to_w8a8(leaf)
+        return leaf
+
+    return jax.tree_util.tree_map(visit, params, is_leaf=is_quantized)
+
+
 def param_bytes(params: Any) -> int:
     return sum(leaf.nbytes for leaf in jax.tree_util.tree_leaves(params) if hasattr(leaf, "nbytes"))
 
@@ -239,6 +327,8 @@ def dequantize_params(params: Any, dtype=jnp.bfloat16) -> Any:
     """
 
     def visit(leaf):
+        if isinstance(leaf, W8A8Tensor):
+            return dequantize_w8a8(leaf, dtype)
         return dequantize(leaf, dtype) if is_quantized(leaf) else leaf
 
     return jax.tree_util.tree_map(visit, params, is_leaf=is_quantized)

@@ -144,3 +144,113 @@ def dequant_matmul(
 
 def _round_up(v: int, m: int) -> int:
     return (v + m - 1) // m * m
+
+
+# ---------------------------------------------------------------------------
+# W8A8: int8 activations x int8 weights on the MXU
+# ---------------------------------------------------------------------------
+#
+# The round-1 fused dequant kernel above is VPU-bound: it converts uint8
+# codes to float *before* the dot, so the conversion throughput (not the MXU)
+# sets the speed. The W8A8 kernel keeps codes int8 all the way INTO the MXU:
+#
+#   1. quantize the activation tile in-kernel (per-row dynamic symmetric int8,
+#      one scale per [row, K-block] — VPU, O(bm*bk));
+#   2. int8 x int8 -> int32 MXU dot (measured 71.6 T/s vs bf16's 60.9 T/s on
+#      v5e at identical tiling — docs/knowledge/decisions/quantization-formats.md);
+#   3. rescale the int32 partial by (act_scale[row] * weight_scale[kblock, col])
+#      and accumulate in an f32 VMEM scratch.
+#
+# Weight layout: symmetric int8 codes [K, N] with one f32 scale per COLUMN —
+# see quant.W8A8Tensor / quant.to_w8a8. Activations quantize dynamically to
+# one symmetric int8 scale per TOKEN (row). Both scales being K-invariant
+# lets the kernel accumulate raw int32 across every K block and rescale
+# exactly once: out = (xq @ wq) * xs[row] * ws[col] — the epilogue is a
+# single rank-1 f32 multiply instead of one per K block.
+#
+# Activation quantization runs as an XLA prologue (one fused pass over x)
+# rather than in-kernel: in-kernel quant re-does O(bm*bk) VPU work for every
+# N block of the grid.
+
+W8A8_BM = 512
+W8A8_BN = 1024
+W8A8_BK = 1024
+
+
+def _kernel_w8a8(xq_ref, xs_ref, q_ref, s_ref, o_ref, acc_ref):
+    kb = pl.program_id(2)
+
+    @pl.when(kb == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    acc_ref[:] += jax.lax.dot_general(
+        xq_ref[:], q_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )  # [bm, bn] int32 on the MXU
+
+    @pl.when(kb == pl.num_programs(2) - 1)
+    def _():
+        xs = xs_ref[0, :][:, None]  # per-token activation scale [bm, 1]
+        ws = s_ref[0, :][None, :]  # per-column weight scale [1, bn]
+        o_ref[:] = (acc_ref[:].astype(jnp.float32) * (xs * ws)).astype(o_ref.dtype)
+
+
+def w8a8_supported(x: jnp.ndarray, w: Any) -> bool:
+    if x.shape[-1] != w.orig_in:
+        return False
+    k, n = w.q.shape[-2:]
+    return k % 256 == 0 and n % 256 == 0
+
+
+def w8a8_matmul(
+    x: jnp.ndarray,
+    w: Any,
+    bm: int = W8A8_BM,
+    bn: int = W8A8_BN,
+    bk: int = W8A8_BK,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """x [.., K] @ W8A8Tensor[K, N] -> [.., N] (dynamic per-token activation quant)."""
+    *lead, k = x.shape
+    n = w.q.shape[-1]
+
+    m = 1
+    for d in lead:
+        m *= d
+    x2 = x.reshape(m, k)
+
+    bm = min(bm, _round_up(m, 8))
+    bn = min(bn, n)
+    bk = min(bk, k)
+    while k % bk:
+        bk //= 2
+    m_pad = _round_up(m, bm)
+    if m_pad != m:
+        x2 = jnp.pad(x2, ((0, m_pad - m), (0, 0)))
+
+    # XLA prologue: symmetric int8 per token (row).
+    xf = x2.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)  # [m, 1]
+    xs = jnp.maximum(amax, 1e-30) * (1.0 / 127.0)
+    xq = jnp.clip(jnp.round(xf / xs), -127.0, 127.0).astype(jnp.int8)
+
+    grid = (m_pad // bm, n // bn, k // bk)
+    out = pl.pallas_call(
+        _kernel_w8a8,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk)),
+            pl.BlockSpec((1, bm), lambda i, j, kk: (0, i)),
+            pl.BlockSpec((bk, bn), lambda i, j, kk: (kk, j)),
+            pl.BlockSpec((1, bn), lambda i, j, kk: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((m_pad, n), x.dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(xq, xs.T, w.q, w.scale)
+
+    return out[:m].reshape(*lead, n)

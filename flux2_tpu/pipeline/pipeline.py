@@ -340,6 +340,7 @@ class Flux2Pipeline:
         t = time.perf_counter()
         prof.start("2. Denoising")
         mesh_ctx = self._mesh_ctx()
+        collect = False
         with mesh_ctx:
           if reference_latents is not None and self.model.supports_kv_cache:
               # klein-9b-kv: step 0 extracts reference K/V, steps 1+ reuse it
@@ -364,7 +365,10 @@ class Flux2Pipeline:
                   step_hook,
               )
           else:
-              collect = checkpoint_interval is not None
+              collect = (
+                  checkpoint_interval is not None
+                  and (schedule.num_steps - 1) // checkpoint_interval > 0
+              )
               final_seq = _denoise(
                   self.transformer_params,
                   self.transformer_config,
@@ -380,7 +384,7 @@ class Flux2Pipeline:
                   self.model.uses_guidance_embeds,
                   self.model.uses_classical_cfg,
                   _make_progress_cb(on_progress, schedule.num_steps),
-                  collect,
+                  checkpoint_interval if collect else None,
                   self.ring,
               )
               if collect:
@@ -392,13 +396,16 @@ class Flux2Pipeline:
         timings["denoising"] = time.perf_counter() - t
 
         # --- checkpoint images (decoded every N steps AFTER the scan; the
-        # scan collects per-step latents so the compiled loop stays pure —
+        # scan collects only every Nth step's latents — HBM held scales with
+        # num_steps/interval — and stays one pure compiled loop;
         # Flux2Pipeline.swift:2018-2046 decodes inline instead) ---
-        if checkpoint_interval is not None and on_checkpoint is not None:
+        if checkpoint_interval is not None and on_checkpoint is not None and collect:
             with self._mesh_ctx():
-                for step_i in range(checkpoint_interval - 1, schedule.num_steps - 1, checkpoint_interval):
-                    img_i = np.asarray(self.decode_latents(intermediates[step_i], height, width))[0]
-                    on_checkpoint(step_i + 1, img_i)
+                for slot, step in enumerate(
+                    range(checkpoint_interval, schedule.num_steps, checkpoint_interval)
+                ):
+                    img_i = np.asarray(self.decode_latents(intermediates[slot], height, width))[0]
+                    on_checkpoint(step, img_i)
 
         # --- decode ---
         t = time.perf_counter()
@@ -478,7 +485,7 @@ class Flux2Pipeline:
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "config", "hook", "use_guidance_embeds", "use_cfg", "progress_cb", "collect_latents", "ring",
+        "config", "hook", "use_guidance_embeds", "use_cfg", "progress_cb", "collect_every", "ring",
     ),
 )
 def _denoise(
@@ -496,7 +503,7 @@ def _denoise(
     use_guidance_embeds: bool,
     use_cfg: bool,
     progress_cb=None,
-    collect_latents: bool = False,
+    collect_every: Optional[int] = None,
     ring=None,  # (Mesh, axis) -> sequence-parallel ring attention in every block
 ):
     b = latents_seq.shape[0]
@@ -530,8 +537,16 @@ def _denoise(
             v = tfm.forward(params, config, x, embeddings, tstep, rope_cos, rope_sin, guidance=g, ring=ring)
         return v[:, :s_img].astype(jnp.float32)  # slice off reference tokens
 
+    # Checkpoint-latent buffer: only every `collect_every`-th step's latents
+    # are held (HBM scales with num_steps/interval, not num_steps). One extra
+    # trash slot keeps the in-scan write branchless: non-checkpoint steps
+    # write there.
+    num_steps = int(sigma_pairs.shape[0])
+    n_ck = max(0, (num_steps - 1) // collect_every) if collect_every else 0
+    ck0 = jnp.zeros((n_ck + 1, *latents_seq.shape), jnp.float32) if n_ck else None
+
     def body(carry, inp):
-        lat, step_idx = carry
+        lat, step_idx, ck = carry
         sigma, sigma_next = inp[0], inp[1]
         v = model_fn(lat, sigma)
         lat = sch.euler_step(lat, v, sigma, sigma_next)
@@ -539,11 +554,18 @@ def _denoise(
             lat = hook(lat, sigma, sigma_next, step_idx)
         if progress_cb is not None:
             jax.experimental.io_callback(progress_cb, None, step_idx, ordered=True)
-        return (lat, step_idx + 1), (lat if collect_latents else None)
+        if ck is not None:
+            stepno = step_idx + 1
+            is_ck = jnp.logical_and(stepno % collect_every == 0, stepno // collect_every <= n_ck)
+            slot = jnp.where(is_ck, stepno // collect_every - 1, n_ck)
+            ck = jax.lax.dynamic_update_slice(
+                ck, lat[None], (slot,) + (0,) * lat.ndim
+            )
+        return (lat, step_idx + 1, ck), None
 
-    (final, _), ys = jax.lax.scan(body, (latents_seq, jnp.int32(0)), sigma_pairs)
-    if collect_latents:
-        return final, ys
+    (final, _, ck), _ = jax.lax.scan(body, (latents_seq, jnp.int32(0), ck0), sigma_pairs)
+    if n_ck:
+        return final, ck[:n_ck]
     return final
 
 

@@ -116,3 +116,27 @@ def compare_images(a: np.ndarray, b: np.ndarray) -> Dict[str, float]:
         "mean_rgb_delta_255": mean_rgb_delta(a, b),
         "mean_delta_e": float(delta_e_cie76(a, b).mean()),
     }
+
+
+def histogram_similarity(a: np.ndarray, b: np.ndarray, bins: int = 32) -> float:
+    """Luminance-histogram intersection in [0, 1].
+
+    Shape-independent scene-content proxy used as the headless fallback for
+    the VLM scene score (evaluate-lora with no VLM on disk).
+    """
+    la = (0.2126 * a[..., 0] + 0.7152 * a[..., 1] + 0.0722 * a[..., 2]).ravel()
+    lb = (0.2126 * b[..., 0] + 0.7152 * b[..., 1] + 0.0722 * b[..., 2]).ravel()
+    ha, _ = np.histogram(la, bins=bins, range=(0.0, 1.0), density=False)
+    hb, _ = np.histogram(lb, bins=bins, range=(0.0, 1.0), density=False)
+    ha = ha / max(1, ha.sum())
+    hb = hb / max(1, hb.sum())
+    return float(np.minimum(ha, hb).sum())
+
+
+def color_moment_similarity(a: np.ndarray, b: np.ndarray) -> float:
+    """Per-channel mean/std color-moment proximity in [0, 1] — the headless
+    style-score fallback (palette + contrast match)."""
+    ma, sa = a.reshape(-1, a.shape[-1]).mean(0), a.reshape(-1, a.shape[-1]).std(0)
+    mb, sb = b.reshape(-1, b.shape[-1]).mean(0), b.reshape(-1, b.shape[-1]).std(0)
+    dist = float(np.abs(ma - mb).mean() + np.abs(sa - sb).mean())
+    return max(0.0, 1.0 - dist)

@@ -147,3 +147,105 @@ def test_dequantize_params_roundtrip():
         np.asarray(dense["double_blocks"]["to_q"]) - np.asarray(params["double_blocks"]["to_q"])
     ).max()
     assert rel < 0.01
+
+
+# ---------------------------------------------------------------------------
+# W8A8 (int8 activations x int8 weights on the MXU)
+# ---------------------------------------------------------------------------
+
+
+def test_w8a8_roundtrip_and_matmul():
+    w = _w((512, 256), seed=4)
+    wq = quant.to_w8a8(w)
+    assert wq.q.dtype == jnp.int8
+    assert wq.scale.shape == (1, 256)  # one 512-block
+    deq = quant.dequantize_w8a8(wq, jnp.float32)
+    err = np.abs(np.asarray(deq) - np.asarray(w))
+    assert err.max() < np.abs(np.asarray(w)).max() / 127 * 1.01
+
+    x = _w((8, 512), seed=5)
+    ref = np.asarray(x @ w)
+    got = np.asarray(quant.q_matmul(x, wq), np.float32)  # CPU: dequant fallback
+    rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+    assert rel < 0.02
+
+
+def test_w8a8_pallas_kernel_interpret():
+    from flux2_tpu.ops import quant_kernels as qk
+
+    w = _w((1024, 256), seed=6)
+    x = _w((24, 1024), seed=7)
+    wq = quant.to_w8a8(w)
+    got = np.asarray(qk.w8a8_matmul(x, wq, interpret=True), np.float32)
+    ref = np.asarray(x.astype(jnp.float32) @ w)
+    rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+    assert rel < 0.02  # int8 weights + dynamic int8 activations
+
+
+def test_w8a8_kernel_matches_dequant_fallback():
+    """The Pallas kernel (interpret) and the XLA dequant path must agree to
+    within activation-quantization error."""
+    from flux2_tpu.ops import quant_kernels as qk
+
+    w = _w((512, 384), seed=8)
+    x = _w((16, 512), seed=9)
+    wq = quant.to_w8a8(w)
+    kern = np.asarray(qk.w8a8_matmul(x, wq, interpret=True), np.float32)
+    fall = np.asarray(x @ quant.dequantize_w8a8(wq, x.dtype), np.float32)
+    rel = np.linalg.norm(kern - fall) / np.linalg.norm(fall)
+    assert rel < 0.01
+
+
+def test_w8a8_from_stored_qtensor():
+    """Storage format (qint8 g64 affine) converts to the W8A8 compute format."""
+    w = _w((512, 128), seed=10)
+    q8 = quant.quantize(w, "qint8")
+    w8 = quant.to_w8a8(q8)
+    assert isinstance(w8, quant.W8A8Tensor)
+    deq = quant.dequantize_w8a8(w8, jnp.float32)
+    rel = np.linalg.norm(np.asarray(deq) - np.asarray(w)) / np.linalg.norm(np.asarray(w))
+    assert rel < 0.02
+
+
+def test_w8a8_params_tree_and_3d():
+    params = {
+        "big": _w((512, 512)),
+        "stacked": _w((4, 512, 256)),
+        "norm_scale": jnp.ones((512,)),
+    }
+    qp = quant.w8a8_params(params, min_size=1)
+    assert isinstance(qp["big"], quant.W8A8Tensor)
+    assert isinstance(qp["stacked"], quant.W8A8Tensor)
+    assert qp["stacked"].q.shape == (4, 512, 256)
+    assert qp["stacked"].scale.shape == (4, 1, 256)
+    assert not isinstance(qp["norm_scale"], quant.W8A8Tensor)
+    # pytree: flows through jit
+    out = jax.jit(lambda p, x: quant.q_matmul(x, p["big"]))(qp, _w((4, 512)))
+    assert out.shape == (4, 512)
+    # dequantize_params expands W8A8 leaves too
+    dense = quant.dequantize_params(qp)
+    assert dense["big"].shape == (512, 512)
+    assert dense["big"].dtype == jnp.bfloat16
+
+
+def test_w8a8_transformer_forward():
+    """Tiny DiT forward with W8A8 leaves stays close to bf16."""
+    config = cfg.Flux2TransformerConfig(
+        num_layers=1, num_single_layers=1, num_attention_heads=2,
+        attention_head_dim=128, joint_attention_dim=64, mlp_ratio=4.0,
+        guidance_embeds=False,
+    )
+    params = tfm.init_params(jax.random.PRNGKey(0), config, dtype=jnp.float32)
+    qparams = quant.w8a8_params(params, min_size=1 << 10)
+    from flux2_tpu.ops import latents as lu
+    from flux2_tpu.ops.rope import rope_embeddings
+
+    ids = np.concatenate([lu.text_position_ids(8), lu.image_position_ids(64, 64)], axis=0)
+    cos, sin = rope_embeddings(jnp.asarray(ids))
+    hidden = jax.random.normal(jax.random.PRNGKey(1), (1, 16, 128))
+    txt = jax.random.normal(jax.random.PRNGKey(2), (1, 8, 64))
+    t = jnp.array([0.5])
+    base = np.asarray(tfm.forward(params, config, hidden, txt, t, cos, sin), np.float32)
+    qout = np.asarray(tfm.forward(qparams, config, hidden, txt, t, cos, sin), np.float32)
+    rel = np.linalg.norm(qout - base) / np.linalg.norm(base)
+    assert rel < 0.05
