@@ -1,14 +1,21 @@
-"""Benchmark: FLUX.2 Klein-4B denoise steps/sec on the available device.
+"""Benchmark: FLUX.2 generation on the available device vs BASELINE.md.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "rows": {...}}
 
-Baseline (BASELINE.md): the reference runs Klein-4B 1024x1024 bf16 at
-~5.5 s/denoise-step on an M2 Ultra (25.3 s / 4 steps + overhead; the
-per-step figure from docs/examples/quantization-benchmark). We measure the
-same quantity — wall time per denoise step of the full Klein-4B DiT at
-1024x1024 (4096 image tokens + 512 text tokens), bf16 — on one TPU chip and
-report steps/sec with vs_baseline = (our s/step baseline) / (our s/step).
+Headline: Klein-4B 1024x1024 4-step T2I end-to-end wall (denoise + VAE
+decode, the reference's 25.3 s quantity on an M2 Ultra —
+docs/examples/quantization-benchmark/README.md:37). Additional rows:
+
+  - klein4b_step_bf16:  per-denoise-step wall, bf16 (ref ~5.5 s/step)
+  - klein4b_step_w8a8:  per-step with the int8-MXU W8A8 runtime
+                        (ref qint8 ~6.07 s/step = 27.9/25.3 * 5.5)
+  - klein9b_step_w8a8:  Klein-9B per-step — W8A8's halved weight HBM is
+                        what makes 9B fit ONE v5e chip at all (bf16 is
+                        17.3 GB vs 16 GB HBM); ref qint8 ~14.1 s/step
+
+All runs are random-init (bench hosts have no checkpoints); step timing
+chains each step's output into the next so async dispatch can't hide work.
 """
 
 import json
@@ -18,51 +25,135 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-REFERENCE_SEC_PER_STEP = 5.5  # Klein-4B 1024^2 bf16, M2 Ultra (BASELINE.md)
+REF_KLEIN4B_E2E = 25.3  # s, bf16 1024^2 4 steps (BASELINE.md)
+REF_KLEIN4B_STEP = 5.5  # s/step bf16
+REF_KLEIN4B_STEP_Q8 = 27.9 / 25.3 * 5.5  # ~6.07 s/step qint8
+REF_KLEIN9B_STEP_Q8 = 59.7 / 54.9 * 13.0  # ~14.1 s/step qint8
 
 
-def main():
-    from flux2_tpu.models.flux2 import config as cfg
+def _steps_per_sec(config, params, h=1024, w=1024, n=8):
     from flux2_tpu.models.flux2 import transformer as tfm
     from flux2_tpu.ops import latents as lu
     from flux2_tpu.ops.rope import rope_embeddings
 
-    config = cfg.KLEIN_4B
-    params = tfm.init_params(jax.random.PRNGKey(0), config, dtype=jnp.bfloat16)
-
-    h = w = 1024
     s_txt = 512
-    s_img = (h // 16) * (w // 16)  # 4096
+    s_img = (h // 16) * (w // 16)
     hidden = jax.random.normal(jax.random.PRNGKey(1), (1, s_img, 128), jnp.bfloat16)
     txt = jax.random.normal(
         jax.random.PRNGKey(2), (1, s_txt, config.joint_attention_dim), jnp.bfloat16
     )
     ids = np.concatenate([lu.text_position_ids(s_txt), lu.image_position_ids(h, w)], axis=0)
     cos, sin = rope_embeddings(jnp.asarray(ids))
+    t_in = jnp.array([0.5], jnp.float32)
 
     @jax.jit
     def step(params, hidden, txt, t):
         return tfm.forward(params, config, hidden, txt, t, cos, sin)
 
-    t_in = jnp.array([0.5], jnp.float32)
-    # warmup/compile
     step(params, hidden, txt, t_in).block_until_ready()
-
-    n = 8
     t0 = time.perf_counter()
     out = hidden
     for _ in range(n):
         out = step(params, out, txt, t_in)
     out.block_until_ready()
-    sec_per_step = (time.perf_counter() - t0) / n
+    return (time.perf_counter() - t0) / n
+
+
+def _random_w8a8_params(config):
+    """Random W8A8 params built straight from the shape structure — never
+    materializes bf16 (Klein-9B bf16 is 17.3 GB, over one v5e's HBM)."""
+    from flux2_tpu.models.flux2 import transformer as tfm
+    from flux2_tpu.ops.quant import W8A8Tensor
+
+    shapes = jax.eval_shape(
+        lambda k: tfm.init_params(k, config, dtype=jnp.bfloat16), jax.random.PRNGKey(0)
+    )
+    counter = [0]
+
+    def visit(sd):
+        counter[0] += 1
+        key = jax.random.PRNGKey(counter[0])
+        if sd.ndim >= 2 and sd.size >= (1 << 16):
+            *lead, k, n = sd.shape
+            q = jax.random.randint(key, sd.shape, -127, 128, jnp.int8)
+            scale = jnp.full((*lead, 1, n), 0.02 / 127.0, jnp.float32)
+            return W8A8Tensor(q, scale, k)
+        return (jax.random.normal(key, sd.shape, jnp.float32) * 0.02).astype(sd.dtype)
+
+    return jax.tree_util.tree_map(visit, shapes)
+
+
+def main():
+    from flux2_tpu.cli.main import _enable_compile_cache
+    from flux2_tpu.models.flux2 import config as cfg
+    from flux2_tpu.models.flux2 import transformer as tfm
+    from flux2_tpu.ops import quant
+    from flux2_tpu.pipeline.pipeline import Flux2Pipeline
+
+    _enable_compile_cache()  # repeat runs skip the ~10 min of compiles
+    rows = {}
+
+    # --- Klein-4B bf16: per-step + end-to-end generate (1024^2, 4 steps) ---
+    params4 = tfm.init_params(jax.random.PRNGKey(0), cfg.KLEIN_4B, dtype=jnp.bfloat16)
+    sec_step_bf16 = _steps_per_sec(cfg.KLEIN_4B, params4)
+    rows["klein4b_step_bf16"] = {
+        "value": round(sec_step_bf16, 4),
+        "unit": "s/step",
+        "vs_baseline": round(REF_KLEIN4B_STEP / sec_step_bf16, 2),
+    }
+
+    # --- Klein-4B W8A8 (int8 MXU runtime) per-step ---
+    params4_q = quant.w8a8_params(params4)
+    sec_step_w8a8 = _steps_per_sec(cfg.KLEIN_4B, params4_q)
+    rows["klein4b_step_w8a8"] = {
+        "value": round(sec_step_w8a8, 4),
+        "unit": "s/step",
+        "vs_baseline": round(REF_KLEIN4B_STEP_Q8 / sec_step_w8a8, 2),
+    }
+    del params4_q, params4
+    jax.clear_caches()
+
+    # --- Klein-4B end-to-end wall: pipeline.generate incl. VAE decode ---
+    from flux2_tpu.models.flux2.config import Flux2Model
+
+    pipe = Flux2Pipeline.from_random(model=Flux2Model.KLEIN_4B)
+    emb = jax.random.normal(
+        jax.random.PRNGKey(3), (1, 512, cfg.KLEIN_4B.joint_attention_dim), jnp.bfloat16
+    )
+    pipe.generate(embeddings=emb, height=1024, width=1024, num_steps=4, seed=0)  # warm/compile
+    t0 = time.perf_counter()
+    res = pipe.generate(embeddings=emb, height=1024, width=1024, num_steps=4, seed=1)
+    e2e = time.perf_counter() - t0
+    rows["klein4b_e2e_1024_4step"] = {
+        "value": round(e2e, 3),
+        "unit": "s",
+        "vs_baseline": round(REF_KLEIN4B_E2E / e2e, 2),
+        "phases": {k: round(v, 3) for k, v in res.phase_timings.items()},
+    }
+    del pipe
+    jax.clear_caches()
+
+    # --- Klein-9B W8A8 per-step (bf16 would not fit one v5e chip) ---
+    try:
+        params9 = _random_w8a8_params(cfg.KLEIN_9B)
+        sec_step_9b = _steps_per_sec(cfg.KLEIN_9B, params9, n=4)
+        rows["klein9b_step_w8a8"] = {
+            "value": round(sec_step_9b, 4),
+            "unit": "s/step",
+            "vs_baseline": round(REF_KLEIN9B_STEP_Q8 / sec_step_9b, 2),
+        }
+        del params9
+    except Exception as e:  # pragma: no cover - HBM-dependent
+        rows["klein9b_step_w8a8"] = {"error": str(e)[:120]}
 
     print(
         json.dumps(
             {
-                "metric": "klein4b_denoise_step_1024px_bf16",
-                "value": round(1.0 / sec_per_step, 3),
-                "unit": "steps/sec",
-                "vs_baseline": round(REFERENCE_SEC_PER_STEP / sec_per_step, 2),
+                "metric": "klein4b_t2i_e2e_1024px_4steps_bf16",
+                "value": rows["klein4b_e2e_1024_4step"]["value"],
+                "unit": "s",
+                "vs_baseline": rows["klein4b_e2e_1024_4step"]["vs_baseline"],
+                "rows": rows,
             }
         )
     )
