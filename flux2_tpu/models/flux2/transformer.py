@@ -347,6 +347,24 @@ def bp_gate(mod: jnp.ndarray, s: int) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
+def _seq_shard(x: jnp.ndarray, ring: Optional[tuple]) -> jnp.ndarray:
+    """Constrain the token axis of [B, S, D] to the ring/sp mesh axis.
+
+    With ring attention active, pinning activations to the sequence axis
+    between attentions makes the WHOLE forward sequence-parallel (GSPMD
+    splits the FFN/norm/projection token work too), instead of only the
+    attention ring. No-op when context parallelism is off.
+    """
+    if ring is None:
+        return x
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh, axis = ring
+    if x.shape[1] % mesh.shape[axis]:
+        return x
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, P(None, axis)))
+
+
 def forward(
     params: Params,
     config: Flux2TransformerConfig,
@@ -378,10 +396,10 @@ def forward(
     nh = config.num_attention_heads
     s_txt = encoder_hidden_states.shape[1]
 
-    img = mm(hidden_states, params["x_embedder"]["kernel"])
+    img = _seq_shard(mm(hidden_states, params["x_embedder"]["kernel"]), ring)
     ctx_w = params["context_embedder"]["kernel"]
     ctx_dtype = ctx_w.dtype if hasattr(ctx_w, "dtype") else hidden_states.dtype
-    txt = mm(encoder_hidden_states.astype(ctx_dtype), ctx_w)
+    txt = _seq_shard(mm(encoder_hidden_states.astype(ctx_dtype), ctx_w), ring)
 
     temb = time_guidance_embedding(params, config, timestep, guidance)
     temb = temb.astype(img.dtype)  # keep the stream dtype even when the
@@ -398,15 +416,19 @@ def forward(
         i, t = carry
         fn = _remat_wrap(functools.partial(double_block, num_heads=nh, ring=ring), remat)
         i, t = fn(bp, i, t, img_mod, txt_mod, rope_cos, rope_sin)
-        return (i, t), None
+        # Sequence-sharded activations END-TO-END: pin each block's output
+        # streams to the ring axis so the FFNs/norms/projections (not just
+        # attention) split token work across sp — per-device activation
+        # memory and non-attention FLOPs scale ~1/sp.
+        return (_seq_shard(i, ring), _seq_shard(t, ring)), None
 
     (img, txt), _ = jax.lax.scan(double_body, (img, txt), params["double_blocks"])
 
-    x = jnp.concatenate([txt, img], axis=1)
+    x = _seq_shard(jnp.concatenate([txt, img], axis=1), ring)
 
     def single_body(carry, bp):
         fn = _remat_wrap(functools.partial(single_block, num_heads=nh, ring=ring), remat)
-        return fn(bp, carry, single_mod, rope_cos, rope_sin), None
+        return _seq_shard(fn(bp, carry, single_mod, rope_cos, rope_sin), ring), None
 
     x, _ = jax.lax.scan(single_body, x, params["single_blocks"])
 

@@ -85,7 +85,13 @@ def ring_attention(
     if q.shape[2] % n or k.shape[2] % n:
         raise ValueError(f"sequence {q.shape[2]}/{k.shape[2]} not divisible by {axis}={n}")
 
-    spec = P(None, None, axis, None)
+    # Keep the head axis sharded over tp inside the ring (when it already is,
+    # from the tp-column-parallel QKV projections) — otherwise shard_map's
+    # implicit replication all-gathers heads at the ring boundary.
+    head_axis = None
+    if axis != TP_AXIS and mesh.shape.get(TP_AXIS, 1) > 1 and q.shape[1] % mesh.shape[TP_AXIS] == 0:
+        head_axis = TP_AXIS
+    spec = P(None, head_axis, axis, None)
     fn = jax.shard_map(
         functools.partial(_ring_attention_local, axis=axis, scale=float(scale)),
         mesh=mesh,

@@ -349,6 +349,10 @@ class Flux2Pipeline:
                   [lu.text_position_ids(s_txt), lu.image_position_ids(height, width)], axis=0
               )
               cos_c, sin_c = rope_embeddings(jnp.asarray(cached_ids))
+              collect = (
+                  checkpoint_interval is not None
+                  and (schedule.num_steps - 1) // checkpoint_interval > 0
+              )
               final_seq = _denoise_kv_cached(
                   self.transformer_params,
                   self.transformer_config,
@@ -363,7 +367,11 @@ class Flux2Pipeline:
                   reference_latents,
                   self.model.uses_guidance_embeds,
                   step_hook,
+                  _make_progress_cb(on_progress, schedule.num_steps),
+                  checkpoint_interval if collect else None,
               )
+              if collect:
+                  final_seq, intermediates = final_seq
           else:
               collect = (
                   checkpoint_interval is not None
@@ -569,7 +577,10 @@ def _denoise(
     return final
 
 
-@functools.partial(jax.jit, static_argnames=("config", "use_guidance_embeds", "hook"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("config", "use_guidance_embeds", "hook", "progress_cb", "collect_every"),
+)
 def _denoise_kv_cached(
     params,
     config: Flux2TransformerConfig,
@@ -584,8 +595,16 @@ def _denoise_kv_cached(
     reference_latents: jnp.ndarray,
     use_guidance_embeds: bool,
     hook=None,
+    progress_cb=None,
+    collect_every: Optional[int] = None,
 ):
-    """klein-9b-kv denoising: extract at step 0, reuse the cache for 1+."""
+    """klein-9b-kv denoising: extract at step 0, reuse the cache for 1+.
+
+    Feature parity with the standard scan: per-step hook, progress callback,
+    every-Nth checkpoint-latent collection. Classical CFG is structurally
+    N/A (klein-9b-kv is a distilled variant — Flux2Config.swift:169-204) and
+    ring attention falls back to dense (the extract pass needs the
+    blocked-span mask, which the ring path cannot express)."""
     from flux2_tpu.models.flux2 import transformer as _tfm
 
     b = latents_seq.shape[0]
@@ -606,6 +625,18 @@ def _denoise_kv_cached(
     cos_e = rope_cos_full[reorder]
     sin_e = rope_sin_full[reorder]
 
+    num_steps = int(sigma_pairs.shape[0])
+    n_ck = max(0, (num_steps - 1) // collect_every) if collect_every else 0
+    ck = jnp.zeros((n_ck + 1, *latents_seq.shape), jnp.float32) if n_ck else None
+
+    def _collect(ck, lat, step_idx):
+        if ck is None:
+            return ck
+        stepno = step_idx + 1
+        is_ck = jnp.logical_and(stepno % collect_every == 0, stepno // collect_every <= n_ck)
+        slot = jnp.where(is_ck, stepno // collect_every - 1, n_ck)
+        return jax.lax.dynamic_update_slice(ck, lat[None], (slot,) + (0,) * lat.ndim)
+
     sigma0, sigma0_next = sigma_pairs[0, 0], sigma_pairs[0, 1]
     t0 = jnp.full((b,), sigma0, jnp.float32)
     v0, dkv, skv = _tfm.forward_kv_extract(
@@ -615,9 +646,12 @@ def _denoise_kv_cached(
     lat = sch.euler_step(latents_seq, v0.astype(jnp.float32), sigma0, sigma0_next)
     if hook is not None:
         lat = hook(lat, sigma0, sigma0_next, jnp.int32(0))
+    if progress_cb is not None:
+        jax.experimental.io_callback(progress_cb, None, jnp.int32(0), ordered=True)
+    ck = _collect(ck, lat, jnp.int32(0))
 
     def body(carry, inp):
-        lat, step_idx = carry
+        lat, step_idx, ck = carry
         sigma, sigma_next = inp[0], inp[1]
         t = jnp.full((b,), sigma, jnp.float32)
         v = _tfm.forward_kv_cached(
@@ -627,9 +661,14 @@ def _denoise_kv_cached(
         lat = sch.euler_step(lat, v.astype(jnp.float32), sigma, sigma_next)
         if hook is not None:
             lat = hook(lat, sigma, sigma_next, step_idx)
-        return (lat, step_idx + 1), None
+        if progress_cb is not None:
+            jax.experimental.io_callback(progress_cb, None, step_idx, ordered=True)
+        ck = _collect(ck, lat, step_idx)
+        return (lat, step_idx + 1, ck), None
 
-    (lat, _), _ = jax.lax.scan(body, (lat, jnp.int32(1)), sigma_pairs[1:])
+    (lat, _, ck), _ = jax.lax.scan(body, (lat, jnp.int32(1), ck), sigma_pairs[1:])
+    if n_ck:
+        return lat, ck[:n_ck]
     return lat
 
 

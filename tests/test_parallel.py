@@ -296,3 +296,45 @@ def test_sharded_decoder_forward_matches():
     with mesh:
         out = jax.jit(lambda p: dec.forward_hidden_states(p, cfg_d, ids, mask))(sharded)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+
+
+def test_seq_sharded_activations_end_to_end():
+    """With ring attention on, activations pin to the sp axis OUTSIDE
+    attention too — the whole forward is sequence-parallel, so per-device
+    activation/output bytes scale ~1/sp (AOT memory analysis)."""
+    from flux2_tpu.models.flux2 import config as cfg
+    from flux2_tpu.models.flux2 import transformer as tfm
+    from flux2_tpu.ops import latents as lu
+    from flux2_tpu.ops.rope import rope_embeddings
+
+    mesh = mesh_mod.make_mesh(data=1, fsdp=1, tp=2, sp=4)
+    config = cfg.Flux2TransformerConfig(
+        num_layers=1, num_single_layers=2, num_attention_heads=4,
+        attention_head_dim=128, joint_attention_dim=384, guidance_embeds=False,
+    )
+    params = tfm.init_params(jax.random.PRNGKey(0), config, dtype=jnp.float32)
+    sharded = sh.shard_params(params, mesh, sh.DIT_RULES)
+    h = w = 256
+    s_img, s_txt = (h // 16) * (w // 16), 16
+    ids = np.concatenate([lu.text_position_ids(s_txt), lu.image_position_ids(h, w)], axis=0)
+    cos, sin = rope_embeddings(jnp.asarray(ids))
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, s_img, 128))
+    t = jax.random.normal(jax.random.PRNGKey(2), (1, s_txt, 384))
+
+    stats = {}
+    outs = {}
+    for name, ring in (("dense", None), ("ring", (mesh, mesh_mod.SP_AXIS))):
+        f = jax.jit(
+            lambda p, x_, t_, _ring=ring: tfm.forward(
+                p, config, x_, t_, jnp.array([0.5]), cos, sin, ring=_ring
+            )
+        )
+        with mesh:
+            compiled = f.lower(sharded, x, t).compile()
+            stats[name] = compiled.memory_analysis()
+            outs[name] = np.asarray(compiled(sharded, x, t))
+
+    # exactness: sequence-parallel forward == dense forward
+    np.testing.assert_allclose(outs["ring"], outs["dense"], atol=3e-4)
+    # per-device output bytes scale ~1/sp (sp=4)
+    assert stats["ring"].output_size_in_bytes * 2 <= stats["dense"].output_size_in_bytes

@@ -229,3 +229,24 @@ def test_kv_cached_path_supports_step_hooks():
     )
     assert np.abs(res.latents[:, :4]).max() == 0.0
     assert np.abs(res.latents[:, 4:]).max() > 0.0
+
+
+def test_kv_cached_path_progress_and_checkpoints():
+    """Feature parity of the klein-9b-kv scan with the standard path:
+    progress callbacks fire per step and checkpoint latents collect every
+    Nth step (Weak #6 in VERDICT r1)."""
+    pipe = tiny_pipeline(model=cfg.Flux2Model.KLEIN_9B_KV)
+    ref_img = np.random.RandomState(0).rand(64, 64, 3).astype(np.float32)
+    ref_lat, ref_ids = pipe.encode_reference_images([ref_img])
+    progress = []
+    checkpoints = []
+    res = pipe.generate(
+        embeddings=_emb(pipe), height=64, width=64, num_steps=4, seed=7,
+        reference_latents=ref_lat, reference_ids=ref_ids,
+        on_progress=lambda step, total: progress.append((step, total)),
+        checkpoint_interval=2,
+        on_checkpoint=lambda step, img: checkpoints.append((step, img.shape)),
+    )
+    assert progress == [(1, 4), (2, 4), (3, 4), (4, 4)]
+    assert checkpoints == [(2, (64, 64, 3))]
+    assert res.image.shape == (64, 64, 3)
