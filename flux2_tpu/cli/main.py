@@ -146,6 +146,19 @@ def build_pipeline(args) -> "Flux2Pipeline":
         )
         flog.info(f"merged LoRA {path} (scale {loaded.scale:.3f})")
 
+    # Memory profile (MemoryConfig.swift analogue: remat / VAE tiling knobs)
+    profile_name = getattr(args, "memory_profile", None)
+    if profile_name:
+        from flux2_tpu.utils import memory as mem_mod
+
+        if profile_name == "auto":
+            pipe.memory_profile = mem_mod.auto_profile(
+                model, getattr(args, "quantization", "bf16")
+            )
+        else:
+            pipe.memory_profile = mem_mod.MemoryProfile.named(profile_name)
+        flog.info(f"memory profile: {pipe.memory_profile.name}")
+
     # Multi-chip sharding (GSPMD): --shard 'data,fsdp,tp[,sp]' or --shard auto
     spec = getattr(args, "shard", None)
     if spec:
@@ -310,7 +323,11 @@ def cmd_t2i(args):
     if res.was_upsampled:
         print(f"[upsample] final prompt: {res.final_prompt}")
     _save_image(res.image, args.output)
-    print(json.dumps({"seed": res.seed, "steps": res.num_steps, "duration_s": round(res.duration_s, 2), "phases": {k: round(v, 2) for k, v in res.phase_timings.items()}}))
+    out = {"seed": res.seed, "steps": res.num_steps, "duration_s": round(res.duration_s, 2), "phases": {k: round(v, 2) for k, v in res.phase_timings.items()}}
+    if res.memory_stats and any(v["peak_gb"] for v in res.memory_stats.values()):
+        # some backends (e.g. tunneled devices) report no memory stats
+        out["memory_gb"] = {k: v["peak_gb"] for k, v in res.memory_stats.items()}
+    print(json.dumps(out))
 
 
 def _interpret_images(args):
@@ -684,6 +701,10 @@ def _add_common(p, with_gen=True):
     p.add_argument(
         "--no-text-encoder", action="store_true",
         help="skip encoder load (requires precomputed embeddings via the library API)",
+    )
+    p.add_argument(
+        "--memory-profile", choices=["auto", "performance", "balanced", "conservative"],
+        help="memory/speed trade-off preset (VAE tiling threshold etc.)",
     )
     if with_gen:
         p.add_argument("--prompt", default="")

@@ -56,6 +56,19 @@ class HFTokenizerAdapter:
         return self._tok.decode(tokens, skip_special_tokens=True)
 
 
+def resolve_tokenizer(path_or_repo: str):
+    """Tokenizer resolution in the reference's order
+    (TekkenTokenizer.swift:115-128): a mistral-common ``tekken.json`` uses
+    the first-party Tekken BPE; otherwise the HF ``tokenizer.json`` adapter."""
+    import os as _os
+
+    if _os.path.isdir(path_or_repo) and _os.path.exists(_os.path.join(path_or_repo, "tekken.json")):
+        from flux2_tpu.models.text_encoders.tekken import TekkenTokenizer
+
+        return TekkenTokenizer.from_pretrained(path_or_repo)
+    return HFTokenizerAdapter.from_pretrained(path_or_repo)
+
+
 @dataclasses.dataclass
 class LoadedEncoder:
     name: str
@@ -109,7 +122,7 @@ class TextEncoders:
         raw = weight_mapping.strip_language_model_prefix(checkpoints.load_weights_dir(weights_dir))
         params = weight_mapping.map_decoder_weights(raw, cfg, dtype=np.float32)
         params = {k: _bf16(v) for k, v in params.items()}
-        tok = HFTokenizerAdapter.from_pretrained(tokenizer_dir or weights_dir)
+        tok = resolve_tokenizer(tokenizer_dir or weights_dir)
         flog.info(f"loaded text encoder {name} ({cfg.num_hidden_layers} layers, {cfg.hidden_size} hidden)")
         return self.attach(name, params, cfg, tok, layers)
 

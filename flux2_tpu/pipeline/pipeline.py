@@ -57,6 +57,7 @@ class GenerationResult:
     images: Optional[np.ndarray] = None  # [B, H, W, 3] when batch > 1
     final_prompt: Optional[str] = None  # prompt actually encoded (after VLM rewrite)
     was_upsampled: bool = False
+    memory_stats: Optional[Dict[str, Dict[str, float]]] = None  # per-phase HBM
 
 
 @dataclasses.dataclass
@@ -76,6 +77,7 @@ class Flux2Pipeline:
     max_pixels: int = 4096 * 4096
     mesh: Optional[Any] = None  # jax.sharding.Mesh; set via shard()
     ring: Optional[Any] = None  # (mesh, axis) for sequence-parallel attention; set via shard()
+    memory_profile: Optional[Any] = None  # utils.memory.MemoryProfile (VAE tiling etc.)
 
     # ------------------------------------------------------------------
     # Construction helpers
@@ -264,9 +266,13 @@ class Flux2Pipeline:
         prompt via the BFL upsampling protocol, using vision when
         ``upsample_images`` is given (Flux2Pipeline.swift:1250-1404). Both
         apply only when the prompt is encoded here (``embeddings=None``)."""
+        from flux2_tpu.utils.memory import MemoryTelemetry, telemetry as _mem_telemetry
+
         from flux2_tpu.utils.profiler import shared as _profiler
 
         prof = _profiler()
+        # per-call collector (the shared singleton only carries the enable bit)
+        mem = MemoryTelemetry(enabled=_mem_telemetry().enabled)
         t0 = time.perf_counter()
         timings: Dict[str, float] = {}
 
@@ -293,6 +299,7 @@ class Flux2Pipeline:
             negative_embeddings = self.encode_prompt("")
         prof.end("1. Text Encoding")
         timings["text_encoding"] = time.perf_counter() - t
+        mem.snapshot("text_encoding")
 
         # --- schedule ---
         _, _, num_patches = lu.latent_dims(height, width)
@@ -402,6 +409,7 @@ class Flux2Pipeline:
         if schedule.num_steps:
             prof.record_step((time.perf_counter() - t) / schedule.num_steps)
         timings["denoising"] = time.perf_counter() - t
+        mem.snapshot("denoising")
 
         # --- checkpoint images (decoded every N steps AFTER the scan; the
         # scan collects only every Nth step's latents — HBM held scales with
@@ -425,6 +433,7 @@ class Flux2Pipeline:
             image = images[0]
         prof.end("3. VAE Decoding")
         timings["vae_decoding"] = time.perf_counter() - t
+        mem.snapshot("vae_decoding")
 
         return GenerationResult(
             image=image,
@@ -436,14 +445,23 @@ class Flux2Pipeline:
             images=images if images is not None and images.shape[0] > 1 else None,
             final_prompt=final_prompt,
             was_upsampled=was_upsampled,
+            memory_stats=mem.as_dict() if mem.enabled else None,
         )
 
     # ------------------------------------------------------------------
 
     def decode_latents(self, latents_seq: jnp.ndarray, height: int, width: int) -> jnp.ndarray:
-        """Packed sequence -> image [B, H, W, 3] in [0, 1]."""
+        """Packed sequence -> image [B, H, W, 3] in [0, 1].
+
+        Decodes tiled when the active memory profile's threshold is exceeded
+        (the reference's always-on tiling policy, AutoencoderKL.swift:159-252,
+        parameterized by profile)."""
+        tiled = bool(
+            self.memory_profile is not None
+            and max(height, width) > self.memory_profile.vae_tile_threshold_px
+        )
         return _decode_latents_jit(
-            self.vae_params, self.vae_config, latents_seq, height, width
+            self.vae_params, self.vae_config, latents_seq, height, width, tiled
         )
 
     def encode_image_to_packed_sequence(
@@ -672,13 +690,16 @@ def _denoise_kv_cached(
     return lat
 
 
-@functools.partial(jax.jit, static_argnames=("vae_config", "height", "width"))
-def _decode_latents_jit(vae_params, vae_config, latents_seq, height: int, width: int):
+@functools.partial(jax.jit, static_argnames=("vae_config", "height", "width", "tiled"))
+def _decode_latents_jit(vae_params, vae_config, latents_seq, height: int, width: int, tiled: bool = False):
     patched = lu.unpack_sequence_to_patchified(latents_seq, height, width)
     mean, var = vae_mod.get_batchnorm_stats(vae_params)
     denormed = lu.denormalize_with_batchnorm(patched, mean, var)
     z = lu.unpatchify_latents(denormed)
-    img = vae_mod.decode(vae_params, z.astype(jnp.float32), vae_config)
+    if tiled:
+        img = vae_mod.decode_tiled(vae_params, z.astype(jnp.float32), vae_config)
+    else:
+        img = vae_mod.decode(vae_params, z.astype(jnp.float32), vae_config)
     img = jnp.clip(img * 0.5 + 0.5, 0.0, 1.0)
     return img.transpose(0, 2, 3, 1)  # NCHW -> NHWC
 

@@ -111,3 +111,120 @@ def recommended_quantization(model: Flux2Model, hbm_bytes: Optional[int] = None)
         if check_feasibility(model, fmt, hbm_bytes=hbm_bytes).feasible:
             return fmt
     return "int4"
+
+
+# ---------------------------------------------------------------------------
+# Memory profiles (MemoryConfig.swift:16-272 / MemoryOptimizationConfig
+# analogue). The reference's knobs are Metal cache limits and intra-forward
+# eval() segmentation; the TPU-native levers with real effect are remat
+# policy, VAE decode tiling, and checkpoint-latent retention — profiles map
+# onto those.
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class MemoryProfile:
+    """Named bundle of the TPU memory/speed trade-off knobs."""
+
+    name: str
+    remat: "bool | str"  # transformer remat policy (False / 'dots' / 'block')
+    vae_tile_threshold_px: int  # tile the VAE decode above this edge length
+    max_checkpoint_latents: int  # cap on retained every-Nth checkpoint latents
+
+    @staticmethod
+    def named(name: str) -> "MemoryProfile":
+        return MEMORY_PROFILES[name]
+
+
+MEMORY_PROFILES: Dict[str, MemoryProfile] = {
+    # speed-first: no recompute, decode in one shot up to 2K
+    "performance": MemoryProfile("performance", False, 2048, 32),
+    # default: keep matmul outputs, recompute the rest
+    "balanced": MemoryProfile("balanced", "dots", 2048, 16),
+    # memory-first: full per-block recompute + tiled decode at 1K+
+    "conservative": MemoryProfile("conservative", "block", 1024, 4),
+}
+
+
+def auto_profile(
+    model: Flux2Model, quantization: str = "bf16", hbm_bytes: Optional[int] = None
+) -> MemoryProfile:
+    """RAM-based recommendation (MemoryConfig.swift:143-156 analogue):
+    pick by headroom of the estimated working set vs device HBM."""
+    required = estimate_generation_bytes(model, quantization)
+    available = hbm_bytes if hbm_bytes is not None else total_hbm_bytes()
+    ratio = required / max(available, 1)
+    if ratio < 0.5:
+        return MEMORY_PROFILES["performance"]
+    if ratio < 0.8:
+        return MEMORY_PROFILES["balanced"]
+    return MEMORY_PROFILES["conservative"]
+
+
+# ---------------------------------------------------------------------------
+# Telemetry (MemoryManager.swift:106-140 analogue): per-phase HBM snapshots
+# with peak tracking, reportable after a generation/training run.
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class MemorySnapshot:
+    tag: str
+    bytes_in_use: int
+    peak_bytes_in_use: int
+    bytes_limit: int
+
+
+class MemoryTelemetry:
+    """Collects HBM snapshots at phase boundaries; zero-cost when disabled."""
+
+    def __init__(self, enabled: bool = True):
+        self.enabled = enabled
+        self.snapshots: List[MemorySnapshot] = []
+
+    def snapshot(self, tag: str) -> Optional[MemorySnapshot]:
+        if not self.enabled:
+            return None
+        s = device_memory_stats()
+        snap = MemorySnapshot(tag, s["bytes_in_use"], s["peak_bytes_in_use"], s["bytes_limit"])
+        self.snapshots.append(snap)
+        return snap
+
+    @property
+    def peak_bytes(self) -> int:
+        return max((s.peak_bytes_in_use for s in self.snapshots), default=0)
+
+    def as_dict(self) -> Dict[str, Dict[str, float]]:
+        gb = 1024**3
+        return {
+            s.tag: {
+                "in_use_gb": round(s.bytes_in_use / gb, 3),
+                "peak_gb": round(s.peak_bytes_in_use / gb, 3),
+            }
+            for s in self.snapshots
+        }
+
+    def report(self) -> str:
+        lines = [f"{'phase':<20} {'in use':>10} {'peak':>10}"]
+        gb = 1024**3
+        for s in self.snapshots:
+            lines.append(
+                f"{s.tag:<20} {s.bytes_in_use / gb:>9.2f}G {s.peak_bytes_in_use / gb:>9.2f}G"
+            )
+        if self.snapshots and self.snapshots[-1].bytes_limit:
+            lines.append(f"{'HBM limit':<20} {'':>10} {self.snapshots[-1].bytes_limit / gb:>9.2f}G")
+        return "\n".join(lines)
+
+
+_shared_telemetry: Optional[MemoryTelemetry] = None
+
+
+def telemetry() -> MemoryTelemetry:
+    global _shared_telemetry
+    if _shared_telemetry is None:
+        import os
+
+        _shared_telemetry = MemoryTelemetry(
+            enabled=os.environ.get("FLUX2_MEM_TELEMETRY", "1") != "0"
+        )
+    return _shared_telemetry

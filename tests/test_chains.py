@@ -89,6 +89,7 @@ def test_round_up_32():
     assert outp.round_up_32(33) == 64
 
 
+@pytest.mark.slow
 def test_inpaint_chain_end_to_end():
     import jax
 
@@ -114,6 +115,7 @@ def test_inpaint_chain_end_to_end():
     assert np.abs(final[:, :, 2:] - src[:, :, 2:]).max() > 0.01
 
 
+@pytest.mark.slow
 def test_outpaint_chain_end_to_end():
     import jax
 
@@ -130,6 +132,7 @@ def test_outpaint_chain_end_to_end():
         outp.OutpaintingChain(pipeline=pipe, image=image, prompt="", embeddings=emb).run()
 
 
+@pytest.mark.slow
 def test_inpaint_chain_with_vlm_enrichment():
     """Chain + VLMPromptBuilder wiring: enriched prompt reaches the encoder."""
     import jax

@@ -37,6 +37,7 @@ def test_flatten_unflatten_roundtrip(params):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_prequantized_export_load(params, tmp_path):
     qparams = quant.quantize_params(params, "qint8", min_size=1024)
     path = ckpt.export_prequantized(qparams, str(tmp_path), "qint8")

@@ -70,6 +70,7 @@ def test_learning_curve_svg(tmp_path):
     assert content.startswith("<svg") and "polyline" in content
 
 
+@pytest.mark.slow
 def test_train_lora_smoke(tmp_path):
     """2-step training run end-to-end through the CLI (random init)."""
     cfg_path = tmp_path / "train.yaml"
@@ -132,6 +133,7 @@ def _tiny_model_config():
         cfg_mod.Flux2Model.transformer_config = orig
 
 
+@pytest.mark.slow
 def test_cli_shard_flag(tmp_path, _tiny_model_config):
     """--shard data,fsdp,tp[,sp] shards the pipeline on the virtual mesh."""
     out = str(tmp_path / "sharded.png")
@@ -142,6 +144,7 @@ def test_cli_shard_flag(tmp_path, _tiny_model_config):
     assert os.path.exists(out)
 
 
+@pytest.mark.slow
 def test_cli_shard_context_parallel(tmp_path, _tiny_model_config):
     out = str(tmp_path / "cp.png")
     main([

@@ -19,6 +19,8 @@ from flux2_tpu.models.flux2 import transformer as tfm
 from flux2_tpu.models.flux2 import vae as vae_mod
 from tests.test_weight_mapping import make_diffusers_ckpt, CONFIG as T_CONFIG
 
+pytestmark = pytest.mark.slow  # heavy compiles; excluded from the fast tier
+
 
 @pytest.fixture(scope="module")
 def encoder_dir(tmp_path_factory):

@@ -57,6 +57,7 @@ def test_modes_pick_distinct_system_prompts():
     assert "image-editing expert" in m_i2i
 
 
+@pytest.mark.slow
 def test_extractor_output_shape_and_padding_independence():
     params = dec.init_params(jax.random.PRNGKey(0), tc.TINY_DECODER, dtype=jnp.float32)
     tok = _Tok(n_tokens=6)

@@ -15,6 +15,8 @@ from flux2_tpu.models.text_encoders import decoder as dec
 from flux2_tpu.models.text_encoders.facade import TextEncoders
 from flux2_tpu.utils import memory
 
+pytestmark = pytest.mark.slow  # heavy compiles; excluded from the fast tier
+
 
 class _StubTokenizer:
     pad_token_id = 0

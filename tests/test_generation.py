@@ -20,6 +20,7 @@ def params():
     return dec.init_params(jax.random.PRNGKey(0), CFG, dtype=jnp.float32)
 
 
+@pytest.mark.slow
 def test_greedy_generation_deterministic(params):
     p = gen.GenerateParameters(max_tokens=8, temperature=0.0)
     a = gen.generate(params, CFG, [1, 2, 3], p, seed=0)
@@ -29,6 +30,7 @@ def test_greedy_generation_deterministic(params):
     assert all(0 <= t < CFG.vocab_size for t in a)
 
 
+@pytest.mark.slow
 def test_sampling_respects_seed(params):
     p = gen.GenerateParameters(max_tokens=12, temperature=1.0, top_p=1.0)
     a = gen.generate(params, CFG, [1, 2, 3], p, seed=0)

@@ -20,6 +20,8 @@ from flux2_tpu.io.weight_mapping import map_decoder_weights
 from flux2_tpu.models.text_encoders import decoder as dec
 from flux2_tpu.models.text_encoders.config import DecoderConfig
 
+pytestmark = pytest.mark.slow  # heavy compiles; excluded from the fast tier
+
 
 def _to_numpy_state(model):
     return {k: v.detach().to(torch.float32).numpy() for k, v in model.state_dict().items()}

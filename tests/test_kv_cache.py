@@ -16,6 +16,8 @@ from flux2_tpu.models.flux2 import transformer as tfm
 from flux2_tpu.ops import latents as lu
 from flux2_tpu.ops.rope import rope_embeddings
 
+pytestmark = pytest.mark.slow  # heavy compiles; excluded from the fast tier
+
 CONFIG = cfg.Flux2TransformerConfig(
     num_layers=2, num_single_layers=2, num_attention_heads=2,
     attention_head_dim=128, joint_attention_dim=96, guidance_embeds=False,

@@ -13,6 +13,8 @@ from flux2_tpu.models.flux2 import transformer as tfm
 from flux2_tpu.parallel import mesh as mesh_mod
 from flux2_tpu.parallel import sharding as sh
 
+pytestmark = pytest.mark.slow  # heavy compiles; excluded from the fast tier
+
 
 def test_make_mesh_shapes():
     m = mesh_mod.make_mesh(data=2, fsdp=2, tp=2)

@@ -9,6 +9,8 @@ from flux2_tpu.models.flux2 import config as cfg
 from flux2_tpu.models.flux2 import vae as vae_mod
 from flux2_tpu.pipeline.pipeline import Flux2Pipeline
 
+pytestmark = pytest.mark.slow  # heavy compiles; excluded from the fast tier
+
 
 def tiny_pipeline(model=cfg.Flux2Model.KLEIN_4B):
     tc = cfg.Flux2TransformerConfig(

@@ -7,6 +7,8 @@ import pytest
 
 from flux2_tpu.models.text_encoders import pixtral as px
 
+pytestmark = pytest.mark.slow  # heavy compiles; excluded from the fast tier
+
 CFG = px.TINY_PIXTRAL
 
 

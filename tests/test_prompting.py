@@ -46,6 +46,7 @@ def make_prompt_pipeline():
     return pipe, seen
 
 
+@pytest.mark.slow
 def test_upsample_text_only():
     pipe, _ = make_prompt_pipeline()
     out = pipe.upsample_prompt("a cat")
@@ -53,6 +54,7 @@ def test_upsample_text_only():
     assert pipe.encoders.calls[0][1] == "qwen3-4b"
 
 
+@pytest.mark.slow
 def test_upsample_with_images_composes_reference_template():
     pipe, _ = make_prompt_pipeline()
     imgs = [np.zeros((32, 32, 3), np.float32)] * 2
@@ -97,6 +99,7 @@ def test_vlm_loader_is_lazy():
     assert loads == [1]  # cached after first load
 
 
+@pytest.mark.slow
 def test_generate_upsample_encodes_rewritten_prompt():
     pipe, seen = make_prompt_pipeline()
     res = pipe.generate(prompt="a cat", height=64, width=64, num_steps=1, seed=0, upsample=True)

@@ -94,6 +94,7 @@ def test_qtensor_is_pytree():
     assert out.shape == (2, 128)
 
 
+@pytest.mark.slow
 def test_quantized_transformer_forward():
     """The full DiT forward runs with quantized weights and stays close to bf16."""
     config = cfg.Flux2TransformerConfig(
@@ -122,6 +123,7 @@ def test_quantized_transformer_forward():
     assert quant.param_bytes(qparams) < 0.45 * quant.param_bytes(params)
 
 
+@pytest.mark.slow
 def test_quantize_params_skips_norms():
     config = cfg.Flux2TransformerConfig(
         num_layers=1, num_single_layers=1, num_attention_heads=2,
@@ -228,6 +230,7 @@ def test_w8a8_params_tree_and_3d():
     assert dense["big"].dtype == jnp.bfloat16
 
 
+@pytest.mark.slow
 def test_w8a8_transformer_forward():
     """Tiny DiT forward with W8A8 leaves stays close to bf16."""
     config = cfg.Flux2TransformerConfig(

@@ -7,6 +7,8 @@ import pytest
 
 from flux2_tpu.models.text_encoders import qwen35 as q35
 
+pytestmark = pytest.mark.slow  # heavy compiles; excluded from the fast tier
+
 CFG = q35.TINY_QWEN35
 
 

@@ -7,6 +7,8 @@ import pytest
 
 from flux2_tpu.models.text_encoders import qwen35_vision as qv
 
+pytestmark = pytest.mark.slow  # heavy compiles; excluded from the fast tier
+
 CFG = qv.TINY_VISION
 
 

@@ -9,6 +9,8 @@ from flux2_tpu.models.text_encoders import config as tc
 from flux2_tpu.models.text_encoders import decoder as dec
 from flux2_tpu.models.text_encoders import qwen3vl as vl
 
+pytestmark = pytest.mark.slow  # heavy compiles; excluded from the fast tier
+
 CFG = tc.TINY_DECODER  # head_dim 16
 SECTION = (4, 2, 2)  # 2*(4+2+2) = 16 = head_dim
 

@@ -1,0 +1,169 @@
+"""Tekken BPE tokenizer goldens (TekkenTokenizer.swift semantics).
+
+Fixtures are synthetic tekken.json files built in-test: small enough to
+hand-verify the exact token streams (merge order, the +num_special_tokens
+offset, special-token splicing, vocabulary truncation, UTF-8 reassembly).
+"""
+
+import base64
+import json
+
+import numpy as np
+
+from flux2_tpu.models.text_encoders.tekken import TekkenTokenizer
+
+
+def _b64(b: bytes) -> str:
+    return base64.b64encode(b).decode()
+
+
+def _write_tekken(tmp_path, vocab, special=None, pattern=r"[\w]+|[^\w\s]|\s+",
+                  num_special=100, vocab_size=None):
+    data = {
+        "config": {
+            "pattern": pattern,
+            "num_vocab_tokens": len(vocab),
+            "default_vocab_size": vocab_size or (len(vocab) + num_special),
+            "default_num_special_tokens": num_special,
+            "version": "v7",
+        },
+        "vocab": [
+            {"rank": r, "token_bytes": _b64(b), "token_str": b.decode("utf-8", "ignore")}
+            for b, r in vocab
+        ],
+        "special_tokens": special
+        or [
+            {"rank": 1, "token_str": "<s>", "is_control": True},
+            {"rank": 2, "token_str": "</s>", "is_control": True},
+            {"rank": 3, "token_str": "[INST]", "is_control": True},
+            {"rank": 4, "token_str": "[/INST]", "is_control": True},
+            {"rank": 11, "token_str": "<pad>", "is_control": True},
+            {"rank": 17, "token_str": "[SYSTEM_PROMPT]", "is_control": True},
+            {"rank": 18, "token_str": "[/SYSTEM_PROMPT]", "is_control": True},
+        ],
+    }
+    path = tmp_path / "tekken.json"
+    path.write_text(json.dumps(data))
+    return str(path)
+
+
+def _ab_vocab():
+    # bytes a..d + merges: 'ab' (rank 4), 'cd' (5), 'abcd' (6)
+    return [
+        (b"a", 0), (b"b", 1), (b"c", 2), (b"d", 3),
+        (b"ab", 4), (b"cd", 5), (b"abcd", 6),
+    ]
+
+
+def test_golden_merge_order_and_offset(tmp_path):
+    tok = TekkenTokenizer.from_tekken_json(_write_tekken(tmp_path, _ab_vocab()))
+    # direct vocabulary hit: one token, offset by 100 specials
+    assert tok.encode("abcd") == [106]
+    # 'abc' -> merge 'ab' (lowest rank pair), 'c' remains
+    assert tok.encode("abc") == [104, 102]
+    # 'abab' -> two 'ab' merges (leftmost-lowest each round)
+    assert tok.encode("abab") == [104, 104]
+    # unknown byte -> absolute unk id 0 (no offset)
+    assert tok.encode("z") == [0]
+
+
+def test_golden_decode_roundtrip_and_specials(tmp_path):
+    tok = TekkenTokenizer.from_tekken_json(_write_tekken(tmp_path, _ab_vocab()))
+    ids = tok.encode("abcd", add_special_tokens=True)
+    assert ids[0] == tok.bos_token_id == 1 and ids[-1] == tok.eos_token_id == 2
+    assert tok.decode(ids) == "abcd"  # specials skipped
+    assert tok.decode(ids, skip_special_tokens=False) == "<s>abcd</s>"
+
+
+def test_golden_chat_template_ids(tmp_path):
+    tok = TekkenTokenizer.from_tekken_json(_write_tekken(tmp_path, _ab_vocab()))
+    ids = tok.apply_chat_template(
+        [
+            {"role": "system", "content": "ab"},
+            {"role": "user", "content": "cd"},
+            {"role": "assistant", "content": "a"},
+        ]
+    )
+    # <s> [SYSTEM_PROMPT] ab [/SYSTEM_PROMPT] [INST] cd [/INST] a </s>
+    assert ids == [1, 17, 104, 18, 3, 105, 4, 100, 2]
+    # the string rendering matches the manual Mistral-3.2 format
+    s = tok.apply_chat_template_str([{"role": "user", "content": "hi"}])
+    assert s == "<s>[INST]hi[/INST]"
+
+
+def test_vocabulary_truncation(tmp_path):
+    # default_vocab_size caps usable ranks: 'abcd' (rank 6) must be dropped
+    # when vocab_size = 100 specials + 6 -> max_vocab of 6 keeps ranks 0..5
+    path = _write_tekken(tmp_path, _ab_vocab(), vocab_size=106)
+    tok = TekkenTokenizer.from_tekken_json(path)
+    assert tok.encode("abcd") == [104, 105]  # 'ab' + 'cd', no 'abcd' merge
+
+
+def test_generation_config_overrides(tmp_path):
+    path = _write_tekken(tmp_path, _ab_vocab())
+    (tmp_path / "generation_config.json").write_text(
+        json.dumps({"bos_token_id": 7, "eos_token_id": 8, "pad_token_id": 9})
+    )
+    tok = TekkenTokenizer.from_tekken_json(path)
+    assert (tok.bos_token_id, tok.eos_token_id, tok.pad_token_id) == (7, 8, 9)
+
+
+def test_byte_fallback_lossless_utf8():
+    tok = TekkenTokenizer.byte_fallback()
+    text = "héllo wörld — テスト 🚀"
+    ids = tok.encode(text)
+    assert tok.decode(ids) == text
+    assert all(i >= tok.num_special_tokens for i in ids)
+
+
+def test_multibyte_utf8_reassembly(tmp_path):
+    # é = 0xC3 0xA9 split across two byte tokens must reassemble
+    vocab = [(bytes([0xC3]), 0), (bytes([0xA9]), 1)]
+    tok = TekkenTokenizer.from_tekken_json(_write_tekken(tmp_path, vocab))
+    ids = tok.encode("é")
+    assert ids == [100, 101]
+    assert tok.decode(ids) == "é"
+
+
+def test_tiktoken_pattern_splitting(tmp_path):
+    # the real tekken v7 pattern with \p{L} classes must compile via `regex`
+    pattern = (
+        r"[^\r\n\p{L}\p{N}]?[\p{Lu}\p{Lt}\p{Lm}\p{Lo}\p{M}]*[\p{Ll}\p{Lm}\p{Lo}\p{M}]+|"
+        r"[^\r\n\p{L}\p{N}]?[\p{Lu}\p{Lt}\p{Lm}\p{Lo}\p{M}]+[\p{Ll}\p{Lm}\p{Lo}\p{M}]*|"
+        r"\p{N}|?[^\s\p{L}\p{N}]+[\r\n/]*|\s*[\r\n]+|\s+(?!\S)|\s+"
+    ).replace("|?", "| ?")
+    tok = TekkenTokenizer(
+        {bytes([i]): i for i in range(256)}, pattern=pattern, num_special_tokens=1000
+    )
+    ids = tok.encode("Hello world")
+    assert tok.decode(ids) == "Hello world"
+
+
+def test_facade_resolution_prefers_tekken(tmp_path):
+    from flux2_tpu.models.text_encoders import facade
+
+    _write_tekken(tmp_path, _ab_vocab())
+    tok = facade.resolve_tokenizer(str(tmp_path))
+    assert isinstance(tok, TekkenTokenizer)
+
+
+def test_extractor_runs_on_tekken_tokenizer(tmp_path):
+    """The conditioning extractor works end-to-end on the Tekken protocol
+    (apply_chat_template + pad_token_id + LEFT-pad 512)."""
+    import jax
+
+    from flux2_tpu.models.text_encoders import config as tc
+    from flux2_tpu.models.text_encoders import decoder as dec
+    from flux2_tpu.models.text_encoders.extractor import EmbeddingExtractor
+
+    tok = TekkenTokenizer.byte_fallback()
+    cfg = tc.DecoderConfig(
+        vocab_size=2048, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=3, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=8, qk_norm=False, tie_word_embeddings=True,
+    )
+    params = dec.init_params(jax.random.PRNGKey(0), cfg, dtype=np.float32)
+    ex = EmbeddingExtractor(params, cfg, tok, (1, 2, 3), max_length=32)
+    emb = ex("a tiny prompt")
+    assert emb.shape == (1, 32, 3 * 32)
+    assert np.isfinite(np.asarray(emb)).all()

@@ -8,6 +8,8 @@ import pytest
 from flux2_tpu.models.text_encoders import config as tc
 from flux2_tpu.models.text_encoders import decoder as dec
 
+pytestmark = pytest.mark.slow  # heavy compiles; excluded from the fast tier
+
 CFG = tc.TINY_DECODER
 
 

@@ -14,6 +14,8 @@ from flux2_tpu.ops.rope import rope_embeddings
 from flux2_tpu.training import lora as lora_mod
 from flux2_tpu.training import trainer
 
+pytestmark = pytest.mark.slow  # heavy compiles; excluded from the fast tier
+
 CONFIG = cfg.Flux2TransformerConfig(
     num_layers=1, num_single_layers=1, num_attention_heads=2,
     attention_head_dim=128, joint_attention_dim=96, guidance_embeds=False,

@@ -29,6 +29,7 @@ def _inputs(b=1, s_txt=8, h=64, w=64):
     return hidden, txt, cos, sin
 
 
+@pytest.mark.slow
 def test_forward_shape(params):
     hidden, txt, cos, sin = _inputs()
     out = tfm.forward(

@@ -128,9 +128,12 @@ def test_registry_completeness_detects_truncation(tmp_path):
 
 
 def test_recommended_preset():
-    assert registry.recommended_preset(96) == "bf16"
-    assert registry.recommended_preset(32) == "qint8"
-    assert registry.recommended_preset(16) == "int4"
+    # preset names per ModelRegistry.swift:525-549 thresholds
+    assert registry.recommended_preset(96) == "high-quality"
+    assert registry.recommended_preset(64) == "balanced"
+    assert registry.recommended_preset(48) == "memory-efficient"
+    assert registry.recommended_preset(32) == "minimal"
+    assert registry.recommended_preset(16) == "ultra-minimal"
 
 
 def test_encoder_for_model_covers_all_models():
@@ -143,3 +146,43 @@ def test_encoder_for_model_covers_all_models():
     assert registry.ENCODER_FOR_MODEL[Flux2Model.DEV] == "mistral-small-3.2"
     assert registry.ENCODER_FOR_MODEL[Flux2Model.KLEIN_4B] == "qwen3-4b"
     assert registry.ENCODER_FOR_MODEL[Flux2Model.KLEIN_9B_KV] == "qwen3-8b"
+
+
+def test_memory_profiles_and_auto():
+    from flux2_tpu.models.flux2.config import Flux2Model
+    from flux2_tpu.utils import memory as mem
+
+    perf = mem.MemoryProfile.named("performance")
+    assert perf.remat is False and perf.vae_tile_threshold_px == 2048
+    # plenty of headroom -> performance; tight fit -> conservative
+    assert mem.auto_profile(Flux2Model.KLEIN_4B, "bf16", hbm_bytes=64 * 1024**3).name == "performance"
+    assert mem.auto_profile(Flux2Model.DEV, "bf16", hbm_bytes=68 * 1024**3).name == "conservative"
+
+
+def test_memory_telemetry_snapshots():
+    from flux2_tpu.utils import memory as mem
+
+    t = mem.MemoryTelemetry(enabled=True)
+    t.snapshot("phase_a")
+    t.snapshot("phase_b")
+    d = t.as_dict()
+    assert set(d) == {"phase_a", "phase_b"}
+    assert "peak_gb" in d["phase_a"]
+    report = t.report()
+    assert "phase_a" in report and "peak" in report
+    # disabled: zero-cost no-op
+    off = mem.MemoryTelemetry(enabled=False)
+    assert off.snapshot("x") is None and off.as_dict() == {}
+
+
+@pytest.mark.slow
+def test_generation_result_reports_memory():
+    from test_pipeline import tiny_pipeline, _emb
+
+    from flux2_tpu.utils import memory as mem
+
+    pipe = tiny_pipeline()
+    pipe.memory_profile = mem.MemoryProfile.named("performance")
+    res = pipe.generate(embeddings=_emb(pipe), height=64, width=64, num_steps=1, seed=3)
+    assert res.memory_stats is not None
+    assert set(res.memory_stats) >= {"denoising", "vae_decoding"}

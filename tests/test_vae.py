@@ -7,6 +7,8 @@ import pytest
 
 from flux2_tpu.models.flux2 import vae
 
+pytestmark = pytest.mark.slow  # heavy compiles; excluded from the fast tier
+
 TINY = vae.TINY_VAE  # 2 levels -> 2x downsample per level gap = /2 spatial
 
 

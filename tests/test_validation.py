@@ -22,6 +22,7 @@ def test_tracker_best_and_early_stop():
     assert t.should_copy_best
 
 
+@pytest.mark.slow
 def test_run_validation_generates_and_scores(tmp_path):
     import jax
 

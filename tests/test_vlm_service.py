@@ -14,6 +14,8 @@ from flux2_tpu.models.text_encoders.vlm_service import (
     parse_scores,
 )
 
+pytestmark = pytest.mark.slow  # heavy compiles; excluded from the fast tier
+
 
 class _StubTokenizer:
     pad_token_id = 0

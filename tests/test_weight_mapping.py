@@ -122,6 +122,7 @@ def _assert_trees_equal(a, b):
         )
 
 
+@pytest.mark.slow
 def test_diffusers_roundtrip(ref_params):
     ckpt = make_diffusers_ckpt(ref_params)
     assert not wm.is_bfl_format(ckpt)
@@ -161,6 +162,7 @@ def test_missing_key_raises(ref_params):
         wm.map_transformer_weights(ckpt, CONFIG)
 
 
+@pytest.mark.slow
 def test_vae_roundtrip():
     config = vae_mod.TINY_VAE
     params = vae_mod.init_params(jax.random.PRNGKey(1), config)
