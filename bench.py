@@ -28,6 +28,7 @@ import numpy as np
 REF_KLEIN4B_E2E = 25.3  # s, bf16 1024^2 4 steps (BASELINE.md)
 REF_KLEIN4B_STEP = 5.5  # s/step bf16
 REF_KLEIN4B_STEP_Q8 = 27.9 / 25.3 * 5.5  # ~6.07 s/step qint8
+REF_KLEIN4B_STEP_I4 = 30.3 / 25.3 * 5.5  # ~6.59 s/step int4
 REF_KLEIN9B_STEP_Q8 = 59.7 / 54.9 * 13.0  # ~14.1 s/step qint8
 
 
@@ -110,7 +111,17 @@ def main():
         "unit": "s/step",
         "vs_baseline": round(REF_KLEIN4B_STEP_Q8 / sec_step_w8a8, 2),
     }
-    del params4_q, params4
+    del params4_q
+
+    # --- Klein-4B W4A8 (quarter-HBM int4 runtime) per-step ---
+    params4_q4 = quant.w4a8_params(params4)
+    sec_step_w4a8 = _steps_per_sec(cfg.KLEIN_4B, params4_q4)
+    rows["klein4b_step_w4a8"] = {
+        "value": round(sec_step_w4a8, 4),
+        "unit": "s/step",
+        "vs_baseline": round(REF_KLEIN4B_STEP_I4 / sec_step_w4a8, 2),
+    }
+    del params4_q4, params4
     jax.clear_caches()
 
     # --- Klein-4B end-to-end wall: pipeline.generate incl. VAE decode ---

@@ -87,17 +87,18 @@ def build_pipeline(args) -> "Flux2Pipeline":
                 )
             tconfig = _read_config_json(tdir, tconfig)
             fmt = getattr(args, "quantization", "bf16")
-            # w8a8 is a RUNTIME compute format (int8 MXU matmuls, measured
-            # faster than bf16 at bs=1); its storage format is qint8 — a
-            # prequantized qint8 checkpoint converts at load.
-            storage_fmt = "qint8" if fmt == "w8a8" else fmt
+            # w8a8/w4a8 are RUNTIME compute formats (int8-MXU matmuls; w8a8
+            # measured faster than bf16 at bs=1, w4a8 quarters weight HBM);
+            # storage stays qint8/int4 — prequantized checkpoints convert
+            # at load, slice-wise so no dense transient.
+            storage_fmt = {"w8a8": "qint8", "w4a8": "int4"}.get(fmt, fmt)
             prequant = checkpoints.prequantized_path(tdir, storage_fmt)
             if fmt != "bf16" and os.path.exists(prequant):
                 tparams, _ = checkpoints.load_prequantized(prequant, expected_source_dir=tdir)
                 flog.info(f"loaded prequantized {storage_fmt} transformer from {prequant}")
-                if fmt == "w8a8":
-                    tparams = quant.w8a8_params(tparams)
-                    flog.info("converted to the w8a8 runtime format (int8 MXU)")
+                if fmt in ("w8a8", "w4a8"):
+                    tparams = (quant.w8a8_params if fmt == "w8a8" else quant.w4a8_params)(tparams)
+                    flog.info(f"converted to the {fmt} runtime format (int8 MXU)")
                 elif getattr(args, "dequantize_runtime", False):
                     tparams = quant.dequantize_params(tparams)
                     flog.info("dequantized to bf16 at load (speed-first runtime)")
@@ -679,7 +680,7 @@ def cmd_beacons(args):
 
 def _add_common(p, with_gen=True):
     p.add_argument("--model", default="klein-4b", choices=[m.value for m in _models()])
-    p.add_argument("--quantization", default="bf16", choices=["bf16", "qint8", "w8a8", "int4", "mxfp8", "mxfp4", "nvfp4"])
+    p.add_argument("--quantization", default="bf16", choices=["bf16", "qint8", "w8a8", "int4", "w4a8", "mxfp8", "mxfp4", "nvfp4"])
     p.add_argument("--transformer-dir")
     p.add_argument("--vae-dir")
     p.add_argument("--small-decoder", action="store_true", help="distilled VAE decoder (faster)")
@@ -763,7 +764,7 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     p = sub.add_parser("download", help="download model weights from HF")
     p.add_argument("--model", default="klein-4b", choices=[m.value for m in _models()])
-    p.add_argument("--quantization", default="bf16", choices=["bf16", "qint8", "w8a8", "int4", "mxfp8", "mxfp4", "nvfp4"])
+    p.add_argument("--quantization", default="bf16", choices=["bf16", "qint8", "w8a8", "int4", "w4a8", "mxfp8", "mxfp4", "nvfp4"])
     p.add_argument("--token", help="HF token (or env HF_TOKEN)")
     p.set_defaults(fn=cmd_download)
 

@@ -103,13 +103,40 @@ class W8A8Tensor:
         return self.q.nbytes + self.scale.nbytes
 
 
+def _requant_slicewise(w: Any, quant2d):
+    """Run ``quant2d([K, N] float) -> pytree`` over a dense array or stored
+    QTensor, slice-by-slice for stacked [L, K, N] leaves so the dense/f32
+    transient is ONE layer (Dev-32B whole-stack transients OOM a 16 GB chip
+    — QTensor inputs dequantize inside the map, never all at once)."""
+    if isinstance(w, QTensor):
+        *lead, _, d_out = w.q.shape
+        d_in = w.orig_in
+        if w.q.ndim == 2:
+            return jax.jit(lambda qt: quant2d(dequantize(qt, jnp.bfloat16)))(w), lead, d_in, d_out
+
+        aux = (w.format, w.group_size, w.orig_in)
+
+        def conv(children):
+            qs, ss, bs = children
+            return quant2d(dequantize(QTensor(qs, ss, bs, *aux), jnp.bfloat16))
+
+        flat = (
+            w.q.reshape(-1, *w.q.shape[len(lead):]),
+            w.scale.reshape(-1, *w.scale.shape[len(lead):]),
+            None if w.bias is None else w.bias.reshape(-1, *w.bias.shape[len(lead):]),
+        )
+        return jax.lax.map(conv, flat), lead, d_in, d_out
+
+    *lead, d_in, d_out = w.shape
+    if w.ndim == 2:
+        return jax.jit(quant2d)(w), lead, d_in, d_out
+    return jax.lax.map(quant2d, w.reshape(-1, d_in, d_out)), lead, d_in, d_out
+
+
 def to_w8a8(w: Any) -> Any:
     """Convert a dense weight or a stored QTensor into the W8A8 compute format."""
     if isinstance(w, W8A8Tensor):
         return w
-    if isinstance(w, QTensor):
-        w = dequantize(w, jnp.bfloat16)
-    *lead, d_in, d_out = w.shape
 
     def quant2d(w2):  # [K, N] any float -> (int8 [K, N], f32 [1, N])
         wf = w2.astype(jnp.float32)
@@ -118,14 +145,9 @@ def to_w8a8(w: Any) -> Any:
         q = jnp.clip(jnp.round(wf / scale), -127, 127).astype(jnp.int8)
         return q, scale
 
-    if w.ndim == 2:
-        q, scale = jax.jit(quant2d)(w)
-    else:
-        # Stacked scan leaves [L, K, N]: slice-wise so the f32 transient is
-        # one layer, not the whole stack (Dev-32B leaves OOM otherwise).
-        q, scale = jax.lax.map(quant2d, w.reshape(-1, d_in, d_out))
-        q = q.reshape(*lead, d_in, d_out)
-        scale = scale.reshape(*lead, 1, d_out)
+    (q, scale), lead, d_in, d_out = _requant_slicewise(w, quant2d)
+    q = q.reshape(*lead, d_in, d_out)
+    scale = scale.reshape(*lead, 1, d_out)
     return W8A8Tensor(q, scale, d_in)
 
 
@@ -133,8 +155,83 @@ def dequantize_w8a8(w: W8A8Tensor, dtype=jnp.bfloat16) -> jnp.ndarray:
     return (w.q.astype(jnp.float32) * w.scale).astype(dtype)
 
 
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class W4A8Tensor:
+    """Runtime W4A8 weight: packed symmetric int4 codes + per-(K-block, col)
+    f32 scale.
+
+    Codes live in [-7, 7], packed two per byte with SPLIT-HALF block packing:
+    within each K block of ``block`` rows, packed row r holds code row
+    ``r`` in the low nibble and code row ``r + block/2`` in the high nibble.
+    The kernel unpacks a block with two shifts and one concat — order
+    preserved, no interleave (quant_kernels._kernel_w4a8). One scale per
+    (K-block, column): the kernel accumulates int32 within a block and f32
+    across blocks. Quarter HBM vs bf16: Dev-32B weights drop to 15.3 GiB —
+    a tp=2 pair of v5e chips (7.6 GiB/device) instead of 8 for bf16.
+    """
+
+    q: jnp.ndarray  # uint8 [.., K/2, N]
+    scale: jnp.ndarray  # f32 [.., K/block, N]
+    block: int  # static
+    orig_in: int  # static
+
+    def tree_flatten(self):
+        return (self.q, self.scale), (self.block, self.orig_in)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+    @property
+    def nbytes(self) -> int:
+        return self.q.nbytes + self.scale.nbytes
+
+
+W4A8_BLOCK = 512
+
+
+def to_w4a8(w: Any, block: int = W4A8_BLOCK) -> Any:
+    """Convert a dense weight or stored QTensor to W4A8. Returns the input
+    unchanged when K doesn't tile by ``block`` (dense fallback applies)."""
+    if isinstance(w, W4A8Tensor):
+        return w
+    d_in = w.orig_in if isinstance(w, QTensor) else w.shape[-2]
+    d_out = w.q.shape[-1] if isinstance(w, QTensor) else w.shape[-1]
+    if d_in % block:
+        return dequantize(w, jnp.bfloat16) if isinstance(w, QTensor) else w
+    half = block // 2
+
+    def quant2d(w2):  # [K, N] float -> (uint8 [K/2, N], f32 [K/block, N])
+        wf = w2.astype(jnp.float32).reshape(d_in // block, block, d_out)
+        amax = jnp.max(jnp.abs(wf), axis=-2, keepdims=True)
+        scale = jnp.maximum(amax, 1e-30) / 7.0
+        q = jnp.clip(jnp.round(wf / scale), -7, 7).astype(jnp.int32)  # [G, block, N]
+        lo = (q[:, :half] + 8).astype(jnp.uint8)  # store offset-by-8 nibbles
+        hi = (q[:, half:] + 8).astype(jnp.uint8)
+        packed = (lo | (hi << 4)).reshape(d_in // 2, d_out)
+        return packed, scale.squeeze(-2)
+
+    (q, scale), lead, d_in, d_out = _requant_slicewise(w, quant2d)
+    q = q.reshape(*lead, d_in // 2, d_out)
+    scale = scale.reshape(*lead, d_in // block, d_out)
+    return W4A8Tensor(q, scale, block, d_in)
+
+
+def dequantize_w4a8(w: W4A8Tensor, dtype=jnp.bfloat16) -> jnp.ndarray:
+    *lead, _, d_out = w.q.shape
+    d_in, block = w.orig_in, w.block
+    half = block // 2
+    p = w.q.reshape(*lead, d_in // block, half, d_out).astype(jnp.int32)
+    lo = (p & 0xF) - 8
+    hi = (p >> 4) - 8
+    codes = jnp.concatenate([lo, hi], axis=-2).astype(jnp.float32)  # [.., G, block, N]
+    scale = jnp.expand_dims(w.scale, -2)
+    return (codes * scale).reshape(*lead, d_in, d_out).astype(dtype)
+
+
 def is_quantized(w: Any) -> bool:
-    return isinstance(w, (QTensor, W8A8Tensor))
+    return isinstance(w, (QTensor, W8A8Tensor, W4A8Tensor))
 
 
 # ---------------------------------------------------------------------------
@@ -252,6 +349,12 @@ def q_matmul(x: jnp.ndarray, w: Any) -> jnp.ndarray:
         if jax.default_backend() == "tpu" and w.q.ndim == 2 and quant_kernels.w8a8_supported(x, w):
             return quant_kernels.w8a8_matmul(x, w)
         return x @ dequantize_w8a8(w, dtype=x.dtype)
+    if isinstance(w, W4A8Tensor):
+        from flux2_tpu.ops import quant_kernels
+
+        if jax.default_backend() == "tpu" and w.q.ndim == 2 and quant_kernels.w4a8_supported(x, w):
+            return quant_kernels.w4a8_matmul(x, w)
+        return x @ dequantize_w4a8(w, dtype=x.dtype)
     if (
         os.environ.get("FLUX2_PALLAS_DEQUANT", "0") == "1"
         and w.format in ("qint8", "int4")
@@ -275,6 +378,8 @@ def quantize_params(params: Any, fmt: str, min_size: int = 1 << 16) -> Any:
         return params
     if fmt == "w8a8":
         return w8a8_params(params, min_size=min_size)
+    if fmt == "w4a8":
+        return w4a8_params(params, min_size=min_size)
 
     def visit(leaf):
         if (
@@ -313,6 +418,26 @@ def w8a8_params(params: Any, min_size: int = 1 << 16) -> Any:
     return jax.tree_util.tree_map(visit, params, is_leaf=is_quantized)
 
 
+def w4a8_params(params: Any, block: int = W4A8_BLOCK, min_size: int = 1 << 16) -> Any:
+    """Convert eligible weight leaves to W4A8 — the quarter-HBM int4
+    runtime (fit format: Dev-32B on tp=2 v5e instead of 8 chips)."""
+
+    def visit(leaf):
+        if isinstance(leaf, QTensor):
+            return to_w4a8(leaf, block)
+        if (
+            hasattr(leaf, "ndim")
+            and leaf.ndim >= 2
+            and leaf.size >= min_size
+            and jnp.issubdtype(leaf.dtype, jnp.floating)
+            and leaf.shape[-2] % block == 0
+        ):
+            return to_w4a8(leaf, block)
+        return leaf
+
+    return jax.tree_util.tree_map(visit, params, is_leaf=is_quantized)
+
+
 def param_bytes(params: Any) -> int:
     return sum(leaf.nbytes for leaf in jax.tree_util.tree_leaves(params) if hasattr(leaf, "nbytes"))
 
@@ -329,6 +454,8 @@ def dequantize_params(params: Any, dtype=jnp.bfloat16) -> Any:
     def visit(leaf):
         if isinstance(leaf, W8A8Tensor):
             return dequantize_w8a8(leaf, dtype)
+        if isinstance(leaf, W4A8Tensor):
+            return dequantize_w4a8(leaf, dtype)
         return dequantize(leaf, dtype) if is_quantized(leaf) else leaf
 
     return jax.tree_util.tree_map(visit, params, is_leaf=is_quantized)

@@ -254,3 +254,112 @@ def w8a8_matmul(
     )(xq, xs.T, w.q, w.scale)
 
     return out[:m].reshape(*lead, n)
+
+
+# ---------------------------------------------------------------------------
+# W4A8: int8 activations x packed-int4 weights on the MXU
+# ---------------------------------------------------------------------------
+#
+# Weight HBM traffic is 1/4 of bf16 — the fit format (Dev-32B weights drop
+# to 15.3 GiB: tp=2 v5e instead of 8 chips; Klein-9B to 4.6 GiB).
+# Codes are symmetric int4 in [-7, 7], packed two per byte
+# with SPLIT-HALF packing within each K block (quant.to_w4a8): packed row r
+# of a block holds code rows r (low nibble) and r + block/2 (high nibble),
+# so the in-kernel unpack is two shifts + one concat along sublanes — order
+# preserved, no interleave, and all INTEGER ops (the round-1 fused-dequant
+# kernel was VPU-bound precisely because it converted codes to float before
+# the dot). Scales are per (K-block, column): int32 accumulation within a
+# block, f32 accumulation across blocks.
+
+W4A8_BM = 512
+W4A8_BN = 1024
+
+
+def _kernel_w4a8(xq_ref, xs_ref, q_ref, s_ref, o_ref, acc_ref):
+    kb = pl.program_id(2)
+
+    @pl.when(kb == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    packed = q_ref[:].astype(jnp.int32)  # uint8 [bk/2, bn] (Mosaic can't shift i8 vectors)
+    lo = ((packed & 0xF) - 8).astype(jnp.int8)
+    hi = ((packed >> 4) - 8).astype(jnp.int8)
+    wq = jnp.concatenate([lo, hi], axis=0)  # [bk, bn] int8, rows in order
+    idot = jax.lax.dot_general(
+        xq_ref[:], wq, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    xs = xs_ref[kb, :][:, None]  # activation scale for this K block [bm, 1]
+    ws = s_ref[kb, :][None, :]  # weight scale for this K block [1, bn]
+    acc_ref[:] += idot.astype(jnp.float32) * (xs * ws)
+
+    @pl.when(kb == pl.num_programs(2) - 1)
+    def _():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
+def w4a8_supported(x: jnp.ndarray, w: Any) -> bool:
+    if x.shape[-1] != w.orig_in:
+        return False
+    k2, n = w.q.shape[-2:]
+    return (2 * k2) % w.block == 0 and n % 256 == 0 and w.block % 256 == 0
+
+
+def w4a8_matmul(
+    x: jnp.ndarray,
+    w: Any,
+    bm: int = W4A8_BM,
+    bn: int = W4A8_BN,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """x [.., K] @ W4A8Tensor[K, N] -> [.., N].
+
+    Activation quantization: symmetric int8 per (row, K-block) as an XLA
+    prologue; per-block scales pair with the weight's per-block scales in
+    the f32 cross-block accumulate."""
+    *lead, k = x.shape
+    n = w.q.shape[-1]
+    bk = w.block  # kernel K block == weight scale block (split-half packing unit)
+    kb = k // bk
+
+    m = 1
+    for d in lead:
+        m *= d
+    x2 = x.reshape(m, k)
+
+    bm = min(bm, _round_up(m, 8))
+    bn = min(bn, n)
+    m_pad = _round_up(m, bm)
+    if m_pad != m:
+        x2 = jnp.pad(x2, ((0, m_pad - m), (0, 0)))
+
+    xr = x2.astype(jnp.float32).reshape(m_pad, kb, bk)
+    amax = jnp.max(jnp.abs(xr), axis=-1)
+    xs = jnp.maximum(amax, 1e-30) * (1.0 / 127.0)
+    xq = (
+        jnp.clip(jnp.round(xr / xs[:, :, None]), -127.0, 127.0)
+        .astype(jnp.int8)
+        .reshape(m_pad, k)
+    )
+    xs_t = xs.T  # [kb, m]
+
+    grid = (m_pad // bm, n // bn, kb)
+    out = pl.pallas_call(
+        _kernel_w4a8,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk)),
+            pl.BlockSpec((kb, bm), lambda i, j, kk: (0, i)),
+            pl.BlockSpec((bk // 2, bn), lambda i, j, kk: (kk, j)),
+            pl.BlockSpec((kb, bn), lambda i, j, kk: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((m_pad, n), x.dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(xq, xs_t, w.q, w.scale)
+
+    return out[:m].reshape(*lead, n)

@@ -252,3 +252,64 @@ def test_w8a8_transformer_forward():
     qout = np.asarray(tfm.forward(qparams, config, hidden, txt, t, cos, sin), np.float32)
     rel = np.linalg.norm(qout - base) / np.linalg.norm(base)
     assert rel < 0.05
+
+
+# ---------------------------------------------------------------------------
+# W4A8 (int8 activations x packed-int4 weights)
+# ---------------------------------------------------------------------------
+
+
+def test_w4a8_pack_roundtrip():
+    w = _w((1024, 256), seed=11)
+    wq = quant.to_w4a8(w)
+    assert wq.q.dtype == jnp.uint8
+    assert wq.q.shape == (512, 256)  # two codes per byte
+    assert wq.scale.shape == (2, 256)  # one per 512-row K block
+    deq = quant.dequantize_w4a8(wq, jnp.float32)
+    # int4 symmetric: max error = scale/2 = amax/14 per block
+    err = np.abs(np.asarray(deq) - np.asarray(w))
+    assert err.max() < np.abs(np.asarray(w)).max() / 14 * 1.05
+
+
+def test_w4a8_pallas_kernel_interpret():
+    from flux2_tpu.ops import quant_kernels as qk
+
+    w = _w((1024, 256), seed=12)
+    x = _w((24, 1024), seed=13)
+    wq = quant.to_w4a8(w)
+    got = np.asarray(qk.w4a8_matmul(x, wq, interpret=True), np.float32)
+    # the kernel must agree with the dequant fallback to within
+    # activation-quantization error (weight error is shared)
+    fall = np.asarray(x @ quant.dequantize_w4a8(wq, x.dtype), np.float32)
+    rel = np.linalg.norm(got - fall) / np.linalg.norm(fall)
+    assert rel < 0.02
+    # and with the dense reference to within int4 error (symmetric int4 with
+    # per-512-block scales measures ~13% rel on N(0, s) weights — matches
+    # step/sqrt(12) theory; w4a8 is the FIT format, qint8/w8a8 the quality ones)
+    ref = np.asarray(x.astype(jnp.float32) @ w)
+    rel_dense = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+    assert rel_dense < 0.17
+
+
+def test_w4a8_params_and_dispatch():
+    params = {"big": _w((512, 512)), "norm": jnp.ones((512,))}
+    qp = quant.w4a8_params(params, min_size=1)
+    assert isinstance(qp["big"], quant.W4A8Tensor)
+    assert not isinstance(qp["norm"], quant.W4A8Tensor)
+    x = _w((4, 512), seed=14)
+    out = jax.jit(lambda p, x: quant.q_matmul(x, p["big"]))(qp, x)  # CPU fallback path
+    ref = np.asarray(x @ params["big"])
+    rel = np.linalg.norm(np.asarray(out, np.float32) - ref) / np.linalg.norm(ref)
+    assert rel < 0.17
+    dense = quant.dequantize_params(qp)
+    assert dense["big"].shape == (512, 512)
+
+
+def test_w4a8_from_stored_qtensor():
+    w = _w((512, 128), seed=15)
+    q4 = quant.quantize(w, "int4")
+    w4 = quant.to_w4a8(q4)
+    assert isinstance(w4, quant.W4A8Tensor)
+    deq = quant.dequantize_w4a8(w4, jnp.float32)
+    rel = np.linalg.norm(np.asarray(deq) - np.asarray(w)) / np.linalg.norm(np.asarray(w))
+    assert rel < 0.2  # int4 g64 -> dequant -> per-block int4 re-quant compounds
