@@ -55,7 +55,7 @@ def _enable_compile_cache():
 
 
 class _Pending:
-    __slots__ = ("req", "emb", "event", "image", "error")
+    __slots__ = ("req", "emb", "event", "image", "error", "enqueued_at")
 
     def __init__(self, req, emb):
         self.req = req
@@ -63,10 +63,23 @@ class _Pending:
         self.event = threading.Event()
         self.image = None
         self.error = None
+        self.enqueued_at = time.time()
+
+
+class QueueFullError(RuntimeError):
+    pass
 
 
 class Flux2Server:
-    def __init__(self, pipeline, embeddings_fn=None, max_batch: int = 4, batch_window_s: float = 0.05):
+    def __init__(
+        self,
+        pipeline,
+        embeddings_fn=None,
+        max_batch: int = 4,
+        batch_window_s: float = 0.05,
+        max_queue: int = 64,
+        max_wait_s: float = 10.0,
+    ):
         self.pipeline = pipeline
         self.embeddings_fn = embeddings_fn  # prompt -> embeddings (random-init mode)
         self.lock = threading.Lock()
@@ -75,6 +88,8 @@ class Flux2Server:
         self.batches_run = 0
         self.max_batch = max_batch
         self.batch_window_s = batch_window_s
+        self.max_queue = max_queue
+        self.max_wait_s = max_wait_s
         self._queue: list = []
         self._queue_cv = threading.Condition()
         self._shutdown = False
@@ -98,6 +113,24 @@ class Flux2Server:
             req.get("guidance"),
         )
 
+    def _pick_batch(self) -> list:
+        """Cross-shape scheduling: run the LARGEST same-shape group (best
+        chip utilization per program launch) unless the oldest request has
+        aged past ``max_wait_s`` — then its group runs first (no starvation
+        behind a popular shape)."""
+        groups: dict = {}
+        for p in self._queue:
+            groups.setdefault(self._shape_key(p.req), []).append(p)
+        oldest = self._queue[0]
+        if time.time() - oldest.enqueued_at > self.max_wait_s:
+            key = self._shape_key(oldest.req)
+        else:
+            key = max(groups, key=lambda k: (len(groups[k]), -groups[k][0].enqueued_at))
+        batch = groups[key][: self.max_batch]
+        for p in batch:
+            self._queue.remove(p)
+        return batch
+
     def _serve_loop(self):
         while True:
             with self._queue_cv:
@@ -107,10 +140,7 @@ class Flux2Server:
                     return
                 # small window to let same-shape requests coalesce
                 self._queue_cv.wait(self.batch_window_s)
-                key = self._shape_key(self._queue[0].req)
-                batch = [p for p in self._queue if self._shape_key(p.req) == key][: self.max_batch]
-                for p in batch:
-                    self._queue.remove(p)
+                batch = self._pick_batch()
             self._run_batch(batch)
 
     def _run_batch(self, batch):
@@ -166,6 +196,8 @@ class Flux2Server:
             emb = self.embeddings_fn(req.get("prompt", ""))
         pending = _Pending(req, emb)
         with self._queue_cv:
+            if len(self._queue) >= self.max_queue:
+                raise QueueFullError(f"queue full ({self.max_queue} pending); retry later")
             self._queue.append(pending)
             self._queue_cv.notify_all()
         pending.event.wait()
@@ -189,7 +221,48 @@ class Flux2Server:
             "requests_served": self.requests_served,
             "batches_run": self.batches_run,
             "max_batch": self.max_batch,
+            "queue_depth": len(self._queue),
         }
+
+
+# Built-in demo page (the reference's SwiftUI app surface — Sources/Flux2App
+# — re-imagined as a served web UI: prompt box, size/steps/seed controls,
+# live status from /info, inline result).
+_DEMO_HTML = """<!doctype html>
+<html><head><meta charset="utf-8"><title>flux2-tpu</title>
+<style>
+ body{font-family:system-ui,sans-serif;max-width:760px;margin:2rem auto;padding:0 1rem;color:#1a1a2e}
+ h1{font-size:1.3rem} .row{display:flex;gap:.6rem;flex-wrap:wrap;margin:.5rem 0}
+ input,select,button{padding:.45rem .6rem;font-size:.95rem;border:1px solid #bbb;border-radius:6px}
+ #prompt{flex:1;min-width:320px} button{background:#2d4a8a;color:#fff;border:none;cursor:pointer}
+ button:disabled{background:#999} #out img{max-width:100%;border-radius:8px;margin-top:1rem}
+ #status{color:#666;font-size:.85rem;white-space:pre-wrap}
+</style></head><body>
+<h1>flux2-tpu</h1>
+<div class="row"><input id="prompt" placeholder="prompt" value="a serene mountain lake at dawn"></div>
+<div class="row">
+ <select id="size"><option>512</option><option selected>1024</option><option>2048</option></select>
+ <input id="steps" type="number" value="4" min="1" max="50" style="width:5rem" title="steps">
+ <input id="seed" type="number" value="0" style="width:7rem" title="seed">
+ <button id="go" onclick="gen()">Generate</button>
+</div>
+<div id="status"></div><div id="out"></div>
+<script>
+async function refresh(){try{const r=await fetch('/info');const j=await r.json();
+ document.getElementById('status').textContent=`model ${j.model} | ${j.backend} x${j.devices}`+
+ ` | served ${j.requests_served} in ${j.batches_run} batches | queue ${j.queue_depth}`;}catch(e){}}
+async function gen(){const b=document.getElementById('go');b.disabled=true;const t0=Date.now();
+ try{const s=+document.getElementById('size').value;
+  const r=await fetch('/generate',{method:'POST',headers:{'Content-Type':'application/json'},
+   body:JSON.stringify({prompt:document.getElementById('prompt').value,width:s,height:s,
+    steps:+document.getElementById('steps').value,seed:+document.getElementById('seed').value})});
+  if(!r.ok){throw new Error(await r.text())}
+  const blob=await r.blob();
+  document.getElementById('out').innerHTML=`<img src="${URL.createObjectURL(blob)}">`;
+  document.getElementById('status').textContent=`done in ${((Date.now()-t0)/1000).toFixed(1)}s`;
+ }catch(e){document.getElementById('status').textContent=String(e);}b.disabled=false;refresh();}
+refresh();setInterval(refresh,5000);
+</script></body></html>"""
 
 
 def make_handler(server: Flux2Server):
@@ -210,6 +283,13 @@ def make_handler(server: Flux2Server):
                 self._json(200, {"status": "ok"})
             elif self.path == "/info":
                 self._json(200, server.info())
+            elif self.path in ("/", "/index.html"):
+                body = _DEMO_HTML.encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html; charset=utf-8")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
             else:
                 self._json(404, {"error": "not found"})
 
@@ -221,6 +301,9 @@ def make_handler(server: Flux2Server):
                 length = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(length) or b"{}")
                 png = server.generate_png(req)
+            except QueueFullError as e:  # backpressure: let clients retry
+                self._json(503, {"error": str(e)})
+                return
             except Exception as e:  # surface errors as JSON, keep serving
                 self._json(400, {"error": f"{type(e).__name__}: {e}"})
                 return

@@ -231,3 +231,50 @@ def test_serving_per_request_seeds():
         # batched-vs-solo XLA reductions differ at ~1e-6 f32; allow the
         # single u8 rounding unit that can flip
         assert np.abs(got.astype(int) - solo_u8.astype(int)).max() <= 1
+
+
+def test_serving_demo_page_and_queue_policy():
+    """GET / serves the demo UI; cross-shape scheduling picks the largest
+    same-shape group and ages out starving shapes; full queue -> 503."""
+    from http.server import ThreadingHTTPServer
+
+    from flux2_tpu.serve import Flux2Server, QueueFullError, _Pending, make_handler
+    from tests.test_pipeline import tiny_pipeline
+
+    pipe = tiny_pipeline()
+    server = Flux2Server(pipe, None, max_batch=4, max_queue=2, max_wait_s=10.0)
+    server.shutdown()  # drive _pick_batch directly (no worker racing)
+
+    def pend(h, w, age=0.0):
+        p = _Pending({"height": h, "width": w, "steps": 1}, None)
+        p.enqueued_at -= age
+        return p
+
+    # largest group wins over FIFO head
+    server._queue = [pend(64, 64), pend(128, 128), pend(128, 128)]
+    batch = server._pick_batch()
+    assert [server._shape_key(p.req) for p in batch] == [(128, 128, 1, None)] * 2
+    # aging: a starving head older than max_wait_s preempts the bigger group
+    server._queue = [pend(64, 64, age=99.0), pend(128, 128), pend(128, 128)]
+    batch = server._pick_batch()
+    assert server._shape_key(batch[0].req) == (64, 64, 1, None)
+    # backpressure: queue full raises (handler maps it to 503)
+    server._queue = [pend(64, 64), pend(64, 64)]
+    with pytest.raises(QueueFullError):
+        server.generate_png({"prompt": "x", "width": 64, "height": 64})
+
+    # demo page served at /
+    server2 = Flux2Server(pipe, None)
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(server2))
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/") as r:
+            html = r.read().decode()
+            assert "flux2-tpu" in html and "/generate" in html
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/info") as r:
+            assert "queue_depth" in json.loads(r.read())
+    finally:
+        httpd.shutdown()
+        server2.shutdown()
