@@ -85,6 +85,11 @@ def subject_mask(
     """
     prob = (segmenter or saliency_foreground)(image)
     fg = (prob >= threshold).astype(np.float32)
-    fg = _dilate(fg, dilation_px)
-    fg = _inward_ramp(fg, ramp_px)
-    return np.clip(1.0 - fg, 0.0, 1.0) if invert_for_change_scene else fg
+    # Native fast path: one O(H*W) chamfer pass for dilate+ramp
+    # (native/image_ops.cpp dilate_ramp_f32); iterated-erosion fallback.
+    from flux2_tpu.utils import native
+
+    ramped = native.dilate_ramp(fg, dilation_px, ramp_px)
+    if ramped is None:
+        ramped = _inward_ramp(_dilate(fg, dilation_px), ramp_px)
+    return np.clip(1.0 - ramped, 0.0, 1.0) if invert_for_change_scene else ramped

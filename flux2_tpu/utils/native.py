@@ -44,6 +44,9 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.u8_to_f32.argtypes = [_u8p, _f32p, ctypes.c_longlong]
         lib.f32_to_u8.argtypes = [_f32p, _u8p, ctypes.c_longlong]
         lib.soft_composite_f32.argtypes = [_f32p, _f32p, _f32p, _f32p, ctypes.c_int, ctypes.c_int, ctypes.c_int]
+        lib.dilate_ramp_f32.argtypes = [
+            _f32p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, _f32p, _f32p,
+        ]
         _lib = lib
     except OSError:
         _lib = None
@@ -118,6 +121,22 @@ def f32_to_u8(image: np.ndarray) -> np.ndarray:
         lib.f32_to_u8(_fp(image), out.ctypes.data_as(_u8p), image.size)
         return out
     return np.clip(image * 255.0 + 0.5, 0, 255).astype(np.uint8)
+
+
+def dilate_ramp(mask: np.ndarray, dilation: int, ramp: int) -> Optional[np.ndarray]:
+    """Square-element dilation + linear inward edge ramp on a [H, W] mask,
+    O(H*W) via two chamfer distance transforms in C++. Returns None when the
+    native library is unavailable (callers keep their iterated-erosion
+    fallback — same semantics, O(radius*H*W))."""
+    lib = _load()
+    if lib is None:
+        return None
+    mask = np.ascontiguousarray(mask, np.float32)
+    h, w = mask.shape
+    tmp = np.empty((2, h, w), np.float32)
+    out = np.empty((h, w), np.float32)
+    lib.dilate_ramp_f32(_fp(mask), h, w, int(dilation), int(ramp), _fp(tmp), _fp(out))
+    return out
 
 
 def soft_composite(orig: np.ndarray, gen: np.ndarray, mask: np.ndarray) -> np.ndarray:

@@ -16,6 +16,64 @@
 
 extern "C" {
 
+// Manhattan (L1) distance transform via two-pass 4-neighbour chamfer with
+// unit weights — exact for L1, which matches the cross structuring element
+// the iterated-erosion reference path uses (chains/subject_mask._dilate).
+// `src` > 0.5 marks sources (distance 0). Out-of-image counts as
+// non-source (infinite distance).
+static void l1_distance(const float* src, int h, int w, float* d) {
+  const float INF = 1e9f;
+  for (long long i = 0; i < (long long)h * w; ++i) d[i] = src[i] > 0.5f ? 0.0f : INF;
+  // forward: up, left
+  for (int i = 0; i < h; ++i) {
+    float* row = d + (size_t)i * w;
+    const float* up = i > 0 ? d + (size_t)(i - 1) * w : nullptr;
+    for (int j = 0; j < w; ++j) {
+      float v = row[j];
+      if (up && up[j] + 1 < v) v = up[j] + 1;
+      if (j > 0 && row[j - 1] + 1 < v) v = row[j - 1] + 1;
+      row[j] = v;
+    }
+  }
+  // backward: down, right
+  for (int i = h - 1; i >= 0; --i) {
+    float* row = d + (size_t)i * w;
+    const float* dn = i + 1 < h ? d + (size_t)(i + 1) * w : nullptr;
+    for (int j = w - 1; j >= 0; --j) {
+      float v = row[j];
+      if (dn && dn[j] + 1 < v) v = dn[j] + 1;
+      if (j + 1 < w && row[j + 1] + 1 < v) v = row[j + 1] + 1;
+      row[j] = v;
+    }
+  }
+}
+
+// Binary dilation (cross element iterated `dilation` times = L1 ball)
+// followed by a linear
+// inward edge ramp of `ramp` layers: layer depth d in [1, ramp] gets value
+// d/(ramp+1); deeper pixels get 1. Exactly the reference subject-mask
+// post-processing (Flux2SubjectMask dilate+ramp; see chains/subject_mask.py
+// numpy fallback), but O(H*W) via two distance transforms instead of
+// O(radius*H*W) iterated erosions. `tmp` must hold 2*h*w floats.
+void dilate_ramp_f32(const float* mask, int h, int w,
+                     int dilation, int ramp, float* tmp, float* out) {
+  float* dist_fg = tmp;            // distance to nearest foreground pixel
+  float* depth = tmp + (size_t)h * w;  // distance to nearest background
+  l1_distance(mask, h, w, dist_fg);
+  // dilated foreground = within `dilation` of a source; background marker
+  // inverts it (out-of-image stays "far": matches the edge-replicate
+  // padding of the numpy path, which never erodes from the image border).
+  for (long long i = 0; i < (long long)h * w; ++i)
+    out[i] = dist_fg[i] <= (float)dilation ? 0.0f : 1.0f;  // 0=fg, 1=bg marker
+  l1_distance(out, h, w, depth);  // depth inside the dilated region
+  const float denom = (float)(ramp + 1);
+  for (long long i = 0; i < (long long)h * w; ++i) {
+    if (out[i] > 0.5f) { out[i] = 0.0f; continue; }  // background
+    float v = ramp > 0 ? depth[i] / denom : 1.0f;
+    out[i] = v < 1.0f ? v : 1.0f;
+  }
+}
+
 // Area-average (box) resample of a single-channel f32 plane.
 // Exact mean over the source cell covered by each destination pixel —
 // the semantics the latent-grid mask rasterization needs.

@@ -55,3 +55,21 @@ def test_soft_composite():
     np.testing.assert_allclose(out, 0.25, atol=1e-6)
     b = _with_fallback(native.soft_composite, orig, gen, mask)
     np.testing.assert_allclose(out, b, atol=1e-6)
+
+
+def test_dilate_ramp_matches_numpy_reference():
+    """The C++ chamfer dilate+ramp must equal the iterated-erosion numpy
+    path exactly (same layer values, same border semantics)."""
+    from flux2_tpu.chains.subject_mask import _dilate, _inward_ramp
+    from flux2_tpu.utils import native
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+    rng = np.random.RandomState(0)
+    for dilation, ramp in ((0, 0), (2, 0), (0, 3), (3, 4), (8, 16)):
+        mask = (rng.rand(48, 64) > 0.85).astype(np.float32)
+        ref = _inward_ramp(_dilate(mask, dilation), ramp)
+        got = native.dilate_ramp(mask, dilation, ramp)
+        np.testing.assert_allclose(got, ref, atol=1e-6)
