@@ -88,6 +88,12 @@ def _path_str(path) -> str:
 
 
 def spec_for_path(path_str: str, rules: Rules) -> P:
+    # Quantized weights (QTensor / W8A8 / W4A8) are pytrees whose children
+    # append a flat-index segment to the leaf path; the parent's rule
+    # applies to every child (codes/scale/bias keep the dense leaf's rank,
+    # and make_shardings drops axes whose dim doesn't divide — e.g. the
+    # size-1 scale rows).
+    path_str = re.sub(r"/\[<flat index \d+>\]$", "", path_str)
     for pattern, spec in rules:
         if re.search(pattern, path_str):
             return spec

@@ -340,3 +340,39 @@ def test_seq_sharded_activations_end_to_end():
     np.testing.assert_allclose(outs["ring"], outs["dense"], atol=3e-4)
     # per-device output bytes scale ~1/sp (sp=4)
     assert stats["ring"].output_size_in_bytes * 2 <= stats["dense"].output_size_in_bytes
+
+
+def test_quantized_params_shard_over_mesh():
+    """QTensor/W8A8/W4A8 children inherit the dense leaf's partition rule
+    (codes shard over fsdp/tp; scale rows auto-drop non-dividing axes) and
+    the sharded quantized forward matches the unsharded one."""
+    from flux2_tpu.models.flux2 import config as cfg
+    from flux2_tpu.models.flux2 import transformer as tfm
+    from flux2_tpu.ops import latents as lu
+    from flux2_tpu.ops import quant
+    from flux2_tpu.ops.rope import rope_embeddings
+
+    mesh = mesh_mod.make_mesh(data=1, fsdp=2, tp=4)
+    config = cfg.Flux2TransformerConfig(
+        num_layers=1, num_single_layers=2, num_attention_heads=4,
+        attention_head_dim=128, joint_attention_dim=384, guidance_embeds=False,
+    )
+    params = tfm.init_params(jax.random.PRNGKey(0), config, dtype=jnp.float32)
+    qparams = quant.w8a8_params(params, min_size=1 << 10)
+    shardings = sh.make_shardings(qparams, mesh, sh.DIT_RULES)
+    # int8 codes of the stacked qkv leaves shard over (fsdp, tp)
+    assert shardings["double_blocks"]["to_q"].q.spec == P(None, "fsdp", "tp")
+    # per-column scale [L, 1, N]: the size-1 row axis drops, tp stays
+    assert shardings["double_blocks"]["to_q"].scale.spec == P(None, None, "tp")
+
+    h = w = 256
+    s_img, s_txt = (h // 16) * (w // 16), 16
+    ids = np.concatenate([lu.text_position_ids(s_txt), lu.image_position_ids(h, w)], axis=0)
+    cos, sin = rope_embeddings(jnp.asarray(ids))
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, s_img, 128))
+    t = jax.random.normal(jax.random.PRNGKey(2), (1, s_txt, 384))
+    ref = tfm.forward(qparams, config, x, t, jnp.array([0.5]), cos, sin)
+    qs = sh.shard_params(qparams, mesh, sh.DIT_RULES)
+    with mesh:
+        out = jax.jit(lambda p: tfm.forward(p, config, x, t, jnp.array([0.5]), cos, sin))(qs)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-4)
