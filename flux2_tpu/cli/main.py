@@ -133,6 +133,7 @@ def build_pipeline(args) -> "Flux2Pipeline":
                 pipe,
                 encoder_dir=getattr(args, "encoder_dir", None),
                 tokenizer_dir=getattr(args, "encoder_tokenizer_dir", None),
+                quantization=getattr(args, "encoder_quantization", "bf16") or "bf16",
             )
 
     # LoRAs
@@ -217,7 +218,7 @@ def _to_bf16(tree):
     )
 
 
-def attach_text_encoder(pipe, encoder_dir=None, tokenizer_dir=None) -> None:
+def attach_text_encoder(pipe, encoder_dir=None, tokenizer_dir=None, quantization="bf16") -> None:
     """Load the model family's conditioning encoder and attach it.
 
     Resolution: explicit ``--encoder-dir`` -> configured models dir -> HF
@@ -240,9 +241,11 @@ def attach_text_encoder(pipe, encoder_dir=None, tokenizer_dir=None) -> None:
             f"to run with precomputed embeddings"
         )
     if name == "mistral-small-3.2":
-        enc = facade.shared.load_mistral(edir, tokenizer_dir)
+        enc = facade.shared.load_mistral(edir, tokenizer_dir, quantization=quantization)
     else:
-        enc = facade.shared.load_qwen3(edir, tokenizer_dir, size="4b" if "4b" in name else "8b")
+        enc = facade.shared.load_qwen3(
+            edir, tokenizer_dir, size="4b" if "4b" in name else "8b", quantization=quantization
+        )
     pipe.text_encoder = enc.extractor
     pipe.text_encoder_name = enc.name
     pipe.encoders = facade.shared
@@ -699,6 +702,12 @@ def _add_common(p, with_gen=True):
     )
     p.add_argument("--encoder-dir", help="text-encoder weights dir (default: registry resolution)")
     p.add_argument("--encoder-tokenizer-dir", help="tokenizer dir when separate from weights")
+    p.add_argument(
+        "--encoder-quantization", default="bf16",
+        choices=["bf16", "qint8", "w8a8", "int4", "w4a8", "mxfp8"],
+        help="quantize the text encoder's layer weights (Mistral-24B bf16 is 48 GB; "
+        "w8a8 halves it and runs the int8 MXU path)",
+    )
     p.add_argument(
         "--no-text-encoder", action="store_true",
         help="skip encoder load (requires precomputed embeddings via the library API)",

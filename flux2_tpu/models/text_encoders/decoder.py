@@ -30,6 +30,7 @@ import jax.numpy as jnp
 
 from flux2_tpu.models.text_encoders.config import DecoderConfig
 from flux2_tpu.ops.normalization import rms_norm
+from flux2_tpu.ops.quant import q_matmul as mm
 
 Params = Dict[str, Any]
 
@@ -141,9 +142,9 @@ def _layer(
     nh, nkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
 
     h = rms_norm(x, lp["input_norm"], cfg.rms_norm_eps)
-    q = (h @ lp["q_proj"]).reshape(b, s, nh, hd).transpose(0, 2, 1, 3)
-    k = (h @ lp["k_proj"]).reshape(b, s, nkv, hd).transpose(0, 2, 1, 3)
-    v = (h @ lp["v_proj"]).reshape(b, s, nkv, hd).transpose(0, 2, 1, 3)
+    q = mm(h, lp["q_proj"]).reshape(b, s, nh, hd).transpose(0, 2, 1, 3)
+    k = mm(h, lp["k_proj"]).reshape(b, s, nkv, hd).transpose(0, 2, 1, 3)
+    v = mm(h, lp["v_proj"]).reshape(b, s, nkv, hd).transpose(0, 2, 1, 3)
 
     if cfg.qk_norm:
         q = rms_norm(q, lp["q_norm"], cfg.rms_norm_eps)
@@ -173,10 +174,10 @@ def _layer(
     probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
     attn = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
     attn = attn.transpose(0, 2, 1, 3).reshape(b, s, nh * hd)
-    x = x + attn @ lp["o_proj"]
+    x = x + mm(attn, lp["o_proj"])
 
     h2 = rms_norm(x, lp["post_attn_norm"], cfg.rms_norm_eps)
-    mlp = (jax.nn.silu(h2 @ lp["gate_proj"]) * (h2 @ lp["up_proj"])) @ lp["down_proj"]
+    mlp = mm(jax.nn.silu(mm(h2, lp["gate_proj"])) * mm(h2, lp["up_proj"]), lp["down_proj"])
     return x + mlp, new_kv
 
 

@@ -56,6 +56,19 @@ class HFTokenizerAdapter:
         return self._tok.decode(tokens, skip_special_tokens=True)
 
 
+def quantize_encoder_params(params: dict, fmt: str) -> dict:
+    """Quantize the decoder's LAYER weights; embeddings (gather-indexed, not
+    matmul'd), lm_head, and norms stay dense. The encoder counterpart of the
+    reference's MistralQuantization (QuantizationConfig.swift:8-38 — 4/6/8
+    bit encoder repos)."""
+    from flux2_tpu.ops import quant
+
+    out = dict(params)
+    if "layers" in out:
+        out["layers"] = quant.quantize_params(out["layers"], fmt)
+    return out
+
+
 def resolve_tokenizer(path_or_repo: str):
     """Tokenizer resolution in the reference's order
     (TekkenTokenizer.swift:115-128): a mistral-common ``tekken.json`` uses
@@ -87,15 +100,23 @@ class TextEncoders:
 
     # -- loading -------------------------------------------------------------
 
-    def load_mistral(self, weights_dir: str, tokenizer_dir: Optional[str] = None) -> LoadedEncoder:
+    def load_mistral(
+        self, weights_dir: str, tokenizer_dir: Optional[str] = None, quantization: str = "bf16"
+    ) -> LoadedEncoder:
         return self._load(
             "mistral", weights_dir, tokenizer_dir, tc.MISTRAL_SMALL_3_2,
-            tc.MISTRAL_HIDDEN_LAYERS, llama4=True,
+            tc.MISTRAL_HIDDEN_LAYERS, llama4=True, quantization=quantization,
         )
 
-    def load_qwen3(self, weights_dir: str, tokenizer_dir: Optional[str] = None, size: str = "4b") -> LoadedEncoder:
+    def load_qwen3(
+        self, weights_dir: str, tokenizer_dir: Optional[str] = None, size: str = "4b",
+        quantization: str = "bf16",
+    ) -> LoadedEncoder:
         cfg = tc.QWEN3_4B if size == "4b" else tc.QWEN3_8B
-        return self._load(f"qwen3-{size}", weights_dir, tokenizer_dir, cfg, tc.QWEN3_HIDDEN_LAYERS, qk_norm=True)
+        return self._load(
+            f"qwen3-{size}", weights_dir, tokenizer_dir, cfg, tc.QWEN3_HIDDEN_LAYERS,
+            qk_norm=True, quantization=quantization,
+        )
 
     def attach(self, name: str, params: dict, cfg: tc.DecoderConfig, tokenizer, hidden_layers) -> LoadedEncoder:
         """Register an already-built encoder (tests, custom models)."""
@@ -106,7 +127,10 @@ class TextEncoders:
         self._encoders[name] = enc
         return enc
 
-    def _load(self, name, weights_dir, tokenizer_dir, cfg, layers, qk_norm=False, llama4=False) -> LoadedEncoder:
+    def _load(
+        self, name, weights_dir, tokenizer_dir, cfg, layers,
+        qk_norm=False, llama4=False, quantization="bf16",
+    ) -> LoadedEncoder:
         from flux2_tpu.io import checkpoints, weight_mapping
 
         cfg_json = os.path.join(weights_dir, "config.json")
@@ -122,8 +146,13 @@ class TextEncoders:
         raw = weight_mapping.strip_language_model_prefix(checkpoints.load_weights_dir(weights_dir))
         params = weight_mapping.map_decoder_weights(raw, cfg, dtype=np.float32)
         params = {k: _bf16(v) for k, v in params.items()}
+        if quantization != "bf16":
+            params = quantize_encoder_params(params, quantization)
         tok = resolve_tokenizer(tokenizer_dir or weights_dir)
-        flog.info(f"loaded text encoder {name} ({cfg.num_hidden_layers} layers, {cfg.hidden_size} hidden)")
+        flog.info(
+            f"loaded text encoder {name} ({cfg.num_hidden_layers} layers, "
+            f"{cfg.hidden_size} hidden{', ' + quantization if quantization != 'bf16' else ''})"
+        )
         return self.attach(name, params, cfg, tok, layers)
 
     def load_mistral_vlm(self, weights_dir: str, tokenizer_dir: Optional[str] = None):

