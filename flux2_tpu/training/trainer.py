@@ -87,6 +87,12 @@ def bell_weights(sigmas: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
+def _stream_dtype(params: Params):
+    """The DiT stream dtype = the x_embedder kernel's (bf16 when quantized)."""
+    w = params["x_embedder"]["kernel"]
+    return w.dtype if hasattr(w, "dtype") else jnp.bfloat16
+
+
 def flow_matching_loss(
     base_params: Params,
     lora_params: Params,
@@ -115,8 +121,12 @@ def flow_matching_loss(
     x = noisy
     if control_seq is not None:
         x = jnp.concatenate([noisy, control_seq], axis=1)
+    # Run the DiT in the weights' dtype (mixed-precision training: bf16 base
+    # + f32 LoRA masters); the loss math below stays f32. Without this cast
+    # an f32 noisy input splits the img/txt stream dtypes mid-scan.
+    stream_dtype = _stream_dtype(merged)
     pred = tfm.forward(
-        merged, config, x, embeddings, sigmas, rope_cos, rope_sin,
+        merged, config, x.astype(stream_dtype), embeddings, sigmas, rope_cos, rope_sin,
         guidance=guidance, remat=train_cfg.remat,
     )[:, :s_out]
     target = sch.get_velocity(latents_seq, noise_seq)
@@ -146,6 +156,7 @@ def dop_loss(
         base_params, lora_params, lora_mod.LoRAConfig(train_cfg.rank, train_cfg.alpha).scale
     )
     noisy = (1.0 - sigmas[:, None, None]) * latents_seq + sigmas[:, None, None] * noise_seq
+    noisy = noisy.astype(_stream_dtype(merged))
     pred_lora = tfm.forward(
         merged, config, noisy, preservation_embeddings, sigmas, rope_cos, rope_sin,
         guidance=guidance, remat=train_cfg.remat,

@@ -1,0 +1,37 @@
+"""Fixed-seed golden regression (the reference's fixed-seed image-comparison
+protocol — docs/examples/quantization-benchmark/README.md:81-124 — as a CI
+guard): the tiny pipeline's final latents for a pinned seed must match the
+stored fixture. Catches any unintended numerical change anywhere in the
+scheduler / latent packing / DiT / denoise-scan path.
+
+Regenerate (only for INTENTIONAL semantic changes — say why in the commit):
+    python - <<'PY'
+    import os; os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax; jax.config.update("jax_platforms", "cpu")
+    import sys; sys.path.insert(0, "tests")
+    import numpy as np
+    from test_pipeline import tiny_pipeline, _emb
+    pipe = tiny_pipeline()
+    res = pipe.generate(embeddings=_emb(pipe), height=64, width=64, num_steps=3, seed=1234)
+    np.save("tests/goldens/tiny_t2i_latents_seed1234.npy", np.asarray(res.latents, np.float32))
+    PY
+"""
+
+import os
+
+import numpy as np
+
+from test_pipeline import tiny_pipeline, _emb
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "goldens", "tiny_t2i_latents_seed1234.npy")
+
+
+def test_fixed_seed_latents_match_golden():
+    pipe = tiny_pipeline()
+    res = pipe.generate(embeddings=_emb(pipe), height=64, width=64, num_steps=3, seed=1234)
+    expected = np.load(GOLDEN)
+    got = np.asarray(res.latents, np.float32)
+    assert got.shape == expected.shape
+    # loose-ish tolerance: XLA version-to-version fusion drift is ~1e-6;
+    # any real semantic change in the pipeline moves latents by >> 1e-3.
+    np.testing.assert_allclose(got, expected, atol=1e-3, rtol=0)

@@ -199,3 +199,20 @@ def test_mx_formats_in_model_forward(base_params):
     out = tfm.forward(qparams, CONFIG, hidden, txt, jnp.array([0.5]), cos, sin)
     rel = np.abs(np.asarray(out) - np.asarray(ref)).mean() / (np.abs(np.asarray(ref)).mean() + 1e-9)
     assert rel < 0.2, rel  # fp8 weights stay in the ballpark
+
+
+def test_train_step_with_bf16_base_params():
+    """Mixed-precision training: bf16 base weights + f32 LoRA masters.
+
+    Regression for the img/txt stream-dtype split (f32 noisy input vs bf16
+    context embeddings broke the scan carry when base params were bf16)."""
+    base = tfm.init_params(jax.random.PRNGKey(0), CONFIG, dtype=jnp.bfloat16)
+    tcfg = trainer.TrainConfig(rank=4, alpha=4.0, remat=True)
+    state, opt = trainer.init_train_state(jax.random.PRNGKey(1), base, tcfg)
+    step_fn = trainer.make_train_step(base, CONFIG, tcfg, opt)
+    batch = _batch()
+    lora, opt_state, m = step_fn(state.lora, state.opt_state, batch, jax.random.PRNGKey(2))
+    assert np.isfinite(float(m["loss"]))
+    # LoRA masters stay f32 through the update
+    leaf = jax.tree_util.tree_leaves(lora)[0]
+    assert leaf.dtype == jnp.float32
