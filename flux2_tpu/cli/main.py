@@ -176,7 +176,13 @@ def build_pipeline(args) -> "Flux2Pipeline":
             if len(dims) not in (3, 4):
                 raise SystemExit("--shard expects 'data,fsdp,tp' or 'data,fsdp,tp,sp' or 'auto'")
             sp = dims[3] if len(dims) == 4 else 1
-            mesh = mesh_mod.make_mesh(data=dims[0], fsdp=dims[1], tp=dims[2], sp=sp)
+            if getattr(args, "dcn", False):
+                # multi-slice: the data axis rides DCN, model axes stay on ICI
+                mesh = mesh_mod.make_multislice_mesh(
+                    num_slices=dims[0], fsdp=dims[1], tp=dims[2], sp=sp
+                )
+            else:
+                mesh = mesh_mod.make_mesh(data=dims[0], fsdp=dims[1], tp=dims[2], sp=sp)
         pipe.shard(mesh, context_parallel=getattr(args, "context_parallel", False))
         flog.info(f"sharded over mesh {dict(mesh.shape)}")
     return pipe
@@ -699,6 +705,11 @@ def _add_common(p, with_gen=True):
     p.add_argument(
         "--context-parallel", action="store_true",
         help="ring attention over the sp (or tp) axis for long sequences",
+    )
+    p.add_argument(
+        "--dcn", action="store_true",
+        help="multi-slice: --shard's data axis spans TPU slices over DCN "
+        "(model collectives stay on each slice's ICI)",
     )
     p.add_argument("--encoder-dir", help="text-encoder weights dir (default: registry resolution)")
     p.add_argument("--encoder-tokenizer-dir", help="tokenizer dir when separate from weights")

@@ -70,3 +70,46 @@ def best_mesh_for_inference(n_devices: Optional[int] = None) -> Mesh:
     devices = jax.devices()
     n = n_devices if n_devices is not None else len(devices)
     return make_mesh(data=1, fsdp=1, tp=n, devices=devices[:n])
+
+
+def make_multislice_mesh(
+    num_slices: int,
+    fsdp: int = 1,
+    tp: int = -1,
+    sp: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Multi-slice layout: ``data`` rides DCN, model axes ride ICI.
+
+    The scaling-book recipe for TPU pods connected over data-center network:
+    only the lowest-bandwidth-tolerant axis (pure data parallelism — one
+    gradient/psum per step, or fully independent serving batches) crosses
+    the slice boundary; fsdp/tp/sp collectives (per-layer all-gathers, per-
+    block psums, ring ppermutes) stay inside a slice's ICI.
+
+    Devices are grouped by ``slice_index`` when the runtime exposes it
+    (real multi-slice jobs); otherwise the device list is split into
+    ``num_slices`` contiguous groups (virtual/CPU meshes) — jax orders
+    devices slice-major, so contiguous groups match slice boundaries.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if n % num_slices:
+        raise ValueError(f"{n} devices not divisible into {num_slices} slices")
+    per_slice = n // num_slices
+    if any(hasattr(d, "slice_index") and d.slice_index is not None for d in devices):
+        devices = sorted(devices, key=lambda d: (getattr(d, "slice_index", 0) or 0, d.id))
+    ordered = np.asarray(devices).reshape(num_slices, per_slice)
+
+    sizes = [fsdp, tp, sp]
+    if sizes.count(-1) > 1:
+        raise ValueError("at most one of fsdp/tp/sp may be -1")
+    if -1 in sizes:
+        known = int(np.prod([s for s in sizes if s != -1]))
+        if per_slice % known:
+            raise ValueError(f"{per_slice} devices/slice not divisible by {known}")
+        sizes[sizes.index(-1)] = per_slice // known
+    if int(np.prod(sizes)) != per_slice:
+        raise ValueError(f"in-slice mesh {sizes} does not cover {per_slice} devices/slice")
+    arr = ordered.reshape(num_slices, *sizes)
+    return Mesh(arr, AXIS_NAMES)

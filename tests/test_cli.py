@@ -152,3 +152,14 @@ def test_cli_shard_context_parallel(tmp_path, _tiny_model_config):
         "--shard", "1,1,2,4", "--context-parallel", "-o", out,
     ])
     assert os.path.exists(out)
+
+
+@pytest.mark.slow
+def test_cli_shard_dcn_multislice(tmp_path, _tiny_model_config):
+    """--shard data,fsdp,tp --dcn builds the multi-slice mesh (data over DCN)."""
+    out = str(tmp_path / "dcn.png")
+    main([
+        "t2i", "--random-init", "--width", "64", "--height", "64", "--steps", "1",
+        "--shard", "2,2,2", "--dcn", "-o", out,
+    ])
+    assert os.path.exists(out)

@@ -431,3 +431,48 @@ def test_dev32b_w4a8_fits_two_chips_aot():
     if mem is not None:
         per_device_gb = mem.argument_size_in_bytes / 1e9
         assert per_device_gb < 12.0, f"{per_device_gb:.1f} GB/device (expected ~8.2)"
+
+
+def test_multislice_mesh_layout_and_training():
+    """Multi-slice layout: data parallelism over the slice (DCN) axis,
+    fsdp/tp inside each slice (ICI). A sharded train step runs on the
+    virtual 2-slice x 4-chip mesh."""
+    from flux2_tpu.training import trainer as tr
+    from flux2_tpu.models.flux2 import config as cfg2
+    from flux2_tpu.models.flux2 import transformer as tfm2
+    from flux2_tpu.ops import latents as lu
+    from flux2_tpu.ops.rope import rope_embeddings
+
+    mesh = mesh_mod.make_multislice_mesh(num_slices=2, fsdp=2, tp=2, sp=1)
+    assert dict(mesh.shape) == {"data": 2, "fsdp": 2, "tp": 2, "sp": 1}
+    # slice-major: the data axis groups contiguous device halves (DCN rows)
+    devs = mesh.devices
+    first_slice_ids = {d.id for d in devs[0].ravel()}
+    second_slice_ids = {d.id for d in devs[1].ravel()}
+    assert max(first_slice_ids) < min(second_slice_ids)
+
+    config = cfg2.Flux2TransformerConfig(
+        num_layers=1, num_single_layers=1, num_attention_heads=2,
+        attention_head_dim=128, joint_attention_dim=96, guidance_embeds=False,
+    )
+    base = tfm2.init_params(jax.random.PRNGKey(0), config, dtype=jnp.float32)
+    base = sh.shard_params(base, mesh, sh.DIT_RULES)
+    tcfg = tr.TrainConfig(rank=4, alpha=4.0, remat=True)
+    state, opt = tr.init_train_state(jax.random.PRNGKey(1), base, tcfg)
+    step_fn = tr.make_train_step(base, config, tcfg, opt)
+    s_txt, h, w = 4, 64, 64
+    s_img = (h // 16) * (w // 16)
+    ids = np.concatenate([lu.text_position_ids(s_txt), lu.image_position_ids(h, w)], axis=0)
+    cos, sin = rope_embeddings(jnp.asarray(ids))
+    batch = {
+        "latents": jax.random.normal(jax.random.PRNGKey(2), (2, s_img, 128)),
+        "embeddings": jax.random.normal(jax.random.PRNGKey(3), (2, s_txt, 96)),
+        "rope_cos": cos,
+        "rope_sin": sin,
+    }
+    data_sh = sh.activation_sharding(mesh, mesh_mod.DATA_AXIS)
+    batch["latents"] = jax.device_put(batch["latents"], data_sh)
+    batch["embeddings"] = jax.device_put(batch["embeddings"], data_sh)
+    with mesh:
+        lora, opt_state, m = step_fn(state.lora, state.opt_state, batch, jax.random.PRNGKey(4))
+    assert np.isfinite(float(m["loss"]))
