@@ -429,7 +429,11 @@ class Flux2Pipeline:
         image = images = None
         if decode:
             with self._mesh_ctx():
-                images = np.asarray(self.decode_latents(final_seq, height, width))
+                # uint8 leaves the device (4x less host transfer than f32;
+                # the image is headed for a uint8 PNG anyway), then restores
+                # the float [0,1] API contract host-side.
+                u8 = np.asarray(self.decode_latents_u8(final_seq, height, width))
+            images = u8.astype(np.float32) / 255.0
             image = images[0]
         prof.end("3. VAE Decoding")
         timings["vae_decoding"] = time.perf_counter() - t
@@ -462,6 +466,16 @@ class Flux2Pipeline:
         )
         return _decode_latents_jit(
             self.vae_params, self.vae_config, latents_seq, height, width, tiled
+        )
+
+    def decode_latents_u8(self, latents_seq: jnp.ndarray, height: int, width: int) -> jnp.ndarray:
+        """Packed sequence -> uint8 image [B, H, W, 3] (device-side convert)."""
+        tiled = bool(
+            self.memory_profile is not None
+            and max(height, width) > self.memory_profile.vae_tile_threshold_px
+        )
+        return _decode_latents_jit(
+            self.vae_params, self.vae_config, latents_seq, height, width, tiled, True
         )
 
     def encode_image_to_packed_sequence(
@@ -690,8 +704,11 @@ def _denoise_kv_cached(
     return lat
 
 
-@functools.partial(jax.jit, static_argnames=("vae_config", "height", "width", "tiled"))
-def _decode_latents_jit(vae_params, vae_config, latents_seq, height: int, width: int, tiled: bool = False):
+@functools.partial(jax.jit, static_argnames=("vae_config", "height", "width", "tiled", "as_uint8"))
+def _decode_latents_jit(
+    vae_params, vae_config, latents_seq, height: int, width: int,
+    tiled: bool = False, as_uint8: bool = False,
+):
     patched = lu.unpack_sequence_to_patchified(latents_seq, height, width)
     mean, var = vae_mod.get_batchnorm_stats(vae_params)
     denormed = lu.denormalize_with_batchnorm(patched, mean, var)
@@ -701,7 +718,10 @@ def _decode_latents_jit(vae_params, vae_config, latents_seq, height: int, width:
     else:
         img = vae_mod.decode(vae_params, z.astype(jnp.float32), vae_config)
     img = jnp.clip(img * 0.5 + 0.5, 0.0, 1.0)
-    return img.transpose(0, 2, 3, 1)  # NCHW -> NHWC
+    img = img.transpose(0, 2, 3, 1)  # NCHW -> NHWC
+    if as_uint8:
+        img = jnp.clip(img * 255.0 + 0.5, 0.0, 255.0).astype(jnp.uint8)
+    return img
 
 
 def _param_dtype(params):
