@@ -234,6 +234,17 @@ def is_quantized(w: Any) -> bool:
     return isinstance(w, (QTensor, W8A8Tensor, W4A8Tensor))
 
 
+# When True (Flux2Pipeline.shard sets it), W8A8 matmuls route through the
+# custom_partitioning wrapper so GSPMD keeps the int8 codes sharded instead
+# of all-gathering them around the opaque pallas call.
+_PARTITIONED_RUNTIME = False
+
+
+def set_partitioned_runtime(enabled: bool) -> None:
+    global _PARTITIONED_RUNTIME
+    _PARTITIONED_RUNTIME = bool(enabled)
+
+
 # ---------------------------------------------------------------------------
 # Quantize / dequantize
 # ---------------------------------------------------------------------------
@@ -344,6 +355,12 @@ def q_matmul(x: jnp.ndarray, w: Any) -> jnp.ndarray:
     if not is_quantized(w):
         return x @ w
     if isinstance(w, W8A8Tensor):
+        if _PARTITIONED_RUNTIME and w.q.ndim == 2:
+            # Under a mesh: SPMD-native column/row-parallel rules keep the
+            # quantized codes sharded (parallel/quant_partition.py).
+            from flux2_tpu.parallel.quant_partition import w8a8_matmul_partitioned
+
+            return w8a8_matmul_partitioned(x, w)
         from flux2_tpu.ops import quant_kernels
 
         if jax.default_backend() == "tpu" and w.q.ndim == 2 and quant_kernels.w8a8_supported(x, w):

@@ -122,9 +122,11 @@ class Flux2Pipeline:
         reshard at the ring boundary). Requires the joint token count to
         divide by the chosen axis size.
         """
+        from flux2_tpu.ops import quant as _quant
         from flux2_tpu.parallel import sharding as sh
         from flux2_tpu.parallel.mesh import SP_AXIS, TP_AXIS
 
+        _quant.set_partitioned_runtime(True)
         self.transformer_params = sh.shard_params(self.transformer_params, mesh, sh.DIT_RULES)
         self.vae_params = sh.shard_params(self.vae_params, mesh, sh.VAE_RULES)
         self.mesh = mesh

@@ -476,3 +476,37 @@ def test_multislice_mesh_layout_and_training():
     with mesh:
         lora, opt_state, m = step_fn(state.lora, state.opt_state, batch, jax.random.PRNGKey(4))
     assert np.isfinite(float(m["loss"]))
+
+
+def test_partitioned_w8a8_matmul_exact():
+    """custom_partitioning W8A8 rules (column/row-parallel, Shardy einsum
+    rule) produce the same forward as the unpartitioned quantized model."""
+    from flux2_tpu.models.flux2 import config as cfg2
+    from flux2_tpu.ops import latents as lu
+    from flux2_tpu.ops import quant
+    from flux2_tpu.ops.rope import rope_embeddings
+
+    mesh = mesh_mod.make_mesh(data=1, fsdp=2, tp=4)
+    config = cfg2.Flux2TransformerConfig(
+        num_layers=1, num_single_layers=2, num_attention_heads=4,
+        attention_head_dim=128, joint_attention_dim=384, guidance_embeds=False,
+    )
+    params = tfm.init_params(jax.random.PRNGKey(0), config, dtype=jnp.float32)
+    qparams = quant.w8a8_params(params, min_size=1 << 10)
+    h = w = 256
+    s_img, s_txt = (h // 16) * (w // 16), 16
+    ids = np.concatenate([lu.text_position_ids(s_txt), lu.image_position_ids(h, w)], axis=0)
+    cos, sin = rope_embeddings(jnp.asarray(ids))
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, s_img, 128))
+    t = jax.random.normal(jax.random.PRNGKey(2), (1, s_txt, 384))
+    ref = np.asarray(tfm.forward(qparams, config, x, t, jnp.array([0.5]), cos, sin))
+
+    quant.set_partitioned_runtime(True)
+    try:
+        qs = sh.shard_params(qparams, mesh, sh.DIT_RULES)
+        with mesh:
+            out = jax.jit(lambda p: tfm.forward(p, config, x, t, jnp.array([0.5]), cos, sin))(qs)
+    finally:
+        quant.set_partitioned_runtime(False)
+    rel = np.linalg.norm(np.asarray(out) - ref) / np.linalg.norm(ref)
+    assert rel < 1e-4
