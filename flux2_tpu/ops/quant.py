@@ -367,6 +367,10 @@ def q_matmul(x: jnp.ndarray, w: Any) -> jnp.ndarray:
             return quant_kernels.w8a8_matmul(x, w)
         return x @ dequantize_w8a8(w, dtype=x.dtype)
     if isinstance(w, W4A8Tensor):
+        if _PARTITIONED_RUNTIME and w.q.ndim == 2:
+            from flux2_tpu.parallel.quant_partition import w4a8_matmul_partitioned
+
+            return w4a8_matmul_partitioned(x, w)
         from flux2_tpu.ops import quant_kernels
 
         if jax.default_backend() == "tpu" and w.q.ndim == 2 and quant_kernels.w4a8_supported(x, w):

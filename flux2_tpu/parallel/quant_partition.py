@@ -117,3 +117,77 @@ _w8a8_partitioned.def_partition(
 def w8a8_matmul_partitioned(x: jnp.ndarray, w: Any) -> jnp.ndarray:
     """x [.., K] @ W8A8Tensor[K, N] with SPMD-native partitioning."""
     return _w8a8_partitioned(x, w.q, w.scale)
+
+
+# --- W4A8: column-parallel only -------------------------------------------
+#
+# The packed codes' row dim is K/2 and the scale rows are K/block — neither
+# maps 1:1 onto x's contraction factor, so the rule simply forbids sharding
+# them (need_replication) and keeps the N (column) factor shardable. That
+# covers the DiT layout's qkv/MLP-in projections; K-sharded (row-parallel)
+# W4A8 weights gather at int4 width, which is already a 4x smaller
+# collective than dense bf16.
+
+
+def _impl_w4(x, q, scale, *, block, orig_in):
+    from flux2_tpu.ops import quant, quant_kernels
+
+    w = quant.W4A8Tensor(q, scale, block, orig_in)
+    if jax.default_backend() == "tpu" and quant_kernels.w4a8_supported(x, w):
+        return quant_kernels.w4a8_matmul(x, w)
+    return x @ quant.dequantize_w4a8(w, dtype=x.dtype)
+
+
+def _infer_sharding_w4(mesh, arg_shapes, result_shape):
+    x_spec = _spec_of(arg_shapes[0])
+    q_spec = _spec_of(arg_shapes[1])
+    return NamedSharding(mesh, P(*x_spec[:-1], q_spec[-1]))
+
+
+def _partition_w4(block, orig_in, mesh, arg_shapes, result_shape):
+    x_spec = _spec_of(arg_shapes[0])
+    q_spec = _spec_of(arg_shapes[1])
+    x_sharding = NamedSharding(mesh, P(*x_spec[:-1], None))
+    q_sharding = NamedSharding(mesh, P(None, q_spec[-1]))
+    s_sharding = NamedSharding(mesh, P(None, q_spec[-1]))
+    out_sharding = NamedSharding(mesh, P(*x_spec[:-1], q_spec[-1]))
+
+    def lower_fn(x, q, scale):
+        return _impl_w4(x, q, scale, block=block, orig_in=orig_in)
+
+    return mesh, lower_fn, out_sharding, (x_sharding, q_sharding, s_sharding)
+
+
+def _sharding_rule_w4(block, orig_in, mesh, value_types, result_types):
+    rank = len(value_types[0].shape)
+    lead = " ".join(f"d{i}" for i in range(rank - 1))
+    rule = f"{lead} e, f n, g n -> {lead} n"
+    return rule, {"need_replication_factors": ("e", "f", "g")}
+
+
+# block/orig_in are static per weight — one custom_partitioning instance is
+# built (and cached) per distinct (block, orig_in), closing over them so the
+# partitioned callable sees array args only.
+_W4_CACHE = {}
+
+
+def w4a8_matmul_partitioned(x: jnp.ndarray, w: Any) -> jnp.ndarray:
+    """x [.., K] @ W4A8Tensor[K, N] with SPMD-native column partitioning."""
+    import functools
+
+    key = (w.block, w.orig_in)
+    fn = _W4_CACHE.get(key)
+    if fn is None:
+        block, orig_in = key
+
+        def impl(x, q, scale):
+            return _impl_w4(x, q, scale, block=block, orig_in=orig_in)
+
+        fn = custom_partitioning(impl)
+        fn.def_partition(
+            infer_sharding_from_operands=_infer_sharding_w4,
+            partition=functools.partial(_partition_w4, block, orig_in),
+            sharding_rule=functools.partial(_sharding_rule_w4, block, orig_in),
+        )
+        _W4_CACHE[key] = fn
+    return fn(x, w.q, w.scale)

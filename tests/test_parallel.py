@@ -510,3 +510,38 @@ def test_partitioned_w8a8_matmul_exact():
         quant.set_partitioned_runtime(False)
     rel = np.linalg.norm(np.asarray(out) - ref) / np.linalg.norm(ref)
     assert rel < 1e-4
+
+
+def test_partitioned_w4a8_matmul_exact():
+    """W4A8 column-parallel custom_partitioning: packed codes stay N-sharded
+    (K factors marked need-replication for Shardy), forward matches the
+    unpartitioned quantized model."""
+    from flux2_tpu.models.flux2 import config as cfg2
+    from flux2_tpu.ops import latents as lu
+    from flux2_tpu.ops import quant
+    from flux2_tpu.ops.rope import rope_embeddings
+
+    mesh = mesh_mod.make_mesh(data=1, fsdp=2, tp=4)
+    config = cfg2.Flux2TransformerConfig(
+        num_layers=1, num_single_layers=2, num_attention_heads=4,
+        attention_head_dim=128, joint_attention_dim=512, guidance_embeds=False,
+    )
+    params = tfm.init_params(jax.random.PRNGKey(0), config, dtype=jnp.float32)
+    qparams = quant.w4a8_params(params, min_size=1 << 10)
+    h = w = 256
+    s_img, s_txt = (h // 16) * (w // 16), 16
+    ids = np.concatenate([lu.text_position_ids(s_txt), lu.image_position_ids(h, w)], axis=0)
+    cos, sin = rope_embeddings(jnp.asarray(ids))
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, s_img, 128))
+    t = jax.random.normal(jax.random.PRNGKey(2), (1, s_txt, 512))
+    ref = np.asarray(tfm.forward(qparams, config, x, t, jnp.array([0.5]), cos, sin))
+
+    quant.set_partitioned_runtime(True)
+    try:
+        qs = sh.shard_params(qparams, mesh, sh.DIT_RULES)
+        with mesh:
+            out = jax.jit(lambda p: tfm.forward(p, config, x, t, jnp.array([0.5]), cos, sin))(qs)
+    finally:
+        quant.set_partitioned_runtime(False)
+    rel = np.linalg.norm(np.asarray(out) - ref) / np.linalg.norm(ref)
+    assert rel < 1e-4
