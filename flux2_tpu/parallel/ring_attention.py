@@ -22,6 +22,7 @@ with q/k/v [B, H, S, D] global arrays; S must divide by the axis size.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -33,12 +34,43 @@ from flux2_tpu.parallel.mesh import TP_AXIS
 NEG_INF = -1e30
 
 
-def _ring_attention_local(q, k, v, *, axis: str, scale: float):
-    """shard_map body: q/k/v are LOCAL shards [B, H, S/n, D]."""
+def _ring_attention_local(q, k, v, *, axis: str, scale: float, use_flash: bool = False, interpret: bool = False):
+    """shard_map body: q/k/v are LOCAL shards [B, H, S/n, D].
+
+    ``use_flash=True`` computes each ring step's local block with the Pallas
+    flash kernel (returning the block LSE) and merges blocks with the exact
+    log-sum-exp formula — the MXU path inside the ring instead of einsum.
+    """
     n = jax.lax.psum(1, axis)
     perm = [(i, (i + 1) % n) for i in range(n)]
 
     b, h, s_loc, d = q.shape
+
+    if use_flash:
+        from flux2_tpu.ops.flash_attention import _flash_impl
+
+        def step(carry, _):
+            k_cur, v_cur, lse, out = carry
+            o_i, lse_i = _flash_impl(
+                q, k_cur, v_cur, scale=scale, interpret=interpret, return_lse=True
+            )  # o_i [B,H,S,D], lse_i [B,H,S]
+            lse_new = jnp.logaddexp(lse, lse_i)
+            w_old = jnp.exp(lse - lse_new)[..., None]
+            w_new = jnp.exp(lse_i - lse_new)[..., None]
+            out_new = out * w_old + o_i.astype(jnp.float32) * w_new
+            k_next = jax.lax.ppermute(k_cur, axis, perm)
+            v_next = jax.lax.ppermute(v_cur, axis, perm)
+            return (k_next, v_next, lse_new, out_new), None
+
+        init = (
+            k,
+            v,
+            jnp.full((b, h, s_loc), NEG_INF, jnp.float32),
+            jnp.zeros((b, h, s_loc, d), jnp.float32),
+        )
+        (k, v, lse, out), _ = jax.lax.scan(step, init, None, length=n)
+        return out.astype(q.dtype)
+
     qf = q.astype(jnp.float32)
 
     def step(carry, _):
@@ -74,13 +106,25 @@ def ring_attention(
     mesh: Mesh,
     axis: str = TP_AXIS,
     scale: Optional[float] = None,
+    use_flash: Optional[bool] = None,
+    interpret: bool = False,
 ) -> jnp.ndarray:
     """Exact non-causal attention with the sequence axis sharded over `axis`.
 
     q/k/v: [B, H, S, D] (global). S must be divisible by mesh.shape[axis].
+    ``use_flash`` (default: auto — on for TPU backends with flash-compatible
+    shapes) runs each ring step's local block through the Pallas flash
+    kernel and merges blocks by log-sum-exp; otherwise the einsum online
+    softmax.
     """
     if scale is None:
         scale = q.shape[-1] ** -0.5
+    if use_flash is None:
+        use_flash = (
+            jax.default_backend() == "tpu"
+            and os.environ.get("FLUX2_DISABLE_FLASH", "0") != "1"
+            and q.shape[-1] % 128 == 0
+        )
     n = mesh.shape[axis]
     if q.shape[2] % n or k.shape[2] % n:
         raise ValueError(f"sequence {q.shape[2]}/{k.shape[2]} not divisible by {axis}={n}")
@@ -93,7 +137,7 @@ def ring_attention(
         head_axis = TP_AXIS
     spec = P(None, head_axis, axis, None)
     fn = jax.shard_map(
-        functools.partial(_ring_attention_local, axis=axis, scale=float(scale)),
+        functools.partial(_ring_attention_local, axis=axis, scale=float(scale), use_flash=bool(use_flash), interpret=interpret),
         mesh=mesh,
         in_specs=(spec, spec, spec),
         out_specs=spec,

@@ -545,3 +545,21 @@ def test_partitioned_w4a8_matmul_exact():
         quant.set_partitioned_runtime(False)
     rel = np.linalg.norm(np.asarray(out) - ref) / np.linalg.norm(ref)
     assert rel < 1e-4
+
+
+def test_ring_attention_flash_path_matches_dense():
+    """Flash-in-ring: each ring step's local block through the Pallas kernel
+    (interpret mode here) with exact LSE merging across blocks."""
+    from flux2_tpu.ops.attention import sdpa_xla
+    from flux2_tpu.parallel import ring_attention as ra
+
+    mesh = mesh_mod.make_mesh(data=1, fsdp=1, tp=8)
+    B, H, S, D = 1, 2, 1024, 128
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = jax.random.normal(ks[0], (B, H, S, D))
+    k = jax.random.normal(ks[1], (B, H, S, D))
+    v = jax.random.normal(ks[2], (B, H, S, D))
+    ref = np.asarray(sdpa_xla(q, k, v))
+    out = np.asarray(ra.ring_attention(q, k, v, mesh=mesh, use_flash=True, interpret=True))
+    rel = np.linalg.norm(out - ref) / np.linalg.norm(ref)
+    assert rel < 2e-5
