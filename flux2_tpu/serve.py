@@ -332,6 +332,13 @@ def main(argv=None):
     parser.add_argument("--no-text-encoder", action="store_true")
     parser.add_argument("--small-decoder", action="store_true")
     parser.add_argument("--tp", type=int, default=0, help="shard over N devices (0 = no sharding)")
+    parser.add_argument(
+        "--precompile", metavar="PX,PX,...",
+        help="warm the compile cache for these square sizes at startup "
+        "(first requests skip the 30s+ cold-compile penalty)",
+    )
+    parser.add_argument("--steps-default", type=int, default=None,
+                        help="steps used for --precompile warmup (default: model default)")
     args = parser.parse_args(argv)
     args.lora = []
 
@@ -357,9 +364,24 @@ def main(argv=None):
         # only ever sees ready embeddings (per-request prompts batch cleanly).
         emb_fn = pipe.encode_prompt
 
+    if args.precompile:
+        import jax
+        import jax.numpy as jnp
+
+        for px in args.precompile.split(","):
+            px = int(px)
+            t0 = time.time()
+            emb = (
+                emb_fn("warmup") if emb_fn is not None
+                else jnp.zeros((1, 512, pipe.transformer_config.joint_attention_dim), jnp.bfloat16)
+            )
+            pipe.generate(embeddings=emb, height=px, width=px,
+                          num_steps=args.steps_default, seed=0)
+            print(f"precompiled {px}x{px} in {time.time() - t0:.1f}s", flush=True)
+
     server = Flux2Server(pipe, emb_fn)
     httpd = ThreadingHTTPServer((args.host, args.port), make_handler(server))
-    print(f"flux2-tpu serving on http://{args.host}:{args.port} (model {args.model})")
+    print(f"flux2-tpu serving on http://{args.host}:{args.port} (model {args.model})", flush=True)
     httpd.serve_forever()
 
 
