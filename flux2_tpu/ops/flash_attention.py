@@ -95,7 +95,10 @@ def _flash_body(
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # [block_q, block_k]
-    s = s * scale
+    # exp2-domain softmax: fold log2(e) into the logit scale so the per-tile
+    # transcendental is the VPU-native exp2 (saves the per-element multiply
+    # inside exp); exp2(s*log2e - m') == exp(s - m) exactly.
+    s = s * (scale * 1.4426950408889634)
 
     # Mask out-of-range (padding) keys in the last k block.
     k_start = kb * block_k
@@ -113,8 +116,8 @@ def _flash_body(
     m_cur = jnp.max(s, axis=-1, keepdims=True)
     m_new = jnp.maximum(m_prev, m_cur)
 
-    p = jnp.exp(s - m_new)  # [block_q, block_k]
-    alpha = jnp.exp(m_prev - m_new)  # [block_q, 1]
+    p = jnp.exp2(s - m_new)  # [block_q, block_k]
+    alpha = jnp.exp2(m_prev - m_new)  # [block_q, 1]
 
     l_new = alpha * l_ref[:] + jnp.sum(p, axis=-1, keepdims=True)
     acc = acc_ref[:] * alpha + jax.lax.dot_general(
@@ -131,7 +134,8 @@ def _flash_body(
         if lse_ref is not None:
             # LSE per query row, broadcast over a 128-lane strip (TPU block
             # layout wants a 128-multiple last dim).
-            lse = m_ref[:] + jnp.log(l_ref[:])  # [block_q, 1]
+            # m is in the exp2 domain: natural-log LSE = m*ln2 + ln(l).
+            lse = m_ref[:] * 0.6931471805599453 + jnp.log(l_ref[:])  # [block_q, 1]
             lse_ref[0] = jnp.broadcast_to(lse, (block_q, 128))
 
 
