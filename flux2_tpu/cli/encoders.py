@@ -79,6 +79,24 @@ def cmd_upsample(args):
     print(shared.upsample_prompt(args.prompt, enc.name, mode=mode, seed=args.seed))
 
 
+def cmd_vision(args):
+    """VLM image analysis (FluxEncodersCLI.swift:12-15 `vision`): image path
+    + prompt -> description through the Mistral+Pixtral VLM."""
+    from flux2_tpu.models.text_encoders.facade import shared
+    from PIL import Image
+
+    with Image.open(args.image) as im:
+        image = np.asarray(im.convert("RGB"), np.float32) / 255.0
+    if not shared.is_vlm_loaded:
+        if not args.encoder_dir:
+            raise SystemExit(
+                "pass --encoder-dir pointing at the Mistral-Small VLM weights "
+                "(vision services need the Pixtral tower in that checkpoint)"
+            )
+        shared.load_mistral_vlm(args.encoder_dir, args.tokenizer_dir)
+    print(shared.analyze_image(image, args.prompt, seed=args.seed))
+
+
 def cmd_compare(args):
     """Compare two encoders' embeddings on the same prompt
     (CompareEncoders parity)."""
@@ -136,6 +154,12 @@ def main(argv=None) -> int:
     p.add_argument("--prompt", required=True)
     p.add_argument("--i2i", action="store_true", help="image-editing instruction mode")
     p.set_defaults(fn=cmd_upsample)
+
+    p = sub.add_parser("vision", help="VLM image analysis (image + prompt -> description)")
+    _common(p)
+    p.add_argument("--image", required=True, help="image path to analyze")
+    p.add_argument("--prompt", default="Describe this image in detail.")
+    p.set_defaults(fn=cmd_vision)
 
     p = sub.add_parser("compare", help="compare two encoders' embeddings")
     _common(p)

@@ -136,7 +136,10 @@ def build_pipeline(args) -> "Flux2Pipeline":
                 quantization=getattr(args, "encoder_quantization", "bf16") or "bf16",
             )
 
-    # LoRAs
+    # LoRAs: merge weights AND apply runtime semantics (scheduler overrides
+    # for Turbo LoRAs, activation keywords) — LoRAConfig.swift:7-32,
+    # LoRAAdapter.swift:189-199.
+    loaded_loras = []
     for spec in getattr(args, "lora", []) or []:
         from flux2_tpu.training import lora_loader
 
@@ -146,7 +149,26 @@ def build_pipeline(args) -> "Flux2Pipeline":
         pipe.transformer_params = lora_loader.merge_loras_into_params(
             pipe.transformer_params, [loaded], pipe.transformer_config
         )
+        loaded_loras.append(loaded)
         flog.info(f"merged LoRA {path} (scale {loaded.scale:.3f})")
+    if loaded_loras:
+        from flux2_tpu.training import lora_loader
+
+        overrides, keywords, warnings = lora_loader.merge_runtime_semantics(loaded_loras)
+        for w in warnings:
+            flog.warning(w)
+        pipe.lora_custom_sigmas = overrides.custom_sigmas
+        pipe.lora_num_steps = overrides.num_steps
+        pipe.lora_guidance = overrides.guidance
+        pipe.lora_keywords = keywords
+        if overrides.num_steps or overrides.custom_sigmas or overrides.guidance is not None:
+            flog.info(
+                f"LoRA scheduler overrides active: steps={overrides.num_steps} "
+                f"guidance={overrides.guidance} custom_sigmas="
+                f"{'yes' if overrides.custom_sigmas else 'no'}"
+            )
+        if keywords:
+            flog.info(f"LoRA activation keyword(s): {', '.join(keywords)}")
 
     # Memory profile (MemoryConfig.swift analogue: remat / VAE tiling knobs)
     profile_name = getattr(args, "memory_profile", None)
@@ -317,6 +339,7 @@ def cmd_t2i(args):
     from flux2_tpu.utils.beacon import RuntimeBeacon
 
     pipe = build_pipeline(args)
+    interval, on_ckpt = _checkpoint_callback(args)
     with RuntimeBeacon("generate", model=args.model) as beacon:
         beacon.update(phase="denoising", total_steps=args.steps or pipe.model.default_steps)
         res = pipe.generate(
@@ -329,6 +352,8 @@ def cmd_t2i(args):
             seed=args.seed,
             upsample=getattr(args, "upsample", False),
             interpret_images=_interpret_images(args),
+            checkpoint_interval=interval,
+            on_checkpoint=on_ckpt,
         )
     if res.was_upsampled:
         print(f"[upsample] final prompt: {res.final_prompt}")
@@ -345,6 +370,21 @@ def _interpret_images(args):
     return [_load_image(p) for p in paths] or None
 
 
+def _checkpoint_callback(args):
+    """--checkpoint-every N -> (interval, callback) writing
+    <output-stem>_step_NNN.png per intermediate (Flux2CLI.swift:50-373
+    checkpoint flags; decoded post-scan on TPU, pipeline.py)."""
+    interval = getattr(args, "checkpoint_every", None)
+    if not interval:
+        return None, None
+    stem, _ = os.path.splitext(args.output)
+
+    def on_ckpt(step, image):
+        _save_image(image, f"{stem}_step_{step:03d}.png")
+
+    return interval, on_ckpt
+
+
 def cmd_i2i(args):
     pipe = build_pipeline(args)
     refs = [_load_image(p) for p in args.reference]
@@ -352,6 +392,7 @@ def cmd_i2i(args):
     init = None
     if args.strength < 1.0:
         init = pipe.encode_image_to_packed_sequence(refs[0])
+    interval, on_ckpt = _checkpoint_callback(args)
     res = pipe.generate(
         prompt=args.prompt,
         embeddings=_embeddings_for(pipe, args),
@@ -369,6 +410,8 @@ def cmd_i2i(args):
         # (Flux2Pipeline.swift:1330-1404).
         upsample_images=refs if getattr(args, "upsample", False) else None,
         interpret_images=_interpret_images(args),
+        checkpoint_interval=interval,
+        on_checkpoint=on_ckpt,
     )
     if res.was_upsampled:
         print(f"[upsample] final prompt: {res.final_prompt}")
@@ -588,8 +631,22 @@ def cmd_export_quantized(args):
     raw = checkpoints.load_weights_dir(tdir)
     params = weight_mapping.map_transformer_weights(raw, tconfig, dtype=np.float32)
     params = _to_bf16(params)
+    # --lora path[:scale]: bake merged LoRAs into the exported checkpoint
+    # (Flux2Pipeline.swift:758-826 exportPrequantizedTransformer lora-baked).
+    lora_specs = getattr(args, "lora", []) or []
+    if lora_specs:
+        from flux2_tpu.training import lora_loader
+
+        for spec_str in lora_specs:
+            parts = spec_str.split(":")
+            lpath, scale = parts[0], float(parts[1]) if len(parts) > 1 else 1.0
+            loaded = lora_loader.load_lora_file(lpath, tconfig, user_scale=scale)
+            params = lora_loader.merge_loras_into_params(params, [loaded], tconfig)
+            print(f"baked LoRA {lpath} (scale {loaded.scale:.3f})")
     qparams = quant.quantize_params(params, args.quantization)
-    path = checkpoints.export_prequantized(qparams, tdir, args.quantization, source_dir=tdir)
+    path = checkpoints.export_prequantized(
+        qparams, tdir, args.quantization, source_dir=tdir, lora_baked=bool(lora_specs)
+    )
     size_gb = os.path.getsize(path) / 1e9
     print(f"exported {args.quantization} checkpoint -> {path} ({size_gb:.2f} GB)")
 
@@ -740,6 +797,11 @@ def _add_common(p, with_gen=True):
         p.add_argument("--guidance", type=float)
         p.add_argument("--seed", type=int, default=0)
         p.add_argument("-o", "--output", default="output.png")
+        p.add_argument(
+            "--checkpoint-every", type=int, metavar="N",
+            help="save intermediate images every N denoising steps as "
+            "<output>_step_NNN.png (Flux2CLI.swift checkpoint flags)",
+        )
 
 
 def _models():
@@ -795,6 +857,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--model", default="klein-4b", choices=[m.value for m in _models()])
     p.add_argument("--quantization", required=True, choices=["qint8", "int4", "mxfp8", "mxfp4", "nvfp4"])
     p.add_argument("--transformer-dir")
+    p.add_argument("--lora", action="append", metavar="PATH[:SCALE]",
+                   help="bake this LoRA into the exported weights (repeatable)")
     p.set_defaults(fn=cmd_export_quantized)
 
     p = sub.add_parser("profile", help="benchmark generation (warmup + N runs)")
@@ -832,7 +896,14 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--output-dir")
     p.add_argument("--resume")
     p.add_argument("--max-steps", type=int)
-    p.add_argument("--random-init", action="store_true")
+    p.add_argument("--random-init", action="store_true", help="synthetic smoke run (no checkpoints)")
+    p.add_argument("--transformer-dir", help="base-variant transformer weights dir")
+    p.add_argument("--vae-dir")
+    p.add_argument("--encoder-dir")
+    p.add_argument("--encoder-tokenizer-dir")
+    p.add_argument("--quantization", default="bf16", choices=["bf16", "qint8", "w8a8", "int4", "w4a8"])
+    p.add_argument("--encoder-quantization", default="bf16", choices=["bf16", "qint8", "w8a8", "int4", "w4a8", "mxfp8"])
+    p.add_argument("--shard", help="mesh spec 'data,fsdp,tp[,sp]' or 'auto'")
     p.set_defaults(fn=cmd_train_lora)
 
     p = sub.add_parser("training-control", help="pause/resume/stop/checkpoint a training run")

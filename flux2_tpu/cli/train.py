@@ -1,19 +1,30 @@
 """train-lora CLI driver: YAML config + training loop orchestration.
 
 Capability parity with ``Flux2CLI/TrainLoRACommand.swift`` +
-``TrainingConfigYAML.swift``: YAML sections (model / lora / dataset /
-training / loss / checkpoints) with CLI-flag override precedence; data prep
-(VAE-encode dataset latents through the LatentCache, encode captions);
-sentinel-file control; periodic checkpoints with optimizer state and
-training-state JSON; resume.
+``TrainingConfigYAML.swift`` + the trainer orchestration half of
+``SimpleLoRATrainer.swift:244-350,1746-2409`` and
+``Training/LoRATrainingHelper.swift``:
+
+  - YAML sections (model / lora / dataset / training / loss / checkpoints /
+    validation) with CLI-flag override precedence; resume; sentinel control.
+  - Base-variant resolution: training ALWAYS fine-tunes the non-distilled
+    sibling (ModelRegistry.swift:238-250).
+  - Real data prep: VAE-encode the dataset through the LatentCache with
+    bucket-homogeneous batches, encode captions (and DOP preservation
+    captions with trigger->class swap, and I2I control images) through the
+    attached text encoder (LoRATrainingHelper.swift data prep;
+    SimpleLoRATrainer.swift:244-350).
+  - Periodic validation with the DISTILLED sibling + scoring + best-
+    checkpoint copy + early stopping (SimpleLoRATrainer.swift:1746-2409).
 """
 
 from __future__ import annotations
 
 import dataclasses
 import os
+import shutil
 import time
-from typing import Optional
+from typing import Optional, Sequence
 
 import numpy as np
 
@@ -41,6 +52,15 @@ class YAMLTrainingConfig:
     seed: int = 42
     resolution: int = 512
     remat: bool = True
+    control_dropout: float = 0.0
+    cache_dir: Optional[str] = None
+    # validation (SimpleLoRATrainer.swift:1746-2409)
+    validation_prompts: Sequence[str] = ()
+    validation_every: int = 0  # 0 -> save_every
+    validation_steps: int = 4
+    validation_size: int = 512
+    validation_seed: int = 1234
+    early_stop_patience: int = 3
 
     @classmethod
     def from_yaml(cls, path: str) -> "YAMLTrainingConfig":
@@ -54,6 +74,19 @@ class YAMLTrainingConfig:
             sec = raw.get(section)
             if isinstance(sec, dict):
                 flat.update(sec)
+        val = raw.get("validation")
+        if isinstance(val, dict):
+            mapping = {
+                "prompts": "validation_prompts",
+                "every": "validation_every",
+                "every_n_steps": "validation_every",
+                "steps": "validation_steps",
+                "size": "validation_size",
+                "seed": "validation_seed",
+                "early_stop_patience": "early_stop_patience",
+            }
+            for k, v in val.items():
+                flat[mapping.get(k, k)] = v
         flat.update({k: v for k, v in raw.items() if not isinstance(v, dict)})
         fields = {f.name for f in dataclasses.fields(cls)}
         known = {k: v for k, v in flat.items() if k in fields}
@@ -64,36 +97,233 @@ class YAMLTrainingConfig:
         return dataclasses.replace(self, **updates)
 
 
-def run_training(args) -> None:
-    import jax
+# ---------------------------------------------------------------------------
+# Data preparation
+# ---------------------------------------------------------------------------
+
+
+def _prepare_real_data(pipe, cfg: YAMLTrainingConfig, tconfig):
+    """VAE-encode the dataset + encode captions through the REAL pipeline.
+
+    Composition of the already-tested primitives (LatentCache.get_or_encode,
+    bucketed grouping, pipe.encode_image_to_packed_sequence,
+    pipe.encode_prompt) the reference choreographs in
+    LoRATrainingHelper.swift + SimpleLoRATrainer.swift:244-350.
+    Returns (sample_batch(rng, bs) -> batch dict, items).
+    """
     import jax.numpy as jnp
 
-    from flux2_tpu.models.flux2 import transformer as tfm
-    from flux2_tpu.models.flux2.config import Flux2Model
     from flux2_tpu.ops import latents as lu
     from flux2_tpu.ops.rope import rope_embeddings
     from flux2_tpu.training import data as td
+    from flux2_tpu.utils import logging as flog
+
+    buckets = td.scaled_buckets(cfg.resolution)
+    items = td.load_dataset(
+        cfg.dataset_dir, trigger=cfg.trigger_word, control_dir=cfg.control_dir, buckets=buckets
+    )
+    if not items:
+        raise SystemExit(f"no (image, caption) pairs found under {cfg.dataset_dir}")
+    if cfg.control_dir:
+        paired = [it for it in items if it.control_path]
+        if len(paired) < len(items):
+            flog.warning(
+                f"{len(items) - len(paired)} item(s) have no control image; "
+                f"training I2I on the {len(paired)} paired item(s)"
+            )
+        items = paired
+        if not items:
+            raise SystemExit(f"control_dir {cfg.control_dir} matches no dataset images")
+    flog.info(f"dataset: {len(items)} items in {len(td.group_by_bucket(items))} buckets")
+
+    # --- VAE-encode latents via the disk cache (real encode path) ---
+    cache = td.LatentCache(
+        cfg.cache_dir or os.path.join(cfg.output_dir, "latent_cache"),
+        encoder_version="flux2-vae32-v1",
+    )
+    latents = {}
+    for it in items:
+        latents[it.image_path] = np.asarray(
+            cache.get_or_encode(it, pipe.encode_image_to_packed_sequence), np.float32
+        )[0]
+    flog.info(f"encoded {len(latents)} latents -> {cache.cache_dir}")
+
+    # --- captions (and DOP preservation captions) through the text encoder ---
+    if pipe.text_encoder is None:
+        raise SystemExit("training needs the text encoder (it encodes captions)")
+    emb_cache = {}
+
+    def embed(caption: str) -> np.ndarray:
+        if caption not in emb_cache:
+            emb_cache[caption] = np.asarray(pipe.encode_prompt(caption), np.float32)[0]
+        return emb_cache[caption]
+
+    for it in items:
+        embed(it.caption)
+    dop_caps = {}
+    if cfg.dop_weight > 0 and cfg.trigger_word:
+        # DOP preservation caption: trigger -> class swap
+        # (SimpleLoRATrainer.swift:524-605)
+        for it in items:
+            dop_caps[it.image_path] = it.caption.replace(
+                cfg.trigger_word, cfg.dop_preservation_class
+            )
+            embed(dop_caps[it.image_path])
+    flog.info(f"encoded {len(emb_cache)} caption embedding(s)")
+
+    # --- I2I control images: clean latents at the item's bucket dims ---
+    control = {}
+    if cfg.control_dir:
+        for it in items:
+            citem = td.DatasetItem(image_path=it.control_path, caption="", bucket=it.bucket)
+            control[it.image_path] = np.asarray(
+                cache.get_or_encode(citem, pipe.encode_image_to_packed_sequence), np.float32
+            )[0]
+
+    s_txt = next(iter(emb_cache.values())).shape[0]
+    rope_cache = {}
+
+    def rope_for(bucket, with_control):
+        k = (bucket, with_control)
+        if k not in rope_cache:
+            w, h = bucket
+            ids = [lu.text_position_ids(s_txt), lu.image_position_ids(h, w)]
+            if with_control:
+                # control tokens ride reference-image position ids (T=10)
+                ids.append(lu.reference_image_position_ids([h // 16], [w // 16]))
+            rope_cache[k] = rope_embeddings(jnp.asarray(np.concatenate(ids, axis=0)))
+        return rope_cache[k]
+
+    grouped = td.group_by_bucket(items)
+    bucket_list = list(grouped.keys())
+    weights = np.asarray([len(grouped[b]) for b in bucket_list], np.float64)
+    weights /= weights.sum()
+
+    def sample_batch(rng: np.random.RandomState, bs: int):
+        b = bucket_list[rng.choice(len(bucket_list), p=weights)]
+        group = grouped[b]
+        chosen = [group[i] for i in rng.randint(0, len(group), size=bs)]
+        batch = {
+            "latents": jnp.asarray(np.stack([latents[it.image_path] for it in chosen])),
+            "embeddings": jnp.asarray(np.stack([embed(it.caption) for it in chosen])),
+        }
+        use_control = bool(control) and rng.uniform() >= cfg.control_dropout
+        if use_control:
+            batch["control"] = jnp.asarray(
+                np.stack([control[it.image_path] for it in chosen])
+            )
+        if dop_caps:
+            batch["dop_embeddings"] = jnp.asarray(
+                np.stack([embed(dop_caps[it.image_path]) for it in chosen])
+            )
+        if tconfig.guidance_embeds:
+            batch["guidance"] = jnp.ones((bs,), jnp.float32)
+        cos, sin = rope_for(b, use_control)
+        batch["rope_cos"], batch["rope_sin"] = cos, sin
+        return batch
+
+    return sample_batch, items
+
+
+def _prepare_synthetic_data(cfg: YAMLTrainingConfig, tconfig):
+    """--random-init smoke mode: synthetic latents/embeddings (no VAE or
+    encoder exists to encode with)."""
+    import jax
+    import jax.numpy as jnp
+
+    from flux2_tpu.ops import latents as lu
+    from flux2_tpu.ops.rope import rope_embeddings
+    from flux2_tpu.utils import logging as flog
+
+    flog.warning("random-init: training on synthetic tensors (smoke test)")
+    h = w = cfg.resolution
+    s_img = (h // 16) * (w // 16)
+    s_txt = 32
+    latents = jax.random.normal(jax.random.PRNGKey(1), (4, s_img, 128))
+    embeddings = jax.random.normal(
+        jax.random.PRNGKey(2), (4, s_txt, tconfig.joint_attention_dim)
+    )
+    ids = np.concatenate([lu.text_position_ids(s_txt), lu.image_position_ids(h, w)], axis=0)
+    cos, sin = rope_embeddings(jnp.asarray(ids))
+
+    def sample_batch(rng: np.random.RandomState, bs: int):
+        idx = rng.randint(0, latents.shape[0], size=bs)
+        batch = {
+            "latents": latents[idx],
+            "embeddings": embeddings[idx],
+            "rope_cos": cos,
+            "rope_sin": sin,
+        }
+        if tconfig.guidance_embeds:
+            batch["guidance"] = jnp.ones((bs,), jnp.float32)
+        return batch
+
+    return sample_batch
+
+
+# ---------------------------------------------------------------------------
+# Training loop
+# ---------------------------------------------------------------------------
+
+
+def run_training(args) -> None:
+    import argparse
+
+    import jax
+    import jax.numpy as jnp
+
+    from flux2_tpu.io import registry
+    from flux2_tpu.models.flux2 import transformer as tfm
+    from flux2_tpu.models.flux2.config import Flux2Model
+    from flux2_tpu.training import lora as lora_mod
     from flux2_tpu.training import trainer
     from flux2_tpu.training.control import TrainingController, TrainingState, config_hash
+    from flux2_tpu.training.validation import (
+        ValidationConfig,
+        ValidationTracker,
+        run_validation,
+    )
     from flux2_tpu.utils import logging as flog
     from flux2_tpu.utils.beacon import RuntimeBeacon
 
     cfg = YAMLTrainingConfig.from_yaml(args.config).override(
         output_dir=args.output_dir, max_steps=args.max_steps
     )
-    model = Flux2Model(cfg.model)
-    tconfig = model.transformer_config
+    requested = Flux2Model(cfg.model)
+    # LoRA training MUST fine-tune the non-distilled base sibling
+    # (ModelRegistry.swift:238-250); the distilled sibling previews validation.
+    train_model = registry.training_variant(requested)
+    if train_model != requested:
+        flog.info(f"resolved training variant: {requested.value} -> {train_model.value}")
     os.makedirs(cfg.output_dir, exist_ok=True)
 
     # --- base model ---
+    pipe = None
     if getattr(args, "random_init", False):
+        tconfig = train_model.transformer_config
         base_params = tfm.init_params(jax.random.PRNGKey(0), tconfig, dtype=jnp.float32)
         flog.warning("training against random-init base (smoke test)")
     else:
         from flux2_tpu.cli.main import build_pipeline
 
-        pipe = build_pipeline(args)
+        build_args = argparse.Namespace(
+            model=train_model.value,
+            quantization=getattr(args, "quantization", "bf16") or "bf16",
+            transformer_dir=getattr(args, "transformer_dir", None),
+            vae_dir=getattr(args, "vae_dir", None),
+            small_decoder=False,
+            random_init=False,
+            encoder_dir=getattr(args, "encoder_dir", None),
+            encoder_tokenizer_dir=getattr(args, "encoder_tokenizer_dir", None),
+            encoder_quantization=getattr(args, "encoder_quantization", "bf16") or "bf16",
+            no_text_encoder=False,
+            lora=[],
+            shard=getattr(args, "shard", None),
+            memory_profile=None,
+        )
+        pipe = build_pipeline(build_args)
         base_params = pipe.transformer_params
+        tconfig = pipe.transformer_config
 
     tcfg = trainer.TrainConfig(
         rank=cfg.rank,
@@ -109,24 +339,70 @@ def run_training(args) -> None:
         seed=cfg.seed,
     )
 
-    # --- data prep: encode latents + captions up front (two-phase style) ---
-    h = w = cfg.resolution
-    s_img = (h // 16) * (w // 16)
-    s_txt = 32
-    if cfg.dataset_dir and os.path.isdir(cfg.dataset_dir):
-        items = td.load_dataset(cfg.dataset_dir, trigger=cfg.trigger_word, control_dir=cfg.control_dir)
-        flog.info(f"dataset: {len(items)} items in {len(td.group_by_bucket(items))} buckets")
-        # NOTE: with real checkpoints this encodes through the VAE + text
-        # encoder; in random-init smoke mode we synthesize latent tensors.
-        latents = jax.random.normal(jax.random.PRNGKey(1), (max(1, len(items)), s_img, 128))
-        embeddings = jax.random.normal(jax.random.PRNGKey(2), (max(1, len(items)), s_txt, tconfig.joint_attention_dim))
+    # --- data prep (two-phase style; real encode path with real weights) ---
+    if pipe is not None:
+        if not (cfg.dataset_dir and os.path.isdir(cfg.dataset_dir)):
+            raise SystemExit(
+                "train-lora needs dataset_dir (images + .txt captions or manifest.jsonl); "
+                "use --random-init for a checkpoint-free smoke run"
+            )
+        sample_batch, items = _prepare_real_data(pipe, cfg, tconfig)
     else:
-        flog.warning("no dataset dir; using synthetic batch (smoke test)")
-        latents = jax.random.normal(jax.random.PRNGKey(1), (4, s_img, 128))
-        embeddings = jax.random.normal(jax.random.PRNGKey(2), (4, s_txt, tconfig.joint_attention_dim))
+        sample_batch = _prepare_synthetic_data(cfg, tconfig)
+        items = []
 
-    ids = np.concatenate([lu.text_position_ids(s_txt), lu.image_position_ids(h, w)], axis=0)
-    cos, sin = rope_embeddings(jnp.asarray(ids))
+    # --- validation setup (distilled sibling previews; LoRA merged per pass) ---
+    val_every = cfg.validation_every or cfg.save_every
+    val_enabled = pipe is not None and bool(cfg.validation_prompts)
+    val_pipe = None
+    val_base = base_params
+    tracker = ValidationTracker(patience=cfg.early_stop_patience)
+    val_cfg = ValidationConfig(
+        prompts=tuple(cfg.validation_prompts),
+        every_n_steps=val_every,
+        width=cfg.validation_size,
+        height=cfg.validation_size,
+        steps=cfg.validation_steps,
+        seed=cfg.validation_seed,
+        early_stop_patience=cfg.early_stop_patience,
+    )
+    scorer = None
+    ref_images = []
+    if val_enabled:
+        from flux2_tpu.pipeline.pipeline import Flux2Pipeline
+
+        sib = registry.distilled_sibling(train_model)
+        val_model = train_model
+        if sib != train_model:
+            sdir = registry.find_model_path(registry.TRANSFORMER_REPOS[sib])
+            if sdir is not None:
+                from flux2_tpu.cli.main import _read_config_json, _to_bf16
+                from flux2_tpu.io import checkpoints, weight_mapping
+
+                sraw = checkpoints.load_weights_dir(sdir)
+                sconfig = _read_config_json(sdir, sib.transformer_config)
+                val_base = _to_bf16(
+                    weight_mapping.map_transformer_weights(sraw, sconfig, dtype=np.float32)
+                )
+                val_model = sib
+                flog.info(f"validation previews use the distilled sibling {sib.value}")
+            else:
+                flog.warning(
+                    f"distilled sibling {sib.value} weights not found; "
+                    "validating with the training base variant"
+                )
+        val_pipe = Flux2Pipeline(
+            model=val_model,
+            transformer_params=val_base,
+            transformer_config=tconfig,
+            vae_params=pipe.vae_params,
+            vae_config=pipe.vae_config,
+            text_encoder=pipe.text_encoder,
+        )
+        scorer = _make_scorer(pipe)
+        from flux2_tpu.training import data as td
+
+        ref_images = [td.load_image(it.image_path, *it.bucket) for it in items[:4]]
 
     # --- state / resume ---
     controller = TrainingController(cfg.output_dir)
@@ -139,28 +415,34 @@ def run_training(args) -> None:
         tstate = TrainingState(rng_seed=cfg.seed, config_hash=config_hash(tcfg))
     optimizer = trainer.make_optimizer(tcfg)
     step_fn = trainer.make_train_step(base_params, tconfig, tcfg, optimizer)
+    lora_scale = lora_mod.LoRAConfig(tcfg.rank, tcfg.alpha).scale
 
     lora, opt_state = state_t.lora, state_t.opt_state
-    n = latents.shape[0]
     bs = cfg.batch_size * max(1, cfg.grad_accumulation)
+    rng = np.random.RandomState(cfg.seed)
     key = jax.random.PRNGKey(cfg.seed)
     t_start = time.time()
+    val_dir = os.path.join(cfg.output_dir, "validation")
 
     with RuntimeBeacon("train-lora", model=cfg.model) as beacon:
+        if val_enabled and not args.resume:
+            # baseline images without the LoRA (SimpleLoRATrainer.swift:364-389)
+            flog.info("generating baseline validation images (no LoRA)")
+            baseline = run_validation(
+                val_pipe, val_cfg, 0, embeddings_fn=val_pipe.encode_prompt,
+                scorer=scorer, reference_images=ref_images, output_dir=val_dir,
+            )
+            for r in baseline:
+                tstate.record_validation(0, r.scene, r.style, r.prompt)
+
         for step in range(tstate.step + 1, cfg.max_steps + 1):
             if controller.should_stop():
                 flog.info("stop requested — checkpointing and exiting")
                 break
             controller.wait_while_paused()
 
-            key, k_batch, k_step = jax.random.split(key, 3)
-            idx = jax.random.randint(k_batch, (bs,), 0, n)
-            batch = {
-                "latents": latents[idx],
-                "embeddings": embeddings[idx],
-                "rope_cos": cos,
-                "rope_sin": sin,
-            }
+            key, k_step = jax.random.split(key)
+            batch = sample_batch(rng, bs)
             lora, opt_state, metrics = step_fn(lora, opt_state, batch, k_step)
             loss = float(metrics["loss"])
             tstate.step = step
@@ -172,13 +454,62 @@ def run_training(args) -> None:
                 eta = tstate.eta_seconds(cfg.max_steps)
                 flog.info(f"step {step}/{cfg.max_steps} loss {loss:.4f} eta {eta and round(eta)}s")
 
+            saved_path = None
             if step % cfg.save_every == 0 or controller.consume_checkpoint_request():
-                _save(cfg, trainer, tstate, lora, opt_state, tcfg, step)
+                saved_path = _save(cfg, trainer, tstate, lora, opt_state, tcfg, step)
                 write_learning_curve_svg(tstate.loss_history, os.path.join(cfg.output_dir, "learning_curve.svg"))
+
+            if val_enabled and step % val_every == 0:
+                # validate with the distilled sibling + current LoRA merged
+                # (SimpleLoRATrainer.swift:1746-2409)
+                val_pipe.transformer_params = lora_mod.merge_into_params(
+                    val_base, lora, lora_scale
+                )
+                records = run_validation(
+                    val_pipe, val_cfg, step, embeddings_fn=val_pipe.encode_prompt,
+                    scorer=scorer, reference_images=ref_images, output_dir=val_dir,
+                )
+                val_pipe.transformer_params = val_base
+                for r in records:
+                    tstate.record_validation(step, r.scene, r.style, r.prompt)
+                stop_early = tracker.record(step, records)
+                mean = float(np.mean([r.combined for r in records])) if records else 0.0
+                flog.info(f"validation @ {step}: combined {mean:.2f} (best {tracker.best_score:.2f} @ {tracker.best_step})")
+                if tracker.best_step == step and saved_path:
+                    best_dir = os.path.join(cfg.output_dir, "best")
+                    shutil.rmtree(best_dir, ignore_errors=True)
+                    shutil.copytree(saved_path, best_dir)
+                    flog.info(f"best checkpoint -> {best_dir}")
+                if stop_early:
+                    flog.info(
+                        f"early stop: {cfg.early_stop_patience} non-improving validation(s)"
+                    )
+                    break
 
     _save(cfg, trainer, tstate, lora, opt_state, tcfg, tstate.step)
     write_learning_curve_svg(tstate.loss_history, os.path.join(cfg.output_dir, "learning_curve.svg"))
     flog.info(f"training done at step {tstate.step}; output in {cfg.output_dir}")
+
+
+def _make_scorer(pipe):
+    """VLM scene/style scorer when available, else the pixel-stat fallback
+    averaged over the reference set (LoRAEvaluator.swift scoring)."""
+    from flux2_tpu.cli.main import _pixel_scorer, _vlm_scorer
+
+    vlm = _vlm_scorer(pipe)
+    if vlm is not None:
+        return vlm
+
+    def scorer(image, refs, prompt):
+        if not len(refs):
+            return 0.0, 0.0
+        pairs = [_pixel_scorer(image, r) for r in refs]
+        return (
+            float(np.mean([p[0] for p in pairs])),
+            float(np.mean([p[1] for p in pairs])),
+        )
+
+    return scorer
 
 
 def _save(cfg, trainer_mod, tstate, lora, opt_state, tcfg, step):
@@ -187,6 +518,7 @@ def _save(cfg, trainer_mod, tstate, lora, opt_state, tcfg, step):
     trainer_mod.save_checkpoint(path, st, tcfg)
     tstate.save(os.path.join(path, "training_state.json"))
     print(f"checkpoint -> {path}")
+    return path
 
 
 def write_learning_curve_svg(losses, path: str, width: int = 640, height: int = 240) -> None:

@@ -172,7 +172,11 @@ class TekkenTokenizer:
             r = self.mergeable_ranks.get(piece)
             if r is not None:
                 out.append(r)
-        # unk is an ABSOLUTE id; counter the offset the caller adds
+            else:
+                # A merged piece absent from a truncated vocab: emit UNK for
+                # the piece rather than silently dropping its bytes.
+                # (unk is an ABSOLUTE id; counter the offset the caller adds)
+                out.append(UNK_ID - self.num_special_tokens)
         return out or [UNK_ID - self.num_special_tokens]
 
     # -- decoding -------------------------------------------------------------

@@ -28,6 +28,7 @@ base for the measured trade-off.
 
 from __future__ import annotations
 
+import contextlib as _contextlib
 import dataclasses
 import functools
 import os
@@ -234,15 +235,29 @@ def is_quantized(w: Any) -> bool:
     return isinstance(w, (QTensor, W8A8Tensor, W4A8Tensor))
 
 
-# When True (Flux2Pipeline.shard sets it), W8A8 matmuls route through the
-# custom_partitioning wrapper so GSPMD keeps the int8 codes sharded instead
-# of all-gathering them around the opaque pallas call.
+# When True, W8A8 matmuls route through the custom_partitioning wrapper so
+# GSPMD keeps the int8 codes sharded instead of all-gathering them around the
+# opaque pallas call. Scoped: Flux2Pipeline._mesh_ctx enters
+# partitioned_runtime() around its sharded compute, so unsharded encoders and
+# other pipelines in the same process keep the plain kernel path.
 _PARTITIONED_RUNTIME = False
 
 
 def set_partitioned_runtime(enabled: bool) -> None:
     global _PARTITIONED_RUNTIME
     _PARTITIONED_RUNTIME = bool(enabled)
+
+
+@_contextlib.contextmanager
+def partitioned_runtime(enabled: bool = True):
+    """Scope the custom_partitioning routing to a with-block (trace time)."""
+    global _PARTITIONED_RUNTIME
+    prev = _PARTITIONED_RUNTIME
+    _PARTITIONED_RUNTIME = bool(enabled)
+    try:
+        yield
+    finally:
+        _PARTITIONED_RUNTIME = prev
 
 
 # ---------------------------------------------------------------------------

@@ -111,6 +111,8 @@ def dequant_matmul(
 
     bm = min(bm, _round_up(m, 8))
     bn = min(bn, n)
+    while n % bn:  # supported() guarantees n % 128 == 0, so this floors at 128
+        bn //= 2
     bk = min(bk, k)
     m_pad = _round_up(m, bm)
     if m_pad != m:
@@ -221,6 +223,8 @@ def w8a8_matmul(
 
     bm = min(bm, _round_up(m, 8))
     bn = min(bn, n)
+    while n % bn:  # w8a8_supported() guarantees n % 256 == 0: floors at 256
+        bn //= 2
     bk = min(bk, k)
     while k % bk:
         bk //= 2
@@ -329,6 +333,8 @@ def w4a8_matmul(
 
     bm = min(bm, _round_up(m, 8))
     bn = min(bn, n)
+    while n % bn:  # w4a8_supported() guarantees n % 256 == 0: floors at 256
+        bn //= 2
     m_pad = _round_up(m, bm)
     if m_pad != m:
         x2 = jnp.pad(x2, ((0, m_pad - m), (0, 0)))

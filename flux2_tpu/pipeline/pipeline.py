@@ -46,8 +46,21 @@ from flux2_tpu.ops.rope import rope_embeddings
 StepHook = Callable[[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray], jnp.ndarray]
 
 
+class GenerationCancelled(RuntimeError):
+    """Raised when a host-side cancel flag aborts a generate() mid-denoise.
+
+    TPU counterpart of the reference's in-loop transformer-nil guard
+    (Flux2Pipeline.swift:1940-1942): the compiled scan is aborted from the
+    per-step progress io_callback, so cancellation granularity is one
+    denoising step."""
+
+
 @dataclasses.dataclass
 class GenerationResult:
+    # NOTE: `image`/`images` are float32 in [0, 1] but quantized to 1/255
+    # steps — decode transfers uint8 off-device (4x less host traffic; the
+    # image is headed for a uint8 PNG anyway). Callers needing full-precision
+    # floats should call Flux2Pipeline.decode_latents(result.latents, ...)
     image: np.ndarray  # [H, W, 3] float32 in [0, 1] (first batch element)
     latents: np.ndarray  # final packed latents [B, S, 128]
     seed: int
@@ -78,6 +91,13 @@ class Flux2Pipeline:
     mesh: Optional[Any] = None  # jax.sharding.Mesh; set via shard()
     ring: Optional[Any] = None  # (mesh, axis) for sequence-parallel attention; set via shard()
     memory_profile: Optional[Any] = None  # utils.memory.MemoryProfile (VAE tiling etc.)
+    # LoRA runtime semantics (applied by merged Turbo-style LoRAs;
+    # LoRAConfig.swift:7-32 applied at Flux2Pipeline.swift:1879-1908 and
+    # LoRAAdapter.swift:189-199): explicit generate() args always win.
+    lora_custom_sigmas: Optional[Sequence[float]] = None
+    lora_num_steps: Optional[int] = None
+    lora_guidance: Optional[float] = None
+    lora_keywords: Sequence[str] = ()
 
     # ------------------------------------------------------------------
     # Construction helpers
@@ -122,11 +142,9 @@ class Flux2Pipeline:
         reshard at the ring boundary). Requires the joint token count to
         divide by the chosen axis size.
         """
-        from flux2_tpu.ops import quant as _quant
         from flux2_tpu.parallel import sharding as sh
         from flux2_tpu.parallel.mesh import SP_AXIS, TP_AXIS
 
-        _quant.set_partitioned_runtime(True)
         self.transformer_params = sh.shard_params(self.transformer_params, mesh, sh.DIT_RULES)
         self.vae_params = sh.shard_params(self.vae_params, mesh, sh.VAE_RULES)
         self.mesh = mesh
@@ -140,7 +158,17 @@ class Flux2Pipeline:
     def _mesh_ctx(self):
         import contextlib
 
-        return self.mesh if self.mesh is not None else contextlib.nullcontext()
+        if self.mesh is None:
+            return contextlib.nullcontext()
+        # Scope both the mesh and the quant custom_partitioning routing to
+        # this pipeline's compute: unsharded encoders / other pipelines in
+        # the same process keep the plain kernel path.
+        from flux2_tpu.ops import quant as _quant
+
+        stack = contextlib.ExitStack()
+        stack.enter_context(self.mesh)
+        stack.enter_context(_quant.partitioned_runtime(True))
+        return stack
 
     # ------------------------------------------------------------------
     # Phase 1: text encoding
@@ -254,6 +282,7 @@ class Flux2Pipeline:
         step_hook: Optional[StepHook] = None,
         decode: bool = True,
         on_progress: Optional[Callable[[int, int], None]] = None,
+        cancel: Optional[Any] = None,  # threading.Event-like or () -> bool; raises GenerationCancelled
         checkpoint_interval: Optional[int] = None,
         on_checkpoint: Optional[Callable[[int, np.ndarray], None]] = None,
         upsample: bool = False,
@@ -281,8 +310,14 @@ class Flux2Pipeline:
         height, width = lu.validate_dimensions(height, width)
         if height * width > self.max_pixels:
             raise ValueError(f"{width}x{height} exceeds max pixels {self.max_pixels}")
-        num_steps = num_steps if num_steps is not None else self.model.default_steps
-        guidance = guidance if guidance is not None else self.model.default_guidance
+        # LoRA scheduler overrides (Turbo LoRAs): explicit args > LoRA > model
+        # defaults (Flux2Pipeline.swift:1879-1908).
+        if num_steps is None:
+            num_steps = self.lora_num_steps if self.lora_num_steps else self.model.default_steps
+        if guidance is None:
+            guidance = self.lora_guidance if self.lora_guidance is not None else self.model.default_guidance
+        if custom_sigmas is None and self.lora_custom_sigmas:
+            custom_sigmas = self.lora_custom_sigmas
 
         # --- Phase 1: text encoding ---
         t = time.perf_counter()
@@ -290,6 +325,11 @@ class Flux2Pipeline:
         final_prompt = prompt
         was_upsampled = False
         if embeddings is None:
+            # activation-keyword prefixing from merged LoRAs
+            # (LoRAAdapter.swift:189-199)
+            for kw in self.lora_keywords or ():
+                if kw and kw.lower() not in (final_prompt or "").lower():
+                    final_prompt = f"{kw}, {final_prompt}" if final_prompt else kw
             if interpret_images:
                 final_prompt = self.interpret_images(interpret_images, final_prompt or "", seed=seed)
             if upsample:
@@ -350,8 +390,16 @@ class Flux2Pipeline:
         prof.start("2. Denoising")
         mesh_ctx = self._mesh_ctx()
         collect = False
-        with mesh_ctx:
-          if reference_latents is not None and self.model.supports_kv_cache:
+        # one cancel cell per pipeline: stable jit-cache identity, per-call flag
+        cell = getattr(self, "_cancel_cell", None)
+        if cell is None:
+            cell = _CancelCell()
+            self._cancel_cell = cell
+        cell.current = cancel
+        progress_cb = _make_progress_cb(on_progress, schedule.num_steps, cell)
+        try:
+          with mesh_ctx:
+            if reference_latents is not None and self.model.supports_kv_cache:
               # klein-9b-kv: step 0 extracts reference K/V, steps 1+ reuse it
               # (~2.66x faster multi-reference I2I; Flux2Pipeline.swift:1555-1683).
               cached_ids = np.concatenate(
@@ -376,12 +424,12 @@ class Flux2Pipeline:
                   reference_latents,
                   self.model.uses_guidance_embeds,
                   step_hook,
-                  _make_progress_cb(on_progress, schedule.num_steps),
+                  progress_cb,
                   checkpoint_interval if collect else None,
               )
               if collect:
                   final_seq, intermediates = final_seq
-          else:
+            else:
               collect = (
                   checkpoint_interval is not None
                   and (schedule.num_steps - 1) // checkpoint_interval > 0
@@ -400,13 +448,20 @@ class Flux2Pipeline:
                   step_hook,
                   self.model.uses_guidance_embeds,
                   self.model.uses_classical_cfg,
-                  _make_progress_cb(on_progress, schedule.num_steps),
+                  progress_cb,
                   checkpoint_interval if collect else None,
                   self.ring,
               )
               if collect:
                   final_seq, intermediates = final_seq
-        final_seq.block_until_ready()
+            final_seq.block_until_ready()
+        except Exception as e:  # surface a clean cancel to the caller
+            if isinstance(e, GenerationCancelled):
+                raise
+            if "GenerationCancelled" in str(e):
+                # the runtime wraps callback exceptions (JaxRuntimeError)
+                raise GenerationCancelled("generation cancelled mid-denoise") from e
+            raise
         prof.end("2. Denoising")
         if schedule.num_steps:
             prof.record_step((time.perf_counter() - t) / schedule.num_steps)
@@ -733,20 +788,49 @@ def _param_dtype(params):
     return w.dtype if hasattr(w, "dtype") else jnp.bfloat16
 
 
+class _CancelCell:
+    """Stable-identity holder for the per-call cancel flag.
+
+    The progress callback is a jit STATIC arg (cached by identity); keying
+    it on the cell — one per pipeline — instead of the per-call cancel
+    object keeps the compiled program cached across requests while the cell
+    re-points at each call's live flag."""
+
+    __slots__ = ("current",)
+
+    def __init__(self):
+        self.current = None
+
+    def requested(self) -> bool:
+        cancel = self.current
+        if cancel is None:
+            return False
+        probe = getattr(cancel, "is_set", cancel)  # Event-like or () -> bool
+        return bool(probe())
+
+
 @functools.lru_cache(maxsize=64)
-def _make_progress_cb_cached(on_progress, total_steps):
+def _make_progress_cb_cached(on_progress, total_steps, cell):
     def cb(step_idx):
-        on_progress(int(step_idx) + 1, total_steps)
+        if cell is not None and cell.requested():
+            # Raising inside the ordered io_callback poisons the dispatch and
+            # aborts the compiled scan — the TPU analogue of the reference's
+            # transformer-nil guard (Flux2Pipeline.swift:1940-1942).
+            # Granularity: one denoising step (the callback runs per step).
+            raise GenerationCancelled(f"cancelled at step {int(step_idx) + 1}/{total_steps}")
+        if on_progress is not None:
+            on_progress(int(step_idx) + 1, total_steps)
 
     return cb
 
 
-def _make_progress_cb(on_progress, total_steps):
-    """Wrap a host progress callback for io_callback. Cached so repeat calls
-    with the same callback reuse the compiled program (static-arg identity)."""
-    if on_progress is None:
+def _make_progress_cb(on_progress, total_steps, cell=None):
+    """Wrap a host progress/cancel callback for io_callback. Cached so repeat
+    calls with the same callback (and pipeline cancel cell) reuse the
+    compiled program (static-arg identity)."""
+    if on_progress is None and (cell is None or cell.current is None):
         return None
-    return _make_progress_cb_cached(on_progress, total_steps)
+    return _make_progress_cb_cached(on_progress, total_steps, cell)
 
 
 def _downscale_to_max_pixels(image: np.ndarray, max_pixels: int, multiple: int = 32) -> np.ndarray:

@@ -9,7 +9,13 @@ program at a time; the compiled-fn cache makes repeat shapes fast.
   GET  /health            -> {"status": "ok", ...}
   GET  /info              -> device/model info
   POST /generate          -> {"prompt", "width", "height", "steps",
-                              "guidance", "seed", "format": "png"|"json"}
+                              "guidance", "seed", "format": "png"|"json",
+                              "references": [b64 png/jpeg, ...]  (multi-ref I2I),
+                              "strength": 0..1 (img2img, with references),
+                              "timeout_s": abandon the request after N s
+                                (queued: dropped; running: the compiled scan
+                                is cooperatively cancelled once every request
+                                in its batch is abandoned)}
                              returns image/png bytes or base64 JSON
 
 Micro-batching: concurrent /generate requests with the same
@@ -55,12 +61,14 @@ def _enable_compile_cache():
 
 
 class _Pending:
-    __slots__ = ("req", "emb", "event", "image", "error", "enqueued_at")
+    __slots__ = ("req", "emb", "refs", "event", "cancelled", "image", "error", "enqueued_at")
 
-    def __init__(self, req, emb):
+    def __init__(self, req, emb, refs=None):
         self.req = req
         self.emb = emb
+        self.refs = refs  # list of [H, W, 3] float reference images (I2I)
         self.event = threading.Event()
+        self.cancelled = threading.Event()
         self.image = None
         self.error = None
         self.enqueued_at = time.time()
@@ -68,6 +76,17 @@ class _Pending:
 
 class QueueFullError(RuntimeError):
     pass
+
+
+class _BatchCancel:
+    """True once EVERY request in the batch has been abandoned — one program
+    serves the whole batch, so a single surviving client keeps it running."""
+
+    def __init__(self, batch):
+        self.batch = batch
+
+    def __call__(self) -> bool:
+        return all(p.cancelled.is_set() for p in self.batch)
 
 
 class Flux2Server:
@@ -105,25 +124,34 @@ class Flux2Server:
 
     # -- micro-batching worker ------------------------------------------------
 
-    def _shape_key(self, req: dict):
-        return (
+    def _shape_key(self, p: "_Pending"):
+        req = p.req
+        base = (
             int(req.get("height", 1024)),
             int(req.get("width", 1024)),
             req.get("steps"),
             req.get("guidance"),
         )
+        if p.refs is not None:
+            # I2I requests carry unique reference latents: batch of 1
+            return base + (id(p),)
+        return base
 
     def _pick_batch(self) -> list:
         """Cross-shape scheduling: run the LARGEST same-shape group (best
         chip utilization per program launch) unless the oldest request has
         aged past ``max_wait_s`` — then its group runs first (no starvation
-        behind a popular shape)."""
+        behind a popular shape). Requests whose client already timed out
+        are dropped here instead of burning a batch."""
+        self._queue = [p for p in self._queue if not p.cancelled.is_set()]
+        if not self._queue:
+            return []
         groups: dict = {}
         for p in self._queue:
-            groups.setdefault(self._shape_key(p.req), []).append(p)
+            groups.setdefault(self._shape_key(p), []).append(p)
         oldest = self._queue[0]
         if time.time() - oldest.enqueued_at > self.max_wait_s:
-            key = self._shape_key(oldest.req)
+            key = self._shape_key(oldest)
         else:
             key = max(groups, key=lambda k: (len(groups[k]), -groups[k][0].enqueued_at))
         batch = groups[key][: self.max_batch]
@@ -141,7 +169,8 @@ class Flux2Server:
                 # small window to let same-shape requests coalesce
                 self._queue_cv.wait(self.batch_window_s)
                 batch = self._pick_batch()
-            self._run_batch(batch)
+            if batch:
+                self._run_batch(batch)
 
     def _run_batch(self, batch):
         import jax
@@ -150,7 +179,8 @@ class Flux2Server:
         from flux2_tpu.ops import latents as lu
 
         try:
-            h, w, steps, guidance = self._shape_key(batch[0].req)
+            req0 = batch[0].req
+            h, w, steps, guidance = self._shape_key(batch[0])[:4]
             emb = None
             if batch[0].emb is not None:
                 emb = jnp.concatenate([p.emb for p in batch], axis=0)
@@ -165,15 +195,30 @@ class Flux2Server:
                         lu.generate_patchified_latents(k, hv, wv, batch_size=1)
                     )
                 )
+            # I2I: encode reference images (batch of 1 by shape-key design)
+            ref_lat = ref_ids = init = None
+            strength = float(req0.get("strength", 1.0))
+            if batch[0].refs is not None:
+                ref_lat, ref_ids = self.pipeline.encode_reference_images(batch[0].refs)
+                if strength < 1.0:
+                    init = self.pipeline.encode_image_to_packed_sequence(batch[0].refs[0])
+            # Cooperative cancel: abort the compiled scan once EVERY request
+            # in the batch has been abandoned (timeout / client gone).
+            cancel = _BatchCancel(batch)
             res = self.pipeline.generate(
-                prompt=batch[0].req.get("prompt", ""),
+                prompt=req0.get("prompt", ""),
                 embeddings=emb,
                 height=h,
                 width=w,
                 num_steps=steps,
                 guidance=guidance,
-                seed=int(batch[0].req.get("seed", 0)),
+                seed=int(req0.get("seed", 0)),
                 noise=jnp.concatenate(noise_rows, axis=0),
+                reference_latents=ref_lat,
+                reference_ids=ref_ids,
+                strength=strength,
+                init_latents=init,
+                cancel=cancel,
             )
             images = res.images if res.images is not None else res.image[None]
             for i, p in enumerate(batch):
@@ -194,13 +239,19 @@ class Flux2Server:
         emb = None
         if self.embeddings_fn is not None:
             emb = self.embeddings_fn(req.get("prompt", ""))
-        pending = _Pending(req, emb)
+        refs = _decode_references(req)
+        pending = _Pending(req, emb, refs=refs)
         with self._queue_cv:
             if len(self._queue) >= self.max_queue:
                 raise QueueFullError(f"queue full ({self.max_queue} pending); retry later")
             self._queue.append(pending)
             self._queue_cv.notify_all()
-        pending.event.wait()
+        timeout = req.get("timeout_s")
+        if not pending.event.wait(timeout=float(timeout) if timeout else None):
+            # abandoned: a queued request is dropped before running; a running
+            # batch aborts its compiled scan once all members are abandoned
+            pending.cancelled.set()
+            raise TimeoutError(f"generation exceeded timeout_s={timeout}")
         if pending.error is not None:
             raise pending.error
         from PIL import Image
@@ -208,6 +259,14 @@ class Flux2Server:
         buf = io.BytesIO()
         Image.fromarray((np.clip(pending.image, 0, 1) * 255).astype(np.uint8)).save(buf, "PNG")
         return buf.getvalue()
+
+    def cancel_all(self) -> int:
+        """Abandon every pending/running request (graceful drain)."""
+        with self._queue_cv:
+            pending = list(self._queue)
+        for p in pending:
+            p.cancelled.set()
+        return len(pending)
 
     def info(self) -> dict:
         import jax
@@ -243,19 +302,32 @@ _DEMO_HTML = """<!doctype html>
 <div class="row">
  <select id="size"><option>512</option><option selected>1024</option><option>2048</option></select>
  <input id="steps" type="number" value="4" min="1" max="50" style="width:5rem" title="steps">
+ <input id="guidance" type="number" value="" step="0.5" placeholder="guid" style="width:5rem" title="guidance (blank = model default)">
  <input id="seed" type="number" value="0" style="width:7rem" title="seed">
  <button id="go" onclick="gen()">Generate</button>
+</div>
+<div class="row">
+ <input id="refs" type="file" accept="image/*" multiple title="reference images (I2I)">
+ <label>strength <input id="strength" type="range" min="0.1" max="1" step="0.05" value="1"
+  oninput="document.getElementById('sv').textContent=this.value"> <span id="sv">1</span></label>
 </div>
 <div id="status"></div><div id="out"></div>
 <script>
 async function refresh(){try{const r=await fetch('/info');const j=await r.json();
  document.getElementById('status').textContent=`model ${j.model} | ${j.backend} x${j.devices}`+
  ` | served ${j.requests_served} in ${j.batches_run} batches | queue ${j.queue_depth}`;}catch(e){}}
+function readRefs(){const fs=document.getElementById('refs').files;
+ return Promise.all([...fs].map(f=>new Promise((res,rej)=>{const rd=new FileReader();
+  rd.onload=()=>res(rd.result);rd.onerror=rej;rd.readAsDataURL(f);})));}
 async function gen(){const b=document.getElementById('go');b.disabled=true;const t0=Date.now();
  try{const s=+document.getElementById('size').value;
+  const refs=await readRefs();
+  const body={prompt:document.getElementById('prompt').value,width:s,height:s,
+    steps:+document.getElementById('steps').value,seed:+document.getElementById('seed').value};
+  const g=document.getElementById('guidance').value; if(g!=='')body.guidance=+g;
+  if(refs.length){body.references=refs;body.strength=+document.getElementById('strength').value;}
   const r=await fetch('/generate',{method:'POST',headers:{'Content-Type':'application/json'},
-   body:JSON.stringify({prompt:document.getElementById('prompt').value,width:s,height:s,
-    steps:+document.getElementById('steps').value,seed:+document.getElementById('seed').value})});
+   body:JSON.stringify(body)});
   if(!r.ok){throw new Error(await r.text())}
   const blob=await r.blob();
   document.getElementById('out').innerHTML=`<img src="${URL.createObjectURL(blob)}">`;
@@ -263,6 +335,23 @@ async function gen(){const b=document.getElementById('go');b.disabled=true;const
  }catch(e){document.getElementById('status').textContent=String(e);}b.disabled=false;refresh();}
 refresh();setInterval(refresh,5000);
 </script></body></html>"""
+
+
+def _decode_references(req: dict):
+    """Base64 PNG/JPEG reference images -> [H, W, 3] float arrays (I2I)."""
+    refs_b64 = req.get("references") or []
+    if not refs_b64:
+        return None
+    from PIL import Image
+
+    refs = []
+    for b in refs_b64:
+        if isinstance(b, str) and "," in b and b.lstrip().startswith("data:"):
+            b = b.split(",", 1)[1]  # data-URL from the demo page
+        raw = base64.b64decode(b)
+        with Image.open(io.BytesIO(raw)) as im:
+            refs.append(np.asarray(im.convert("RGB"), np.float32) / 255.0)
+    return refs
 
 
 def make_handler(server: Flux2Server):
@@ -303,6 +392,9 @@ def make_handler(server: Flux2Server):
                 png = server.generate_png(req)
             except QueueFullError as e:  # backpressure: let clients retry
                 self._json(503, {"error": str(e)})
+                return
+            except TimeoutError as e:  # per-request timeout_s exceeded
+                self._json(504, {"error": str(e)})
                 return
             except Exception as e:  # surface errors as JSON, keep serving
                 self._json(400, {"error": f"{type(e).__name__}: {e}"})

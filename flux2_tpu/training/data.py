@@ -35,6 +35,22 @@ STANDARD_BUCKETS: Tuple[Tuple[int, int], ...] = (
 )
 
 
+def scaled_buckets(
+    resolution: int, base: Sequence[Tuple[int, int]] = STANDARD_BUCKETS
+) -> Tuple[Tuple[int, int], ...]:
+    """Scale the standard ~1MP ratio set to a target resolution (the
+    reference buckets at the configured training resolution). Dims stay
+    multiples of 32 with a 32px floor; duplicates collapse."""
+    factor = resolution / 1024.0
+    out = []
+    for w, h in base:
+        sw = max(32, int(round(w * factor / 32)) * 32)
+        sh = max(32, int(round(h * factor / 32)) * 32)
+        if (sw, sh) not in out:
+            out.append((sw, sh))
+    return tuple(out)
+
+
 @dataclasses.dataclass
 class DatasetItem:
     image_path: str

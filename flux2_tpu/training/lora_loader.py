@@ -273,3 +273,34 @@ def merge_loras_into_params(
         stacked = to_stacked_lora(lora, config)
         merged = merge_into_params(merged, stacked, lora.scale)
     return merged
+
+
+def merge_runtime_semantics(
+    loaded_loras: Sequence[LoadedLoRA],
+) -> Tuple[LoRASchedulerOverrides, List[str], List[str]]:
+    """Combine scheduler overrides + activation keywords across LoRAs.
+
+    Per override field, last LoRA wins; a conflict (two LoRAs setting the
+    same field to different values) produces a warning string, matching the
+    reference's multi-LoRA override behavior
+    (Flux2Pipeline.swift:1879-1908). Returns (overrides, keywords, warnings).
+    """
+    merged = LoRASchedulerOverrides()
+    keywords: List[str] = []
+    warnings: List[str] = []
+    for lora in loaded_loras:
+        ov = lora.overrides
+        for field in ("custom_sigmas", "num_steps", "guidance"):
+            new = getattr(ov, field)
+            if new is None:
+                continue
+            old = getattr(merged, field)
+            if old is not None and old != new:
+                warnings.append(
+                    f"multiple LoRAs override {field} ({old!r} -> {new!r}); using the last"
+                )
+            setattr(merged, field, new)
+        kw = lora.activation_keyword
+        if kw and kw not in keywords:
+            keywords.append(kw)
+    return merged, keywords, warnings

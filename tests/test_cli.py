@@ -163,3 +163,43 @@ def test_cli_shard_dcn_multislice(tmp_path, _tiny_model_config):
         "--shard", "2,2,2", "--dcn", "-o", out,
     ])
     assert os.path.exists(out)
+
+
+def test_encoders_vision_subcommand(tmp_path, capsys):
+    """flux-encoders vision: image + prompt -> VLM description
+    (FluxEncodersCLI.swift:12-15), smoke-tested with a stub VLM."""
+    from PIL import Image
+
+    import numpy as np
+
+    from flux2_tpu.cli.encoders import main as enc_main
+    from flux2_tpu.models.text_encoders.facade import shared
+
+    img_path = str(tmp_path / "probe.png")
+    Image.fromarray(np.full((32, 32, 3), 200, np.uint8)).save(img_path)
+
+    class StubVLM:
+        def analyze_image(self, image, prompt, seed=0):
+            assert image.shape == (32, 32, 3)
+            return f"STUB SAW: {prompt}"
+
+    shared.attach_vlm(StubVLM())
+    try:
+        enc_main(["vision", "--image", img_path, "--prompt", "what is this?"])
+    finally:
+        shared.unload_vlm()
+    assert "STUB SAW: what is this?" in capsys.readouterr().out
+
+
+def test_encoders_vision_requires_weights(tmp_path):
+    from PIL import Image
+
+    import numpy as np
+    import pytest as _pytest
+
+    from flux2_tpu.cli.encoders import main as enc_main
+
+    img_path = str(tmp_path / "probe.png")
+    Image.fromarray(np.zeros((8, 8, 3), np.uint8)).save(img_path)
+    with _pytest.raises(SystemExit, match="encoder-dir"):
+        enc_main(["vision", "--image", img_path])

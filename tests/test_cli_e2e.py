@@ -264,6 +264,40 @@ def test_cli_export_quantized_then_fast_path(model_dirs, encoder_dir, tmp_path):
     assert os.path.exists(out)
 
 
+def test_cli_export_quantized_lora_baked(model_dirs, tmp_path):
+    """export-quantized --lora bakes the merged LoRA and tags the
+    checkpoint (Flux2Pipeline.swift:758-826)."""
+    tdir, vdir = model_dirs
+    d = T_CONFIG.inner_dim
+    rng = np.random.RandomState(3)
+    w = {
+        "transformer.transformer_blocks.0.attn.to_q.lora_A.weight": rng.randn(4, d).astype(np.float32),
+        "transformer.transformer_blocks.0.attn.to_q.lora_B.weight": rng.randn(d, 4).astype(np.float32),
+    }
+    lora_path = str(tmp_path / "style.safetensors")
+    safetensors_io.save_file(w, lora_path, metadata={"alpha": "4"})
+
+    main([
+        "export-quantized", "--model", "klein-4b", "--quantization", "qint8",
+        "--transformer-dir", tdir, "--lora", f"{lora_path}:0.5",
+    ])
+    from flux2_tpu.io import checkpoints
+
+    path = checkpoints.prequantized_path(tdir, "qint8")
+    loaded, meta = checkpoints.load_prequantized(path, expected_source_dir=tdir)
+    assert meta["lora_baked"] == "1"
+    # baked weights differ from a plain quantize of the source
+    from flux2_tpu.ops import quant
+
+    raw = checkpoints.load_weights_dir(tdir)
+    from flux2_tpu.io import weight_mapping
+
+    base = weight_mapping.map_transformer_weights(raw, T_CONFIG, dtype=np.float32)
+    plain = quant.quantize(jnp.asarray(base["double_blocks"]["to_q"], jnp.bfloat16), "qint8")
+    assert not np.array_equal(np.asarray(loaded["double_blocks"]["to_q"].q), np.asarray(plain.q))
+    os.remove(path)  # don't leak the baked ckpt into other tests' fast path
+
+
 def test_cli_inpaint_from_disk(model_dirs, encoder_dir, tmp_path):
     """inpaint CLI end-to-end from disk checkpoints."""
     from PIL import Image

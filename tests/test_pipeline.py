@@ -252,3 +252,46 @@ def test_kv_cached_path_progress_and_checkpoints():
     assert progress == [(1, 4), (2, 4), (3, 4), (4, 4)]
     assert checkpoints == [(2, (64, 64, 3))]
     assert res.image.shape == (64, 64, 3)
+
+
+def test_generate_cancellation():
+    """A host-side cancel flag aborts the compiled denoise scan promptly
+    (Flux2Pipeline.swift:1940-1942 transformer-nil guard analogue)."""
+    import threading
+
+    from flux2_tpu.pipeline.pipeline import GenerationCancelled
+
+    pipe = tiny_pipeline()
+    emb = jax.random.normal(jax.random.PRNGKey(0), (1, 8, 96))
+
+    cancel = threading.Event()
+    seen = []
+
+    def on_progress(step, total):
+        seen.append(step)
+        if step >= 2:
+            cancel.set()
+
+    with pytest.raises(GenerationCancelled):
+        pipe.generate(
+            embeddings=emb, height=64, width=64, num_steps=8, seed=0,
+            on_progress=on_progress, cancel=cancel,
+        )
+    assert max(seen) < 8  # aborted mid-scan, not at the end
+
+    # same pipeline generates fine afterwards (no poisoned state), and a
+    # never-set cancel flag is a no-op
+    cancel2 = threading.Event()
+    res = pipe.generate(embeddings=emb, height=64, width=64, num_steps=2, seed=0, cancel=cancel2)
+    assert res.image.shape == (64, 64, 3)
+
+
+def test_generate_cancel_callable_form():
+    """cancel also accepts a plain () -> bool."""
+    from flux2_tpu.pipeline.pipeline import GenerationCancelled
+
+    pipe = tiny_pipeline()
+    emb = jax.random.normal(jax.random.PRNGKey(0), (1, 8, 96))
+    with pytest.raises(GenerationCancelled):
+        pipe.generate(embeddings=emb, height=64, width=64, num_steps=4, seed=0,
+                      cancel=lambda: True)

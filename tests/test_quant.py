@@ -198,6 +198,52 @@ def test_w8a8_kernel_matches_dequant_fallback():
     assert rel < 0.01
 
 
+def test_w8a8_kernel_n_not_multiple_of_bn():
+    """Regression: N=2560 (Qwen3-4B hidden) passes w8a8_supported (N%256==0)
+    but is not a multiple of the default bn=1024 — the kernel must shrink bn
+    to a divisor rather than leave trailing columns unwritten (NaN)."""
+    from flux2_tpu.ops import quant_kernels as qk
+
+    w = _w((512, 2560), seed=20)
+    x = _w((16, 512), seed=21)
+    wq = quant.to_w8a8(w)
+    assert qk.w8a8_supported(x, wq)
+    got = np.asarray(qk.w8a8_matmul(x, wq, interpret=True), np.float32)
+    assert np.isfinite(got).all()
+    fall = np.asarray(x @ quant.dequantize_w8a8(wq, x.dtype), np.float32)
+    rel = np.linalg.norm(got - fall) / np.linalg.norm(fall)
+    assert rel < 0.01
+
+
+def test_w4a8_kernel_n_not_multiple_of_bn():
+    """Same regression for the int4 kernel (default bn=1024, N=2560)."""
+    from flux2_tpu.ops import quant_kernels as qk
+
+    w = _w((1024, 2560), seed=22)
+    x = _w((16, 1024), seed=23)
+    wq = quant.to_w4a8(w)
+    assert qk.w4a8_supported(x, wq)
+    got = np.asarray(qk.w4a8_matmul(x, wq, interpret=True), np.float32)
+    assert np.isfinite(got).all()
+    fall = np.asarray(x @ quant.dequantize_w4a8(wq, x.dtype), np.float32)
+    rel = np.linalg.norm(got - fall) / np.linalg.norm(fall)
+    assert rel < 0.02
+
+
+def test_dequant_kernel_n_not_multiple_of_bn():
+    """dequant_matmul with N=640 (N%128==0 passes supported(), N%512!=0)."""
+    from flux2_tpu.ops import quant_kernels as qk
+
+    w = _w((512, 640), seed=24)
+    x = _w((16, 512), seed=25)
+    wq = quant.quantize(w, "qint8")
+    got = np.asarray(qk.dequant_matmul(x, wq, interpret=True), np.float32)
+    assert np.isfinite(got).all()
+    fall = np.asarray(x @ quant.dequantize(wq, x.dtype), np.float32)
+    rel = np.linalg.norm(got - fall) / np.linalg.norm(fall)
+    assert rel < 0.01
+
+
 def test_w8a8_from_stored_qtensor():
     """Storage format (qint8 g64 affine) converts to the W8A8 compute format."""
     w = _w((512, 128), seed=10)
