@@ -30,6 +30,7 @@ REF_KLEIN4B_STEP = 5.5  # s/step bf16
 REF_KLEIN4B_STEP_Q8 = 27.9 / 25.3 * 5.5  # ~6.07 s/step qint8
 REF_KLEIN4B_STEP_I4 = 30.3 / 25.3 * 5.5  # ~6.59 s/step int4
 REF_KLEIN9B_STEP_Q8 = 59.7 / 54.9 * 13.0  # ~14.1 s/step qint8
+REF_KLEIN4B_STEP_2048 = 8.0  # s/step, qint8 2048^2 M3 Max (klein9b-baselines.md:19)
 
 
 def _steps_per_sec(config, params, h=1024, w=1024, n=8):
@@ -84,6 +85,31 @@ def _random_w8a8_params(config):
     return jax.tree_util.tree_map(visit, shapes)
 
 
+def _random_w8a8_decoder(config):
+    """Random full-size text-encoder params straight from shapes: matmul
+    leaves as W8A8 (halved HBM lets the encoder coexist with the DiT on one
+    chip), embeddings/norms dense bf16."""
+    from flux2_tpu.models.text_encoders import decoder as dec
+    from flux2_tpu.ops.quant import W8A8Tensor, _path_is_matmul
+
+    shapes = jax.eval_shape(
+        lambda k: dec.init_params(k, config, dtype=jnp.bfloat16), jax.random.PRNGKey(0)
+    )
+    counter = [0]
+
+    def visit(path, sd):
+        counter[0] += 1
+        key = jax.random.PRNGKey(counter[0])
+        if _path_is_matmul(path) and sd.ndim >= 2 and sd.size >= (1 << 16):
+            *lead, k, n = sd.shape
+            q = jax.random.randint(key, sd.shape, -127, 128, jnp.int8)
+            scale = jnp.full((*lead, 1, n), 0.02 / 127.0, jnp.float32)
+            return W8A8Tensor(q, scale, k)
+        return (jax.random.normal(key, sd.shape, jnp.float32) * 0.02).astype(sd.dtype)
+
+    return jax.tree_util.tree_map_with_path(visit, shapes)
+
+
 def main():
     from flux2_tpu.cli.main import _enable_compile_cache
     from flux2_tpu.models.flux2 import config as cfg
@@ -121,7 +147,20 @@ def main():
         "unit": "s/step",
         "vs_baseline": round(REF_KLEIN4B_STEP_I4 / sec_step_w4a8, 2),
     }
-    del params4_q4, params4
+    del params4_q4
+
+    # --- Klein-4B 2048px per-step (attention-quadratic regime; round-3
+    # flash long-sequence target). Reference: ~8 s/step qint8, M3 Max. ---
+    try:
+        sec_step_2048 = _steps_per_sec(cfg.KLEIN_4B, params4, h=2048, w=2048, n=4)
+        rows["klein4b_step_2048px"] = {
+            "value": round(sec_step_2048, 4),
+            "unit": "s/step",
+            "vs_baseline": round(REF_KLEIN4B_STEP_2048 / sec_step_2048, 2),
+        }
+    except Exception as e:  # pragma: no cover - HBM-dependent
+        rows["klein4b_step_2048px"] = {"error": str(e)[:120]}
+    del params4
     jax.clear_caches()
 
     # --- Klein-4B end-to-end wall: pipeline.generate incl. VAE decode ---
@@ -141,6 +180,44 @@ def main():
         "vs_baseline": round(REF_KLEIN4B_E2E / e2e, 2),
         "phases": {k: round(v, 3) for k, v in res.phase_timings.items()},
     }
+    # --- Klein-4B e2e WITH text encoding (the reference's 25.3 s includes
+    # its encoder work): full-size Qwen3-4B decoder, random W8A8 weights,
+    # real facade extractor path (chat template -> 36-layer forward ->
+    # concat hidden layers [9,18,27] -> LEFT-pad 512), encoder + DiT
+    # resident together. ---
+    try:
+        from flux2_tpu.models.text_encoders import config as tenc_cfg
+        from flux2_tpu.models.text_encoders import extractor as tenc_ext
+
+        class _BenchTokenizer:
+            pad_token_id = 0
+            eos_token_id = None
+
+            def apply_chat_template(self, messages, add_generation_prompt=False):
+                text = " ".join(m.get("content", "") for m in messages)
+                return [hash(w) % 1000 + 3 for w in text.split()][:64]
+
+        eparams = _random_w8a8_decoder(tenc_cfg.QWEN3_4B)
+        pipe.text_encoder = tenc_ext.qwen3_extractor(
+            eparams, tenc_cfg.QWEN3_4B, _BenchTokenizer()
+        )
+        pipe.generate(prompt="warm", height=1024, width=1024, num_steps=4, seed=0)
+        t0 = time.perf_counter()
+        res_e = pipe.generate(
+            prompt="a serene mountain lake at dawn, ultra detailed",
+            height=1024, width=1024, num_steps=4, seed=1,
+        )
+        e2e_enc = time.perf_counter() - t0
+        rows["klein4b_e2e_with_encoder"] = {
+            "value": round(e2e_enc, 3),
+            "unit": "s",
+            "vs_baseline": round(REF_KLEIN4B_E2E / e2e_enc, 2),
+            "phases": {k: round(v, 3) for k, v in res_e.phase_timings.items()},
+        }
+        del eparams
+        pipe.text_encoder = None
+    except Exception as e:  # pragma: no cover - HBM-dependent
+        rows["klein4b_e2e_with_encoder"] = {"error": str(e)[:120]}
     del pipe
     jax.clear_caches()
 

@@ -404,11 +404,29 @@ def q_matmul(x: jnp.ndarray, w: Any) -> jnp.ndarray:
     return x @ dequantize(w, dtype=x.dtype)
 
 
-def quantize_params(params: Any, fmt: str, min_size: int = 1 << 16) -> Any:
-    """Quantize every float 2D+ weight leaf larger than min_size elements.
+# Leaves that are never matmul weights: norm scales, biases, token-embedding
+# tables (gather-indexed — x_embedder/context_embedder projections are
+# matmuls and stay eligible), VAE BatchNorm stats. At 24B scale a stacked
+# norm leaf ([40, 5120] = 205k elements) exceeds min_size, so size alone is
+# not a safe filter — quantizing one breaks the layer scan (mismatched
+# leading axes) and RMSNorm (W8A8Tensor has no elementwise multiply).
+_NON_MATMUL_KEYS = ("norm", "bias", "embed_tokens", "embedding", "bn", "running_")
 
-    Norm scales, biases, and small leaves stay unquantized — same policy as
-    the reference's on-the-fly quantize (Flux2Pipeline.swift:567-578).
+
+def _path_is_matmul(path) -> bool:
+    joined = "/".join(
+        str(getattr(k, "key", getattr(k, "idx", k))) for k in path
+    ).lower()
+    return not any(tag in joined for tag in _NON_MATMUL_KEYS)
+
+
+def quantize_params(params: Any, fmt: str, min_size: int = 1 << 16) -> Any:
+    """Quantize every float 2D+ matmul-weight leaf larger than min_size
+    elements.
+
+    Norm scales, biases, embeddings, and small leaves stay unquantized —
+    same policy as the reference's on-the-fly quantize
+    (Flux2Pipeline.swift:567-578) — filtered by key name, not just size.
     """
     if fmt == "bf16":
         return params
@@ -417,9 +435,10 @@ def quantize_params(params: Any, fmt: str, min_size: int = 1 << 16) -> Any:
     if fmt == "w4a8":
         return w4a8_params(params, min_size=min_size)
 
-    def visit(leaf):
+    def visit(path, leaf):
         if (
-            hasattr(leaf, "ndim")
+            _path_is_matmul(path)
+            and hasattr(leaf, "ndim")
             and leaf.ndim >= 2
             and leaf.size >= min_size
             and jnp.issubdtype(leaf.dtype, jnp.floating)
@@ -429,7 +448,7 @@ def quantize_params(params: Any, fmt: str, min_size: int = 1 << 16) -> Any:
             return quantize(leaf, fmt)
         return leaf
 
-    return jax.tree_util.tree_map(visit, params)
+    return jax.tree_util.tree_map_with_path(visit, params)
 
 
 def w8a8_params(params: Any, min_size: int = 1 << 16) -> Any:
@@ -439,11 +458,12 @@ def w8a8_params(params: Any, min_size: int = 1 << 16) -> Any:
     AND run the matmuls on the MXU's int8 path (quant_kernels.w8a8_matmul).
     """
 
-    def visit(leaf):
+    def visit(path, leaf):
         if isinstance(leaf, QTensor):
             return to_w8a8(leaf)
         if (
-            hasattr(leaf, "ndim")
+            _path_is_matmul(path)
+            and hasattr(leaf, "ndim")
             and leaf.ndim >= 2
             and leaf.size >= min_size
             and jnp.issubdtype(leaf.dtype, jnp.floating)
@@ -451,18 +471,19 @@ def w8a8_params(params: Any, min_size: int = 1 << 16) -> Any:
             return to_w8a8(leaf)
         return leaf
 
-    return jax.tree_util.tree_map(visit, params, is_leaf=is_quantized)
+    return jax.tree_util.tree_map_with_path(visit, params, is_leaf=is_quantized)
 
 
 def w4a8_params(params: Any, block: int = W4A8_BLOCK, min_size: int = 1 << 16) -> Any:
     """Convert eligible weight leaves to W4A8 — the quarter-HBM int4
     runtime (fit format: Dev-32B on tp=2 v5e instead of 8 chips)."""
 
-    def visit(leaf):
+    def visit(path, leaf):
         if isinstance(leaf, QTensor):
             return to_w4a8(leaf, block)
         if (
-            hasattr(leaf, "ndim")
+            _path_is_matmul(path)
+            and hasattr(leaf, "ndim")
             and leaf.ndim >= 2
             and leaf.size >= min_size
             and jnp.issubdtype(leaf.dtype, jnp.floating)
@@ -471,7 +492,7 @@ def w4a8_params(params: Any, block: int = W4A8_BLOCK, min_size: int = 1 << 16) -
             return to_w4a8(leaf, block)
         return leaf
 
-    return jax.tree_util.tree_map(visit, params, is_leaf=is_quantized)
+    return jax.tree_util.tree_map_with_path(visit, params, is_leaf=is_quantized)
 
 
 def param_bytes(params: Any) -> int:

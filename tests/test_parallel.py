@@ -563,3 +563,94 @@ def test_ring_attention_flash_path_matches_dense():
     out = np.asarray(ra.ring_attention(q, k, v, mesh=mesh, use_flash=True, interpret=True))
     rel = np.linalg.norm(out - ref) / np.linalg.norm(ref)
     assert rel < 2e-5
+
+
+def test_dev32b_plus_mistral24b_w8a8_coexist_aot():
+    """The two-phase choreography dissolves on TPU: Dev-32B (W8A8) and its
+    Mistral-24B encoder (W8A8) RESIDENT TOGETHER on one v5e-8 mesh, both
+    forwards AOT-compiled, summed per-device argument bytes < 16 GB — the
+    HBM math behind dropping the reference's load/unload phases
+    (Flux2Pipeline.swift:89-98). Abstract lowering, no 56 GB allocation."""
+    from flux2_tpu.models.text_encoders import config as tcfg
+    from flux2_tpu.models.text_encoders import decoder as dec
+    from flux2_tpu.ops import latents as lu
+    from flux2_tpu.ops.quant import W8A8Tensor
+    from flux2_tpu.ops.rope import rope_embeddings
+
+    mesh = mesh_mod.make_mesh(data=1, fsdp=1, tp=8)
+
+    from flux2_tpu.ops.quant import _path_is_matmul
+
+    def to_w8a8_abs(path, sd):
+        if _path_is_matmul(path) and sd.ndim >= 2 and sd.size >= (1 << 16):
+            *lead, k, n = sd.shape
+            return W8A8Tensor(
+                jax.ShapeDtypeStruct((*lead, k, n), jnp.int8),
+                jax.ShapeDtypeStruct((*lead, 1, n), jnp.float32),
+                k,
+            )
+        return sd
+
+    def abs_sharded(shape_tree, rules):
+        q = jax.tree_util.tree_map_with_path(to_w8a8_abs, shape_tree)
+        shardings = sh.make_shardings(q, mesh, rules)
+        return jax.tree_util.tree_map(
+            lambda s, sh_: jax.ShapeDtypeStruct(s.shape, s.dtype, sharding=sh_),
+            q, shardings,
+        )
+
+    # --- Dev-32B DiT in W8A8, 1024px forward ---
+    config = cfg.FLUX2_DEV
+    dit_abs = abs_sharded(
+        jax.eval_shape(lambda k: tfm.init_params(k, config, dtype=jnp.bfloat16),
+                       jax.random.PRNGKey(0)),
+        sh.DIT_RULES,
+    )
+    h = w = 1024
+    s_txt, s_img = 512, (h // 16) * (w // 16)
+    ids = np.concatenate([lu.text_position_ids(s_txt), lu.image_position_ids(h, w)], axis=0)
+    cos, sin = rope_embeddings(jnp.asarray(ids))
+
+    def dit_fwd(p, x, t, g):
+        return tfm.forward(p, config, x, t, jnp.array([0.5], jnp.float32), cos, sin, guidance=g)
+
+    # --- Mistral-24B encoder in W8A8 (matmul leaves only: embeddings and
+    # norms stay dense, matching facade.quantize_encoder_params), 512-token
+    # hidden-states forward ---
+    mcfg = tcfg.MISTRAL_SMALL_3_2
+    enc_abs = abs_sharded(
+        jax.eval_shape(lambda k: dec.init_params(k, mcfg, dtype=jnp.bfloat16),
+                       jax.random.PRNGKey(1)),
+        sh.DECODER_RULES,
+    )
+
+    def enc_fwd(p, ids_, mask_):
+        return dec.forward_hidden_states(p, mcfg, ids_, mask_)
+
+    from flux2_tpu.ops import quant
+
+    quant.set_partitioned_runtime(True)
+    try:
+        with mesh:
+            dit_compiled = jax.jit(dit_fwd).lower(
+                dit_abs,
+                jax.ShapeDtypeStruct((1, s_img, 128), jnp.bfloat16),
+                jax.ShapeDtypeStruct((1, s_txt, config.joint_attention_dim), jnp.bfloat16),
+                jax.ShapeDtypeStruct((1,), jnp.float32),
+            ).compile()
+            enc_compiled = jax.jit(enc_fwd).lower(
+                enc_abs,
+                jax.ShapeDtypeStruct((1, s_txt), jnp.int32),
+                jax.ShapeDtypeStruct((1, s_txt), jnp.int32),
+            ).compile()
+    finally:
+        quant.set_partitioned_runtime(False)
+
+    dit_mem = dit_compiled.memory_analysis()
+    enc_mem = enc_compiled.memory_analysis()
+    if dit_mem is not None and enc_mem is not None:
+        dit_gb = dit_mem.argument_size_in_bytes / 1e9
+        enc_gb = enc_mem.argument_size_in_bytes / 1e9
+        total = dit_gb + enc_gb
+        print(f"coexistence: DiT {dit_gb:.2f} + encoder {enc_gb:.2f} = {total:.2f} GB/device")
+        assert total < 16.0, f"{total:.1f} GB/device won't fit a v5e chip"

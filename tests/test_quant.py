@@ -359,3 +359,28 @@ def test_w4a8_from_stored_qtensor():
     deq = quant.dequantize_w4a8(w4, jnp.float32)
     rel = np.linalg.norm(np.asarray(deq) - np.asarray(w)) / np.linalg.norm(np.asarray(w))
     assert rel < 0.2  # int4 g64 -> dequant -> per-block int4 re-quant compounds
+
+
+def test_w8a8_params_skip_stacked_norm_leaves():
+    """At 24B scale, stacked norm leaves ([40, 5120] = 205k elements) exceed
+    min_size; the name filter must keep them dense or the layer scan breaks
+    (regression found by the Mistral-24B coexistence AOT test)."""
+    params = {
+        "layers": {
+            "q_proj": _w((4, 512, 256)),
+            "input_norm": jnp.ones((40, 5120)),  # > default min_size
+            "embedding_positions": _w((512, 256)),
+        },
+        "embed_tokens": _w((1024, 256)),
+    }
+    for fn in (
+        lambda p: quant.w8a8_params(p),
+        lambda p: quant.w4a8_params(p),
+        lambda p: quant.quantize_params(p, "qint8", min_size=1),
+    ):
+        qp = fn(params)
+        assert not quant.is_quantized(qp["layers"]["input_norm"])
+        assert not quant.is_quantized(qp["layers"]["embedding_positions"])
+        assert not quant.is_quantized(qp["embed_tokens"])
+    qp = quant.w8a8_params(params)
+    assert quant.is_quantized(qp["layers"]["q_proj"])
