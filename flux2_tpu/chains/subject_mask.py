@@ -2,15 +2,17 @@
 
 Capability scope vs the reference (``Flux2SubjectMask.swift``): the reference
 calls Apple Vision's ``VNGenerateForegroundInstanceMaskRequest`` — a
-platform-provided segmentation model that has no TPU/Python stdlib
-equivalent. This module keeps the same API (generate a keep-subject mask +
-dilation + inward ramp for ``change_scene``) with a pluggable segmenter:
+platform-provided segmentation model. This module keeps the same API
+(generate a keep-subject mask + dilation + inward ramp for ``change_scene``)
+with a layered segmenter resolution:
 
   - ``segmenter=callable`` — any model producing a [H, W] foreground
     probability map (e.g. a HF segmentation checkpoint when available).
-  - built-in fallback: a saliency heuristic (center-weighted color contrast
-    vs the image's border statistics) — crude but functional, and clearly
-    documented as the descoped path (SURVEY.md §2.5 item 5).
+  - default: the first-party trained U-Net (``chains/segmenter.py``,
+    ~0.94M params, weights committed in-repo) — the TPU stand-in for
+    Apple Vision's model.
+  - last resort (weights missing): a saliency heuristic (center-weighted
+    color contrast vs the image's border statistics).
 
 The post-processing (dilate + soft inward ramp, mask conventions) is exact.
 """
@@ -20,6 +22,18 @@ from __future__ import annotations
 from typing import Callable, Optional
 
 import numpy as np
+
+_DEFAULT_SEGMENTER = "unset"  # lazy singleton; None once lookup failed
+
+
+def default_segmenter():
+    """The committed trained U-Net, loaded once; None if weights absent."""
+    global _DEFAULT_SEGMENTER
+    if _DEFAULT_SEGMENTER == "unset":
+        from flux2_tpu.chains import segmenter as seg
+
+        _DEFAULT_SEGMENTER = seg.load_default()
+    return _DEFAULT_SEGMENTER
 
 
 def saliency_foreground(image: np.ndarray) -> np.ndarray:
@@ -83,7 +97,9 @@ def subject_mask(
     around it is 1 (repainted), dilated + ramped so the seam falls outside
     the subject — matching Flux2SubjectMask's ``.changeScene`` output.
     """
-    prob = (segmenter or saliency_foreground)(image)
+    if segmenter is None:
+        segmenter = default_segmenter() or saliency_foreground
+    prob = segmenter(image)
     fg = (prob >= threshold).astype(np.float32)
     # Native fast path: one O(H*W) chamfer pass for dilate+ramp
     # (native/image_ops.cpp dilate_ramp_f32); iterated-erosion fallback.

@@ -472,13 +472,15 @@ def cmd_outpaint(args):
 
 def cmd_mask_subject(args):
     """Auto-segmentation subject mask (MaskSubjectCommand.swift parity;
-    Apple-Vision segmentation substituted by the pluggable segmenter —
-    see chains/subject_mask.py)."""
-    from flux2_tpu.chains.subject_mask import subject_mask
+    Apple-Vision segmentation replaced by the first-party trained U-Net —
+    see chains/segmenter.py — with a saliency-heuristic fallback)."""
+    from flux2_tpu.chains.subject_mask import default_segmenter, subject_mask
 
     image = _load_image(args.image)
+    model = default_segmenter()
     mask = subject_mask(
         image,
+        segmenter=model,
         threshold=args.threshold,
         dilation_px=args.dilation,
         ramp_px=args.ramp,
@@ -486,12 +488,16 @@ def cmd_mask_subject(args):
     )
     _save_image(np.repeat(mask[..., None], 3, axis=-1), args.output)
     covered = float((mask > 0.5).mean())
-    print(json.dumps({"mask_coverage": round(covered, 3), "convention": "white = regenerate"}))
-    if not args.quiet:
+    print(json.dumps({
+        "mask_coverage": round(covered, 3),
+        "convention": "white = regenerate",
+        "segmenter": "unet" if model is not None else "saliency-heuristic",
+    }))
+    if model is None and not args.quiet:
         print(
-            "note: built-in segmenter is a saliency heuristic (busy backgrounds "
-            "degrade it); pass a segmentation model via the library API for "
-            "production masks (chains.subject_mask.subject_mask(segmenter=...))"
+            "note: trained segmenter weights missing — falling back to the "
+            "saliency heuristic (busy backgrounds degrade it); pass a model "
+            "via chains.subject_mask.subject_mask(segmenter=...)"
         )
 
 

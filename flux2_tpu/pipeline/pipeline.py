@@ -283,6 +283,7 @@ class Flux2Pipeline:
         decode: bool = True,
         on_progress: Optional[Callable[[int, int], None]] = None,
         cancel: Optional[Any] = None,  # threading.Event-like or () -> bool; raises GenerationCancelled
+        on_latents: Optional[Callable[[int, np.ndarray], None]] = None,  # per-step packed latents (live previews; costs a device->host transfer per step)
         checkpoint_interval: Optional[int] = None,
         on_checkpoint: Optional[Callable[[int, np.ndarray], None]] = None,
         upsample: bool = False,
@@ -396,7 +397,7 @@ class Flux2Pipeline:
             cell = _CancelCell()
             self._cancel_cell = cell
         cell.current = cancel
-        progress_cb = _make_progress_cb(on_progress, schedule.num_steps, cell)
+        progress_cb = _make_progress_cb(on_progress, schedule.num_steps, cell, on_latents)
         try:
           with mesh_ctx:
             if reference_latents is not None and self.model.supports_kv_cache:
@@ -650,7 +651,11 @@ def _denoise(
         if hook is not None:
             lat = hook(lat, sigma, sigma_next, step_idx)
         if progress_cb is not None:
-            jax.experimental.io_callback(progress_cb, None, step_idx, ordered=True)
+            if getattr(progress_cb, "wants_latents", False):
+                # live previews: ship the step's packed latents to the host
+                jax.experimental.io_callback(progress_cb, None, step_idx, lat, ordered=True)
+            else:
+                jax.experimental.io_callback(progress_cb, None, step_idx, ordered=True)
         if ck is not None:
             stepno = step_idx + 1
             is_ck = jnp.logical_and(stepno % collect_every == 0, stepno // collect_every <= n_ck)
@@ -736,7 +741,10 @@ def _denoise_kv_cached(
     if hook is not None:
         lat = hook(lat, sigma0, sigma0_next, jnp.int32(0))
     if progress_cb is not None:
-        jax.experimental.io_callback(progress_cb, None, jnp.int32(0), ordered=True)
+        if getattr(progress_cb, "wants_latents", False):
+            jax.experimental.io_callback(progress_cb, None, jnp.int32(0), lat, ordered=True)
+        else:
+            jax.experimental.io_callback(progress_cb, None, jnp.int32(0), ordered=True)
     ck = _collect(ck, lat, jnp.int32(0))
 
     def body(carry, inp):
@@ -751,7 +759,10 @@ def _denoise_kv_cached(
         if hook is not None:
             lat = hook(lat, sigma, sigma_next, step_idx)
         if progress_cb is not None:
-            jax.experimental.io_callback(progress_cb, None, step_idx, ordered=True)
+            if getattr(progress_cb, "wants_latents", False):
+                jax.experimental.io_callback(progress_cb, None, step_idx, lat, ordered=True)
+            else:
+                jax.experimental.io_callback(progress_cb, None, step_idx, ordered=True)
         ck = _collect(ck, lat, step_idx)
         return (lat, step_idx + 1, ck), None
 
@@ -810,7 +821,21 @@ class _CancelCell:
 
 
 @functools.lru_cache(maxsize=64)
-def _make_progress_cb_cached(on_progress, total_steps, cell):
+def _make_progress_cb_cached(on_progress, total_steps, cell, on_latents):
+    if on_latents is not None:
+
+        def cb(step_idx, lat):
+            if cell is not None and cell.requested():
+                raise GenerationCancelled(
+                    f"cancelled at step {int(step_idx) + 1}/{total_steps}"
+                )
+            if on_progress is not None:
+                on_progress(int(step_idx) + 1, total_steps)
+            on_latents(int(step_idx) + 1, np.asarray(lat))
+
+        cb.wants_latents = True
+        return cb
+
     def cb(step_idx):
         if cell is not None and cell.requested():
             # Raising inside the ordered io_callback poisons the dispatch and
@@ -821,16 +846,17 @@ def _make_progress_cb_cached(on_progress, total_steps, cell):
         if on_progress is not None:
             on_progress(int(step_idx) + 1, total_steps)
 
+    cb.wants_latents = False
     return cb
 
 
-def _make_progress_cb(on_progress, total_steps, cell=None):
-    """Wrap a host progress/cancel callback for io_callback. Cached so repeat
-    calls with the same callback (and pipeline cancel cell) reuse the
+def _make_progress_cb(on_progress, total_steps, cell=None, on_latents=None):
+    """Wrap a host progress/cancel/latent callback for io_callback. Cached so
+    repeat calls with the same callbacks (and pipeline cancel cell) reuse the
     compiled program (static-arg identity)."""
-    if on_progress is None and (cell is None or cell.current is None):
+    if on_progress is None and on_latents is None and (cell is None or cell.current is None):
         return None
-    return _make_progress_cb_cached(on_progress, total_steps, cell)
+    return _make_progress_cb_cached(on_progress, total_steps, cell, on_latents)
 
 
 def _downscale_to_max_pixels(image: np.ndarray, max_pixels: int, multiple: int = 32) -> np.ndarray:

@@ -15,8 +15,15 @@ program at a time; the compiled-fn cache makes repeat shapes fast.
                               "timeout_s": abandon the request after N s
                                 (queued: dropped; running: the compiled scan
                                 is cooperatively cancelled once every request
-                                in its batch is abandoned)}
+                                in its batch is abandoned),
+                              "preview_id": opt into live per-step previews,
+                                polled at GET /preview?id=...}
                              returns image/png bytes or base64 JSON
+  GET  /preview?id=...     -> latest latent-space preview PNG for an
+                              in-flight request (X-Step/X-Total-Steps
+                              headers; the demo page polls this — the web
+                              counterpart of the app's live checkpoint
+                              previews)
 
 Micro-batching: concurrent /generate requests with the same
 (width, height, steps, guidance) coalesce into one batched generate call
@@ -61,7 +68,8 @@ def _enable_compile_cache():
 
 
 class _Pending:
-    __slots__ = ("req", "emb", "refs", "event", "cancelled", "image", "error", "enqueued_at")
+    __slots__ = ("req", "emb", "refs", "event", "cancelled", "image", "error",
+                 "enqueued_at", "preview_id")
 
     def __init__(self, req, emb, refs=None):
         self.req = req
@@ -72,6 +80,31 @@ class _Pending:
         self.image = None
         self.error = None
         self.enqueued_at = time.time()
+        self.preview_id = req.get("preview_id")  # opt-in live previews
+
+
+def packed_to_rgb_preview(seq: np.ndarray, height: int, width: int) -> np.ndarray:
+    """Packed latent sequence row [S, C*p*p] -> small [h/8, w/8, 3] RGB in
+    [0, 1] — a latent-space approximation for live previews (the reference's
+    app decodes checkpoint latents through the VAE,
+    ``ImageGenerationViewModel.swift``; per-step VAE decodes don't pay their
+    way on a serving chip, so previews project 3 latent channels instead and
+    the full decode still happens once at the end)."""
+    from flux2_tpu.ops import latents as lu
+
+    patchified = lu.unpack_sequence_to_patchified(seq[None], height, width)
+    lat = np.asarray(lu.unpatchify_latents(patchified), np.float32)[0]  # [C, h/8, w/8]
+    rgb = np.transpose(lat[:3], (1, 2, 0))
+    lo, hi = np.percentile(rgb, 2.0), np.percentile(rgb, 98.0)
+    return np.clip((rgb - lo) / max(hi - lo, 1e-6), 0.0, 1.0)
+
+
+def _png_bytes(image: np.ndarray) -> bytes:
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray((np.clip(image, 0, 1) * 255).astype(np.uint8)).save(buf, "PNG")
+    return buf.getvalue()
 
 
 class QueueFullError(RuntimeError):
@@ -110,6 +143,9 @@ class Flux2Server:
         self.max_queue = max_queue
         self.max_wait_s = max_wait_s
         self._queue: list = []
+        self._previews: dict = {}  # preview_id -> {"step", "total", "png", "t"}
+        self._previews_lock = threading.Lock()
+        self._watch_state = ([], 0, 0, 0)  # (watchers, h, w, total) for _preview_dispatch
         self._queue_cv = threading.Condition()
         self._shutdown = False
         self._worker = threading.Thread(target=self._serve_loop, daemon=True)
@@ -202,6 +238,17 @@ class Flux2Server:
                 ref_lat, ref_ids = self.pipeline.encode_reference_images(batch[0].refs)
                 if strength < 1.0:
                     init = self.pipeline.encode_image_to_packed_sequence(batch[0].refs[0])
+            # Live previews: only when a client opted in (the per-step
+            # device->host latent transfer is skipped entirely otherwise).
+            # The callback object is the per-server _preview_dispatch so its
+            # identity — an io_callback compile-cache key — never changes;
+            # per-batch watcher state is swapped in around the call.
+            on_latents = None
+            watchers = [(i, p.preview_id) for i, p in enumerate(batch) if p.preview_id]
+            if watchers:
+                self._watch_state = (watchers, h, w, steps or 0)
+                on_latents = self._preview_dispatch
+
             # Cooperative cancel: abort the compiled scan once EVERY request
             # in the batch has been abandoned (timeout / client gone).
             cancel = _BatchCancel(batch)
@@ -219,6 +266,7 @@ class Flux2Server:
                 strength=strength,
                 init_latents=init,
                 cancel=cancel,
+                on_latents=on_latents,
             )
             images = res.images if res.images is not None else res.image[None]
             for i, p in enumerate(batch):
@@ -259,6 +307,29 @@ class Flux2Server:
         buf = io.BytesIO()
         Image.fromarray((np.clip(pending.image, 0, 1) * 255).astype(np.uint8)).save(buf, "PNG")
         return buf.getvalue()
+
+    # -- live previews ---------------------------------------------------------
+
+    def _preview_dispatch(self, step: int, lat: np.ndarray) -> None:
+        """Stable-identity on_latents callback (generation is serialized
+        through the worker thread, so _watch_state has one writer)."""
+        watchers, h, w, total = self._watch_state
+        for row, pid in watchers:
+            row = min(row, lat.shape[0] - 1)
+            png = _png_bytes(packed_to_rgb_preview(lat[row], h, w))
+            self._store_preview(pid, step, total, png)
+
+    def _store_preview(self, pid: str, step: int, total: int, png: bytes) -> None:
+        now = time.time()
+        with self._previews_lock:
+            self._previews[str(pid)[:64]] = {"step": step, "total": total, "png": png, "t": now}
+            if len(self._previews) > 256:  # prune stale watchers
+                for k in [k for k, v in self._previews.items() if now - v["t"] > 300]:
+                    del self._previews[k]
+
+    def get_preview(self, pid: str):
+        with self._previews_lock:
+            return self._previews.get(pid)
 
     def cancel_all(self) -> int:
         """Abandon every pending/running request (graceful drain)."""
@@ -310,6 +381,7 @@ _DEMO_HTML = """<!doctype html>
  <input id="refs" type="file" accept="image/*" multiple title="reference images (I2I)">
  <label>strength <input id="strength" type="range" min="0.1" max="1" step="0.05" value="1"
   oninput="document.getElementById('sv').textContent=this.value"> <span id="sv">1</span></label>
+ <label><input id="preview" type="checkbox" checked> live preview</label>
 </div>
 <div id="status"></div><div id="out"></div>
 <script>
@@ -319,6 +391,15 @@ async function refresh(){try{const r=await fetch('/info');const j=await r.json()
 function readRefs(){const fs=document.getElementById('refs').files;
  return Promise.all([...fs].map(f=>new Promise((res,rej)=>{const rd=new FileReader();
   rd.onload=()=>res(rd.result);rd.onerror=rej;rd.readAsDataURL(f);})));}
+let pollTimer=null;
+function pollPreview(pid){pollTimer=setInterval(async()=>{
+ try{const r=await fetch(`/preview?id=${pid}&_=${Date.now()}`);if(!r.ok)return;
+  const step=r.headers.get('X-Step'),tot=r.headers.get('X-Total-Steps');
+  const blob=await r.blob();
+  document.getElementById('out').innerHTML=
+   `<img src="${URL.createObjectURL(blob)}" style="image-rendering:pixelated;width:100%">`;
+  document.getElementById('status').textContent=`denoising… step ${step}${+tot?`/${tot}`:''}`;
+ }catch(e){}},400);}
 async function gen(){const b=document.getElementById('go');b.disabled=true;const t0=Date.now();
  try{const s=+document.getElementById('size').value;
   const refs=await readRefs();
@@ -326,13 +407,17 @@ async function gen(){const b=document.getElementById('go');b.disabled=true;const
     steps:+document.getElementById('steps').value,seed:+document.getElementById('seed').value};
   const g=document.getElementById('guidance').value; if(g!=='')body.guidance=+g;
   if(refs.length){body.references=refs;body.strength=+document.getElementById('strength').value;}
+  if(document.getElementById('preview').checked){
+   body.preview_id=Math.random().toString(36).slice(2);pollPreview(body.preview_id);}
   const r=await fetch('/generate',{method:'POST',headers:{'Content-Type':'application/json'},
    body:JSON.stringify(body)});
+  if(pollTimer){clearInterval(pollTimer);pollTimer=null;}
   if(!r.ok){throw new Error(await r.text())}
   const blob=await r.blob();
   document.getElementById('out').innerHTML=`<img src="${URL.createObjectURL(blob)}">`;
   document.getElementById('status').textContent=`done in ${((Date.now()-t0)/1000).toFixed(1)}s`;
- }catch(e){document.getElementById('status').textContent=String(e);}b.disabled=false;refresh();}
+ }catch(e){if(pollTimer){clearInterval(pollTimer);pollTimer=null;}
+  document.getElementById('status').textContent=String(e);}b.disabled=false;refresh();}
 refresh();setInterval(refresh,5000);
 </script></body></html>"""
 
@@ -372,6 +457,21 @@ def make_handler(server: Flux2Server):
                 self._json(200, {"status": "ok"})
             elif self.path == "/info":
                 self._json(200, server.info())
+            elif self.path.startswith("/preview"):
+                from urllib.parse import parse_qs, urlparse
+
+                pid = (parse_qs(urlparse(self.path).query).get("id") or [""])[0]
+                entry = server.get_preview(pid)
+                if entry is None:
+                    self._json(404, {"error": "no preview yet"})
+                    return
+                self.send_response(200)
+                self.send_header("Content-Type", "image/png")
+                self.send_header("Content-Length", str(len(entry["png"])))
+                self.send_header("X-Step", str(entry["step"]))
+                self.send_header("X-Total-Steps", str(entry["total"]))
+                self.end_headers()
+                self.wfile.write(entry["png"])
             elif self.path in ("/", "/index.html"):
                 body = _DEMO_HTML.encode()
                 self.send_response(200)

@@ -253,11 +253,11 @@ def test_serving_demo_page_and_queue_policy():
     # largest group wins over FIFO head
     server._queue = [pend(64, 64), pend(128, 128), pend(128, 128)]
     batch = server._pick_batch()
-    assert [server._shape_key(p.req) for p in batch] == [(128, 128, 1, None)] * 2
+    assert [server._shape_key(p) for p in batch] == [(128, 128, 1, None)] * 2
     # aging: a starving head older than max_wait_s preempts the bigger group
     server._queue = [pend(64, 64, age=99.0), pend(128, 128), pend(128, 128)]
     batch = server._pick_batch()
-    assert server._shape_key(batch[0].req) == (64, 64, 1, None)
+    assert server._shape_key(batch[0]) == (64, 64, 1, None)
     # backpressure: queue full raises (handler maps it to 503)
     server._queue = [pend(64, 64), pend(64, 64)]
     with pytest.raises(QueueFullError):
@@ -335,6 +335,55 @@ def test_serving_i2i_references_and_timeout():
         with urllib.request.urlopen(f"http://127.0.0.1:{port}/") as r:
             page = r.read().decode()
         assert 'id="refs"' in page and 'id="guidance"' in page and 'id="strength"' in page
+    finally:
+        httpd.shutdown()
+        server.shutdown()
+
+
+def test_serving_live_previews():
+    """preview_id opt-in: per-step latent previews served at /preview
+    (the app's live checkpoint previews, ImageGenerationViewModel.swift)."""
+    from http.server import ThreadingHTTPServer
+
+    from flux2_tpu.serve import Flux2Server, make_handler, packed_to_rgb_preview
+    from tests.test_pipeline import tiny_pipeline
+
+    pipe = tiny_pipeline()
+
+    def emb_fn(prompt):
+        key = jax.random.PRNGKey(1)
+        return jax.random.normal(key, (1, 8, pipe.transformer_config.joint_attention_dim))
+
+    server = Flux2Server(pipe, emb_fn)
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(server))
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        # unknown id -> 404
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(f"http://127.0.0.1:{port}/preview?id=nope")
+        assert e.value.code == 404
+        body = json.dumps({
+            "prompt": "x", "width": 64, "height": 64, "steps": 2,
+            "seed": 5, "preview_id": "pv-1",
+        }).encode()
+        req = urllib.request.Request(f"http://127.0.0.1:{port}/generate", data=body, method="POST")
+        with urllib.request.urlopen(req) as r:
+            assert r.read()[:8] == b"\x89PNG\r\n\x1a\n"
+        # previews persist after completion: the final step is retrievable
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/preview?id=pv-1") as r:
+            assert r.read()[:8] == b"\x89PNG\r\n\x1a\n"
+            assert r.headers["X-Step"] == "2"
+            assert r.headers["X-Total-Steps"] == "2"
+        # demo page carries the preview toggle + poller
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/") as r:
+            page = r.read().decode()
+        assert 'id="preview"' in page and "/preview?id=" in page
+        # unit: the projection yields a latent-resolution RGB in [0, 1]
+        seq = np.random.RandomState(0).randn(4 * 4, 32 * 4).astype(np.float32)
+        rgb = packed_to_rgb_preview(seq, 64, 64)
+        assert rgb.shape == (8, 8, 3)
+        assert rgb.min() >= 0.0 and rgb.max() <= 1.0
     finally:
         httpd.shutdown()
         server.shutdown()
