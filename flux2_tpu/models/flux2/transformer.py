@@ -255,7 +255,11 @@ def double_block(
         k = jnp.concatenate([k[:, :, :s_txt], ck, k[:, :, s_txt:]], axis=2)
         v = jnp.concatenate([v[:, :, :s_txt], cv, v[:, :, s_txt:]], axis=2)
 
-    attn = sdpa(q, k, v, bias=attn_bias, blocked_span=blocked_span, ring=ring)
+    # qk are RMS-normed above: logits are range-bounded, unlocking the
+    # flash kernel's constant-anchor softmax at long S (safe for
+    # gamma_q*gamma_k up to ~7.8; violations surface as NaN).
+    attn = sdpa(q, k, v, bias=attn_bias, blocked_span=blocked_span, ring=ring,
+                bounded_logits=True)
     txt_attn, img_attn = attn[:, :, :s_txt], attn[:, :, s_txt:]
 
     img = img + gate(mm(_unheads(img_attn), bp["to_out"]), bp_gate(img_mod, 0))
@@ -312,7 +316,8 @@ def single_block(
         k = jnp.concatenate([k[:, :, :txt_len], ck, k[:, :, txt_len:]], axis=2)
         v = jnp.concatenate([v[:, :, :txt_len], cv, v[:, :, txt_len:]], axis=2)
 
-    attn = _unheads(sdpa(q, k, v, bias=attn_bias, blocked_span=blocked_span, ring=ring))
+    attn = _unheads(sdpa(q, k, v, bias=attn_bias, blocked_span=blocked_span, ring=ring,
+                         bounded_logits=True))  # qk RMS-normed above
     mlp = jax.nn.silu(mm(x_n, bp["mlp_gate"])) * (mm(x_n, bp["mlp_up"]))
     out = mm(attn, bp["out_attn"]) + mm(mlp, bp["out_mlp"])
     res = x + gate(out, bp_gate(mod, 0))

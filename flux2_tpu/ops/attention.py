@@ -74,6 +74,7 @@ def sdpa(
     bias: Optional[jnp.ndarray] = None,
     blocked_span: Optional[tuple] = None,
     ring: Optional[tuple] = None,
+    bounded_logits: bool = False,
 ) -> jnp.ndarray:
     """Dispatching scaled dot-product attention ([B, H, S, D]).
 
@@ -86,6 +87,10 @@ def sdpa(
     around the ICI ring (``flux2_tpu.parallel.ring_attention``). Only taken
     for unmasked attention (bias/blocked_span fall back to the dense paths,
     which the masked KV-extract pass uses once per generation).
+
+    ``bounded_logits=True``: caller certifies qk-normed (range-bounded)
+    logits, unlocking the flash kernel's constant-anchor softmax at long S
+    (see flash_attention.bounded_logits).
     """
     if ring is not None and bias is None and blocked_span is None:
         from flux2_tpu.parallel.ring_attention import ring_attention
@@ -98,7 +103,8 @@ def sdpa(
         from flux2_tpu.ops import flash_attention as fa
 
         if fa.supported(q, k, v):
-            return fa.flash_attention(q, k, v, scale=scale, blocked_span=blocked_span)
+            return fa.flash_attention(q, k, v, scale=scale, blocked_span=blocked_span,
+                                      bounded_logits=bounded_logits)
     if blocked_span is not None:
         q0, q1, k0 = blocked_span
         row = jnp.arange(q.shape[2])

@@ -124,3 +124,82 @@ def test_flash_attention_gradients_blocked_span():
     ))(q)
     gx = jax.grad(lambda q: jnp.sum(sdpa_xla(q, k, v, bias=bias) ** 2))(q)
     np.testing.assert_allclose(np.asarray(gf), np.asarray(gx), atol=3e-4)
+
+
+def test_pick_block_k_divisor_selection():
+    """Long-sequence tiling picks a block that divides the padded KV length
+    (interior tiles then skip the padding mask entirely); prime-ish lengths
+    fall back to the masked 1024 path."""
+    from flux2_tpu.ops import flash_attention as fa
+
+    assert fa._pick_block_k(4608) == 4608  # single-block regime
+    # 16896 keys = 132 blocks of 128 -> 22*128 = 2816 divides exactly
+    assert fa._pick_block_k(16896) == 2816
+    assert 16896 % fa._pick_block_k(16896) == 0
+    # 16384 = 128 blocks -> largest divisor under the cap is 16*128 = 2048
+    assert fa._pick_block_k(16384) == 2048
+    # 131 blocks (prime): no usable divisor -> masked fallback
+    assert fa._pick_block_k(131 * 128) == fa.TILED_BLOCK_K
+
+
+def test_flash_attention_tiled_divisible_and_padded(monkeypatch):
+    """The tiled multi-k-block path (cond-gated masks): exact-divisor KV and
+    ragged (padded final block) KV both match XLA."""
+    from flux2_tpu.ops import flash_attention as fa
+
+    monkeypatch.setattr(fa, "MAX_SINGLE_BLOCK_K", 128)
+    monkeypatch.setattr(fa, "MAX_TILED_BLOCK_K", 256)
+    ks = jax.random.split(jax.random.PRNGKey(7), 3)
+    # S=512 -> 4 blocks of 128 -> bk=256 divides exactly (maskless interior)
+    q = jax.random.normal(ks[0], (1, 3, 512, 128))
+    k = jax.random.normal(ks[1], (1, 3, 512, 128))
+    v = jax.random.normal(ks[2], (1, 3, 512, 128))
+    out = fa.flash_attention(q, k, v, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(sdpa_xla(q, k, v)), atol=2e-5)
+    # S=450 -> padded to 512, final block carries the cond-gated pad mask
+    qr, kr, vr = q[:, :, :450], k[:, :, :450], v[:, :, :450]
+    out_r = fa.flash_attention(qr, kr, vr, interpret=True)
+    np.testing.assert_allclose(np.asarray(out_r), np.asarray(sdpa_xla(qr, kr, vr)), atol=2e-5)
+    # gradients through the tiled path
+    def loss(q, k, v):
+        return jnp.sum(fa.flash_attention(q, k, v, interpret=True) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(sdpa_xla(q, k, v) ** 2)
+
+    gf = jax.grad(loss, argnums=(0, 1, 2))(qr, kr, vr)
+    gx = jax.grad(loss_ref, argnums=(0, 1, 2))(qr, kr, vr)
+    for a, b in zip(gf, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-4)
+
+
+def test_flash_attention_const_anchor_and_killswitch(monkeypatch):
+    """bounded_logits unlocks the constant-anchor softmax on the tiled path;
+    results match XLA and the FLUX2_FLASH_EXACT_MAX running-max path."""
+    from flux2_tpu.ops import flash_attention as fa
+
+    monkeypatch.setattr(fa, "MAX_SINGLE_BLOCK_K", 128)
+    monkeypatch.setattr(fa, "MAX_TILED_BLOCK_K", 256)
+    ks = jax.random.split(jax.random.PRNGKey(11), 3)
+    # qk-norm-like magnitudes: rows ~ unit RMS (the bounded_logits contract)
+    q = jax.random.normal(ks[0], (1, 2, 384, 128))
+    k = jax.random.normal(ks[1], (1, 2, 384, 128))
+    v = jax.random.normal(ks[2], (1, 2, 384, 128))
+    anchored = fa._flash_impl(q, k, v, interpret=True, bounded_logits=True)
+    np.testing.assert_allclose(np.asarray(anchored), np.asarray(sdpa_xla(q, k, v)), atol=2e-5)
+    monkeypatch.setattr(fa, "_EXACT_MAX", True)
+    exact = fa._flash_impl(q, k, v, interpret=True, bounded_logits=True)
+    np.testing.assert_allclose(np.asarray(anchored), np.asarray(exact), atol=2e-5)
+    # gradients through the const-anchor path (lse with anchor 0)
+    monkeypatch.setattr(fa, "_EXACT_MAX", False)
+
+    def loss(q, k, v):
+        return jnp.sum(fa.flash_attention(q, k, v, interpret=True, bounded_logits=True) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(sdpa_xla(q, k, v) ** 2)
+
+    gf = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-4)
