@@ -97,7 +97,8 @@ def sdpa(
 
         mesh, axis = ring
         if q.shape[2] % mesh.shape[axis] == 0 and k.shape[2] % mesh.shape[axis] == 0:
-            return ring_attention(q, k, v, mesh=mesh, axis=axis, scale=scale)
+            return ring_attention(q, k, v, mesh=mesh, axis=axis, scale=scale,
+                                  bounded_logits=bounded_logits)
         _warn_ring_fallback(q.shape[2], k.shape[2], mesh.shape[axis])
     if bias is None and _flash_enabled() and _on_tpu():
         from flux2_tpu.ops import flash_attention as fa

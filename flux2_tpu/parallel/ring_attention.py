@@ -34,7 +34,7 @@ from flux2_tpu.parallel.mesh import TP_AXIS
 NEG_INF = -1e30
 
 
-def _ring_attention_local(q, k, v, *, axis: str, scale: float, use_flash: bool = False, interpret: bool = False):
+def _ring_attention_local(q, k, v, *, axis: str, scale: float, use_flash: bool = False, interpret: bool = False, bounded_logits: bool = False):
     """shard_map body: q/k/v are LOCAL shards [B, H, S/n, D].
 
     ``use_flash=True`` computes each ring step's local block with the Pallas
@@ -52,8 +52,9 @@ def _ring_attention_local(q, k, v, *, axis: str, scale: float, use_flash: bool =
         def step(carry, _):
             k_cur, v_cur, lse, out = carry
             o_i, lse_i = _flash_impl(
-                q, k_cur, v_cur, scale=scale, interpret=interpret, return_lse=True
-            )  # o_i [B,H,S,D], lse_i [B,H,S]
+                q, k_cur, v_cur, scale=scale, interpret=interpret, return_lse=True,
+                bounded_logits=bounded_logits,
+            )  # o_i [B,H,S,D], lse_i [B,H,S] (LSE is anchor-invariant)
             lse_new = jnp.logaddexp(lse, lse_i)
             w_old = jnp.exp(lse - lse_new)[..., None]
             w_new = jnp.exp(lse_i - lse_new)[..., None]
@@ -108,6 +109,7 @@ def ring_attention(
     scale: Optional[float] = None,
     use_flash: Optional[bool] = None,
     interpret: bool = False,
+    bounded_logits: bool = False,
 ) -> jnp.ndarray:
     """Exact non-causal attention with the sequence axis sharded over `axis`.
 
@@ -137,7 +139,7 @@ def ring_attention(
         head_axis = TP_AXIS
     spec = P(None, head_axis, axis, None)
     fn = jax.shard_map(
-        functools.partial(_ring_attention_local, axis=axis, scale=float(scale), use_flash=bool(use_flash), interpret=interpret),
+        functools.partial(_ring_attention_local, axis=axis, scale=float(scale), use_flash=bool(use_flash), interpret=interpret, bounded_logits=bounded_logits),
         mesh=mesh,
         in_specs=(spec, spec, spec),
         out_specs=spec,
