@@ -24,6 +24,19 @@ program at a time; the compiled-fn cache makes repeat shapes fast.
                               headers; the demo page polls this — the web
                               counterpart of the app's live checkpoint
                               previews)
+  POST /chat               -> {"messages": [{role, content}, ...],
+                              "max_tokens", "temperature", "seed",
+                              "stream": bool} — chat on the attached text
+                              encoder (the app's ChatViewModel surface);
+                              stream=true sends chunked token pieces with a
+                              \\x1e-separated JSON stats trailer, else JSON
+                              {"reply", "tokens", "duration_s", "tok_per_s"};
+                              503 when no encoder is attached
+  GET  /models             -> model-manager inventory (the app's
+                              ModelManager surface): registry repos with
+                              download state + on-disk sizes, loaded
+                              model/encoder, HBM stats, recommended
+                              quantization
 
 Micro-batching: concurrent /generate requests with the same
 (width, height, steps, guidance) coalesce into one batched generate call
@@ -107,6 +120,10 @@ def _png_bytes(image: np.ndarray) -> bytes:
     return buf.getvalue()
 
 
+class ChatUnavailableError(RuntimeError):
+    """Raised by /chat when no text encoder is attached."""
+
+
 class QueueFullError(RuntimeError):
     pass
 
@@ -131,10 +148,16 @@ class Flux2Server:
         batch_window_s: float = 0.05,
         max_queue: int = 64,
         max_wait_s: float = 10.0,
+        chat_fn=None,
     ):
         self.pipeline = pipeline
         self.embeddings_fn = embeddings_fn  # prompt -> embeddings (random-init mode)
+        self.chat_fn = chat_fn  # override for tests; None -> pipeline's encoder
         self.lock = threading.Lock()
+        # The chip runs one program at a time: chat decoding (handler thread)
+        # and image batches (worker thread) take this lock around device work.
+        self.chip_lock = threading.Lock()
+        self.chats_served = 0
         self.started = time.time()
         self.requests_served = 0
         self.batches_run = 0
@@ -252,22 +275,23 @@ class Flux2Server:
             # Cooperative cancel: abort the compiled scan once EVERY request
             # in the batch has been abandoned (timeout / client gone).
             cancel = _BatchCancel(batch)
-            res = self.pipeline.generate(
-                prompt=req0.get("prompt", ""),
-                embeddings=emb,
-                height=h,
-                width=w,
-                num_steps=steps,
-                guidance=guidance,
-                seed=int(req0.get("seed", 0)),
-                noise=jnp.concatenate(noise_rows, axis=0),
-                reference_latents=ref_lat,
-                reference_ids=ref_ids,
-                strength=strength,
-                init_latents=init,
-                cancel=cancel,
-                on_latents=on_latents,
-            )
+            with self.chip_lock:
+                res = self.pipeline.generate(
+                    prompt=req0.get("prompt", ""),
+                    embeddings=emb,
+                    height=h,
+                    width=w,
+                    num_steps=steps,
+                    guidance=guidance,
+                    seed=int(req0.get("seed", 0)),
+                    noise=jnp.concatenate(noise_rows, axis=0),
+                    reference_latents=ref_lat,
+                    reference_ids=ref_ids,
+                    strength=strength,
+                    init_latents=init,
+                    cancel=cancel,
+                    on_latents=on_latents,
+                )
             images = res.images if res.images is not None else res.image[None]
             for i, p in enumerate(batch):
                 p.image = images[min(i, images.shape[0] - 1)]
@@ -350,8 +374,135 @@ class Flux2Server:
             "uptime_s": round(time.time() - self.started, 1),
             "requests_served": self.requests_served,
             "batches_run": self.batches_run,
+            "chats_served": self.chats_served,
             "max_batch": self.max_batch,
             "queue_depth": len(self._queue),
+        }
+
+    # -- chat (the app's ChatViewModel surface) --------------------------------
+
+    def chat_available(self) -> bool:
+        return self.chat_fn is not None or (
+            getattr(self.pipeline, "encoders", None) is not None
+            and self.pipeline.text_encoder_name is not None
+        )
+
+    def chat(self, messages, *, max_tokens: int = 512, temperature: float = 0.7,
+             seed: int = 0, on_token=None) -> dict:
+        """Run a chat turn on the attached text encoder (reference:
+        ChatViewModel.sendMessage — streaming tokens + GenerationStats).
+
+        Returns {"reply", "tokens", "duration_s", "tok_per_s"}. Raises
+        ChatUnavailableError when no encoder is attached (random-init /
+        --no-text-encoder servers)."""
+        if not isinstance(messages, list) or not messages:
+            raise ValueError("messages must be a non-empty list of {role, content}")
+        t0 = time.time()
+        ntok = [0]
+
+        def counting(piece):
+            ntok[0] += 1
+            if on_token is not None:
+                on_token(piece)
+
+        if self.chat_fn is not None:
+            reply = self.chat_fn(messages, max_tokens=max_tokens,
+                                 temperature=temperature, seed=seed, on_token=counting)
+        else:
+            pipe = self.pipeline
+            if getattr(pipe, "encoders", None) is None or pipe.text_encoder_name is None:
+                raise ChatUnavailableError(
+                    "no text encoder attached — start serve with real weights "
+                    "(not --random-init / --no-text-encoder) to enable chat"
+                )
+            from flux2_tpu.models.text_encoders.generation import GenerateParameters
+
+            with self.chip_lock:  # decoding and image batches share the chip
+                reply = pipe.encoders.chat(
+                    messages, pipe.text_encoder_name,
+                    params=GenerateParameters(max_tokens=int(max_tokens),
+                                              temperature=float(temperature)),
+                    seed=int(seed), on_token=counting,
+                )
+        dur = max(time.time() - t0, 1e-6)
+        with self.lock:
+            self.chats_served += 1
+        return {"reply": reply, "tokens": ntok[0], "duration_s": round(dur, 2),
+                "tok_per_s": round(ntok[0] / dur, 1)}
+
+    # -- model manager (the app's ModelManager surface) ------------------------
+
+    def models(self) -> dict:
+        """Model-manager inventory: every registry repo with its download
+        state and on-disk size, plus live device-memory stats (reference:
+        ModelManager @Published download/size/MemoryStats state)."""
+        import os
+
+        from flux2_tpu.io import registry
+        from flux2_tpu.utils import memory as mem
+
+        def disk_size(path):
+            if not path:
+                return 0
+            total = 0
+            for root, _, files in os.walk(path):
+                for f in files:
+                    try:
+                        total += os.path.getsize(os.path.join(root, f))
+                    except OSError:
+                        pass
+            return total
+
+        transformers = []
+        for model, spec in registry.TRANSFORMER_REPOS.items():
+            path = registry.find_model_path(spec)
+            transformers.append({
+                "model": model.value,
+                "repo": spec.repo_id,
+                "gated": spec.gated,
+                "approx_size_gb": spec.approx_size_gb,
+                "downloaded": path is not None,
+                "size_bytes": disk_size(path),
+                "prequantized": sorted(
+                    fmt for (m, fmt) in registry.PREQUANTIZED_TRANSFORMER_REPOS if m is model
+                ),
+                "loaded": model is self.pipeline.model,
+            })
+        encoders = []
+        for name, spec in registry.TEXT_ENCODER_REPOS.items():
+            path = registry.find_model_path(spec)
+            encoders.append({
+                "name": name,
+                "repo": spec.repo_id,
+                "gated": spec.gated,
+                "approx_size_gb": spec.approx_size_gb,
+                "downloaded": path is not None,
+                "size_bytes": disk_size(path),
+                "variants": sorted(registry.ENCODER_VARIANT_REPOS.get(name, {})),
+                "loaded": name == self.pipeline.text_encoder_name,
+            })
+        vae_path = registry.find_model_path(registry.VAE_REPO)
+        try:
+            hbm = mem.device_memory_stats()
+        except Exception:  # CPU backends may not report memory stats
+            hbm = {}
+        return {
+            "loaded": {
+                "model": self.pipeline.model.value,
+                "encoder": self.pipeline.text_encoder_name,
+                "sharded": self.pipeline.mesh is not None,
+                "chat_available": self.chat_available(),
+            },
+            "memory": hbm,
+            "recommended_quantization": mem.recommended_quantization(self.pipeline.model),
+            "models_dir": registry.models_dir(),
+            "transformers": transformers,
+            "text_encoders": encoders,
+            "vae": {
+                "repo": registry.VAE_REPO.repo_id,
+                "downloaded": vae_path is not None,
+                "size_bytes": disk_size(vae_path),
+            },
         }
 
 
@@ -367,8 +518,23 @@ _DEMO_HTML = """<!doctype html>
  #prompt{flex:1;min-width:320px} button{background:#2d4a8a;color:#fff;border:none;cursor:pointer}
  button:disabled{background:#999} #out img{max-width:100%;border-radius:8px;margin-top:1rem}
  #status{color:#666;font-size:.85rem;white-space:pre-wrap}
+ nav{display:flex;gap:.4rem;margin:.8rem 0} nav button{background:#eee;color:#1a1a2e}
+ nav button.on{background:#2d4a8a;color:#fff} .pane{display:none} .pane.on{display:block}
+ #chatlog{border:1px solid #ddd;border-radius:8px;padding:.6rem;min-height:180px;max-height:420px;
+  overflow-y:auto;margin:.5rem 0;font-size:.95rem;white-space:pre-wrap}
+ .msg-u{color:#2d4a8a;font-weight:600} .msg-a{color:#1a1a2e}
+ table{border-collapse:collapse;width:100%;font-size:.85rem;margin:.5rem 0}
+ th,td{border-bottom:1px solid #ddd;padding:.3rem .5rem;text-align:left}
+ .badge{font-size:.75rem;padding:.1rem .4rem;border-radius:4px;background:#e6efe6;color:#22662a}
+ .badge.off{background:#f0f0f0;color:#888}
 </style></head><body>
 <h1>flux2-tpu</h1>
+<nav>
+ <button id="tab-gen" class="on" onclick="tab('gen')">Generate</button>
+ <button id="tab-chat" onclick="tab('chat')">Chat</button>
+ <button id="tab-models" onclick="tab('models')">Models</button>
+</nav>
+<div id="pane-gen" class="pane on">
 <div class="row"><input id="prompt" placeholder="prompt" value="a serene mountain lake at dawn"></div>
 <div class="row">
  <select id="size"><option>512</option><option selected>1024</option><option>2048</option></select>
@@ -384,6 +550,69 @@ _DEMO_HTML = """<!doctype html>
  <label><input id="preview" type="checkbox" checked> live preview</label>
 </div>
 <div id="status"></div><div id="out"></div>
+</div>
+<div id="pane-chat" class="pane">
+ <div id="chatlog"></div>
+ <div class="row">
+  <input id="chatin" placeholder="message" style="flex:1;min-width:280px"
+   onkeydown="if(event.key==='Enter')sendChat()">
+  <input id="maxtok" type="number" value="512" min="16" max="4096" style="width:6rem" title="max tokens">
+  <input id="temp" type="number" value="0.7" step="0.1" min="0" max="2" style="width:5rem" title="temperature">
+  <button id="send" onclick="sendChat()">Send</button>
+  <button onclick="chatMsgs=[];document.getElementById('chatlog').textContent=''">Clear</button>
+ </div>
+ <div id="chatstats" style="color:#666;font-size:.85rem"></div>
+</div>
+<div id="pane-models" class="pane"><div id="modelsout">loading…</div></div>
+<script>
+function tab(t){for(const x of ['gen','chat','models']){
+ document.getElementById('tab-'+x).classList.toggle('on',x===t);
+ document.getElementById('pane-'+x).classList.toggle('on',x===t);}
+ if(t==='models')loadModels();}
+let chatMsgs=[];
+async function sendChat(){const inp=document.getElementById('chatin'),log=document.getElementById('chatlog');
+ const text=inp.value.trim();if(!text)return;inp.value='';
+ chatMsgs.push({role:'user',content:text});
+ log.innerHTML+=`<div class="msg-u">you: ${text.replace(/</g,'&lt;')}</div><div class="msg-a" id="cur"></div>`;
+ const b=document.getElementById('send');b.disabled=true;
+ try{const r=await fetch('/chat',{method:'POST',headers:{'Content-Type':'application/json'},
+   body:JSON.stringify({messages:chatMsgs,stream:true,
+     max_tokens:+document.getElementById('maxtok').value,
+     temperature:+document.getElementById('temp').value})});
+  if(!r.ok){throw new Error((await r.json()).error||r.statusText)}
+  const rd=r.body.getReader(),dec=new TextDecoder();let full='';
+  for(;;){const{done,value}=await rd.read();if(done)break;
+   full+=dec.decode(value,{stream:true});
+   const vis=full.split('\\x1e')[0];
+   document.getElementById('cur').textContent='model: '+vis;
+   log.scrollTop=log.scrollHeight;}
+  const parts=full.split('\\x1e');
+  chatMsgs.push({role:'assistant',content:parts[0].trimEnd()});
+  if(parts[1]){const s=JSON.parse(parts[1]);
+   document.getElementById('chatstats').textContent=
+    `${s.tokens} tokens in ${s.duration_s}s (${s.tok_per_s} tok/s)`;}
+ }catch(e){document.getElementById('cur').textContent='error: '+e;chatMsgs.pop();}
+ document.getElementById('cur').removeAttribute('id');b.disabled=false;}
+function gb(n){return n? (n/1073741824).toFixed(1)+' GB':'—';}
+async function loadModels(){const out=document.getElementById('modelsout');
+ try{const j=await(await fetch('/models')).json();
+  const row=m=>`<tr><td>${m.model||m.name}${m.loaded?' <span class="badge">loaded</span>':''}</td>`+
+   `<td>${m.repo}${m.gated?' 🔒':''}</td>`+
+   `<td><span class="badge${m.downloaded?'':' off'}">${m.downloaded?gb(m.size_bytes):'not downloaded'}</span></td>`+
+   `<td>${(m.prequantized||m.variants||[]).join(' ')||''}</td></tr>`;
+  const mem=j.memory&&j.memory.bytes_limit?
+   ` | HBM ${gb(j.memory.bytes_in_use)} / ${gb(j.memory.bytes_limit)}`:'';
+  out.innerHTML=`<div id="status">model ${j.loaded.model} | encoder ${j.loaded.encoder||'none'}`+
+   ` | chat ${j.loaded.chat_available?'available':'unavailable'}${mem}`+
+   ` | recommended quantization: ${j.recommended_quantization}</div>`+
+   `<table><tr><th>transformer</th><th>repo</th><th>local</th><th>prequantized</th></tr>`+
+   j.transformers.map(row).join('')+`</table>`+
+   `<table><tr><th>text encoder</th><th>repo</th><th>local</th><th>variants</th></tr>`+
+   j.text_encoders.map(row).join('')+`</table>`+
+   `<div id="status">VAE ${j.vae.repo}: ${j.vae.downloaded?gb(j.vae.size_bytes):'not downloaded'}`+
+   ` | models dir ${j.models_dir}</div>`;
+ }catch(e){out.textContent='error: '+e;}}
+</script>
 <script>
 async function refresh(){try{const r=await fetch('/info');const j=await r.json();
  document.getElementById('status').textContent=`model ${j.model} | ${j.backend} x${j.devices}`+
@@ -472,6 +701,11 @@ def make_handler(server: Flux2Server):
                 self.send_header("X-Total-Steps", str(entry["total"]))
                 self.end_headers()
                 self.wfile.write(entry["png"])
+            elif self.path == "/models":
+                try:
+                    self._json(200, server.models())
+                except Exception as e:
+                    self._json(500, {"error": f"{type(e).__name__}: {e}"})
             elif self.path in ("/", "/index.html"):
                 body = _DEMO_HTML.encode()
                 self.send_response(200)
@@ -483,6 +717,9 @@ def make_handler(server: Flux2Server):
                 self._json(404, {"error": "not found"})
 
         def do_POST(self):
+            if self.path == "/chat":
+                self._do_chat()
+                return
             if self.path != "/generate":
                 self._json(404, {"error": "not found"})
                 return
@@ -507,6 +744,60 @@ def make_handler(server: Flux2Server):
                 self.send_header("Content-Length", str(len(png)))
                 self.end_headers()
                 self.wfile.write(png)
+
+        def _do_chat(self):
+            """POST /chat: {"messages": [{role, content}, ...], "max_tokens",
+            "temperature", "seed", "stream": bool}.
+
+            stream=false -> JSON {"reply", "tokens", "duration_s", "tok_per_s"}.
+            stream=true  -> chunked text/plain token pieces as they decode
+            (the web counterpart of ChatViewModel's streaming tokens)."""
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(length) or b"{}")
+                kwargs = dict(
+                    max_tokens=int(req.get("max_tokens", 512)),
+                    temperature=float(req.get("temperature", 0.7)),
+                    seed=int(req.get("seed", 0)),
+                )
+                if not req.get("stream"):
+                    self._json(200, server.chat(req.get("messages"), **kwargs))
+                    return
+                if not server.chat_available():
+                    raise ChatUnavailableError(
+                        "no text encoder attached — start serve with real weights "
+                        "(not --random-init / --no-text-encoder) to enable chat"
+                    )
+                self.send_response(200)
+                self.send_header("Content-Type", "text/plain; charset=utf-8")
+                self.send_header("Transfer-Encoding", "chunked")
+                self.send_header("X-Accel-Buffering", "no")
+                self.end_headers()
+
+                def emit(piece: str):
+                    data = piece.encode("utf-8")
+                    if data:
+                        self.wfile.write(f"{len(data):x}\r\n".encode() + data + b"\r\n")
+                        self.wfile.flush()
+
+                stats = server.chat(req.get("messages"), on_token=emit, **kwargs)
+                # final chunk carries the stats as a JSON trailer line the
+                # demo page strips from the visible text
+                emit("\n\x1e" + json.dumps(
+                    {k: stats[k] for k in ("tokens", "duration_s", "tok_per_s")}
+                ))
+                self.wfile.write(b"0\r\n\r\n")
+            except ChatUnavailableError as e:
+                self._json(503, {"error": str(e)})
+            except (ValueError, TypeError, KeyError) as e:
+                self._json(400, {"error": f"{type(e).__name__}: {e}"})
+            except BrokenPipeError:  # client went away mid-stream
+                pass
+            except Exception as e:
+                try:
+                    self._json(500, {"error": f"{type(e).__name__}: {e}"})
+                except Exception:
+                    pass
 
     return Handler
 

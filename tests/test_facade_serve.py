@@ -387,3 +387,77 @@ def test_serving_live_previews():
     finally:
         httpd.shutdown()
         server.shutdown()
+
+
+def test_serving_chat_and_models(encoders):
+    """/chat runs a turn on the attached encoder (streaming + JSON), /models
+    returns the model-manager inventory — the serve counterparts of the
+    app's ChatViewModel / ModelManager (Sources/Flux2App/ViewModels/)."""
+    import urllib.error
+
+    from http.server import ThreadingHTTPServer
+
+    from flux2_tpu.serve import Flux2Server, make_handler
+    from tests.test_pipeline import tiny_pipeline
+
+    pipe = tiny_pipeline()
+    # no encoder attached -> chat unavailable (503), models still works
+    bare = Flux2Server(pipe, None)
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(bare))
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+
+    def post(path, payload):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}{path}", data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"}, method="POST")
+        return urllib.request.urlopen(req)
+
+    try:
+        with pytest.raises(urllib.error.HTTPError) as e:
+            post("/chat", {"messages": [{"role": "user", "content": "hi"}]})
+        assert e.value.code == 503
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/models") as r:
+            inv = json.loads(r.read())
+        assert inv["loaded"]["model"] == pipe.model.value
+        assert inv["loaded"]["chat_available"] is False
+        models = {t["model"] for t in inv["transformers"]}
+        assert {"klein-4b", "klein-9b", "dev"} <= models
+        k4 = next(t for t in inv["transformers"] if t["model"] == "klein-4b")
+        assert k4["repo"].startswith("black-forest-labs/") and "qint8" in k4["prequantized"]
+        assert {e["name"] for e in inv["text_encoders"]} >= {"qwen3-4b", "mistral-small-3.2"}
+        assert inv["recommended_quantization"] in ("bf16", "qint8", "w8a8", "qint4", "w4a8")
+        # demo page carries the chat + models tabs
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/") as r:
+            page = r.read().decode()
+        assert "/chat" in page and "/models" in page and 'id="chatlog"' in page
+    finally:
+        httpd.shutdown()
+        bare.shutdown()
+
+    # real facade path: tiny decoder attached through the pipeline
+    pipe.encoders = encoders
+    pipe.text_encoder_name = "tiny"
+    server = Flux2Server(pipe, None)
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(server))
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        with post("/chat", {"messages": [{"role": "user", "content": "hello world"}],
+                            "max_tokens": 4, "temperature": 0.0}) as r:
+            out = json.loads(r.read())
+        assert out["reply"] and out["tokens"] >= 1 and out["tok_per_s"] > 0
+        # streaming: chunked token pieces then a \x1e-separated stats trailer
+        with post("/chat", {"messages": [{"role": "user", "content": "hello"}],
+                            "max_tokens": 4, "temperature": 0.0, "stream": True}) as r:
+            raw = r.read().decode()
+        visible, _, trailer = raw.partition("\x1e")
+        assert visible.strip()
+        stats = json.loads(trailer)
+        assert stats["tokens"] >= 1 and stats["duration_s"] >= 0
+        assert server.chats_served == 2
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/models") as r:
+            assert json.loads(r.read())["loaded"]["chat_available"] is True
+    finally:
+        httpd.shutdown()
+        server.shutdown()
