@@ -249,8 +249,17 @@ def forward_logits(
         attention_mask = jnp.ones((b, s), jnp.int32)
     hs = forward_hidden_states(params, cfg, input_ids, attention_mask)
     x = rms_norm(hs[-1], params["final_norm"], cfg.rms_norm_eps)
-    head = params["embed_tokens"].T if cfg.tie_word_embeddings else params["lm_head"]
-    return (x @ head).astype(jnp.float32)
+    return _logits(params, cfg, x)
+
+
+def _logits(params: Params, cfg: DecoderConfig, h: jnp.ndarray) -> jnp.ndarray:
+    """Vocabulary projection. The untied lm_head is a matmul leaf, so
+    quantize_params() may have turned it into a QTensor — route through
+    q_matmul instead of `@` (a quantized Mistral checkpoint would otherwise
+    crash the first chat/upsample logits call)."""
+    if cfg.tie_word_embeddings:
+        return (h @ params["embed_tokens"].T).astype(jnp.float32)
+    return mm(h, params["lm_head"]).astype(jnp.float32)
 
 
 def decode_step(
@@ -281,8 +290,7 @@ def decode_step(
     (x_out,), kv = jax.lax.scan(body, (x,), (params["layers"], cache.k, cache.v))
     new_cache = KVCache(kv[0], kv[1], cache.length + 1)
     h = rms_norm(x_out[:, -1], params["final_norm"], cfg.rms_norm_eps)
-    head = params["embed_tokens"].T if cfg.tie_word_embeddings else params["lm_head"]
-    return (h @ head).astype(jnp.float32), new_cache
+    return _logits(params, cfg, h), new_cache
 
 
 def prefill(
@@ -317,5 +325,4 @@ def prefill(
     (x_out,), kv = jax.lax.scan(body, (x,), (params["layers"], cache.k, cache.v))
     new_cache = KVCache(kv[0], kv[1], jnp.int32(s))
     h = rms_norm(x_out[:, -1], params["final_norm"], cfg.rms_norm_eps)
-    head = params["embed_tokens"].T if cfg.tie_word_embeddings else params["lm_head"]
-    return (h @ head).astype(jnp.float32), new_cache
+    return _logits(params, cfg, h), new_cache

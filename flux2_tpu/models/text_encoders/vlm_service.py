@@ -35,6 +35,16 @@ SCORING_SYSTEM_PROMPT = (
 )
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=8)
+def _qwen35_prefill(cfg: qwen35.Qwen35TextConfig):
+    return jax.jit(
+        lambda p, i, c, e: qwen35.forward_cached(p, cfg, i, c, jnp.int32(0), inputs_embeds=e)
+    )
+
+
 def parse_scores(text: str) -> Tuple[float, float]:
     """Parse 'scene=<n> style=<n>' with graceful fallback to 0/0."""
     scene = re.search(r"scene\s*[=:]\s*([0-9]+(?:\.[0-9]+)?)", text, re.I)
@@ -87,23 +97,23 @@ class MistralVLMService:
         )
 
         gp = gen_params or generation.GenerateParameters(max_tokens=128, temperature=0.2)
-        max_len = len(ids) + gp.max_tokens
-        cache = decoder.init_kv_cache(self.lm_config, 1, max_len, dtype=jnp.float32)
-        logits, cache = decoder.prefill(self.lm_params, self.lm_config, input_ids, cache, inputs_embeds=merged)
+        # Bucket so prompt-length jitter reuses the compiled decode loop.
+        max_len = -(-(len(ids) + gp.max_tokens) // 256) * 256
+        dtype = generation._stream_dtype(self.lm_params)
+        cache = decoder.init_kv_cache(self.lm_config, 1, max_len, dtype=dtype)
+        logits, cache = generation.prefill_embeds_runner(self.lm_config)(
+            self.lm_params, input_ids, cache, merged
+        )
 
         eos = getattr(self.tokenizer, "eos_token_id", None)
-        out_tokens: List[int] = []
-        key = jax.random.PRNGKey(seed)
-        step = jax.jit(lambda p, t, c: decoder.decode_step(p, self.lm_config, t, c))
-        recent: List[int] = []
-        for _ in range(gp.max_tokens):
-            key, k = jax.random.split(key)
-            token = generation._sample_token(k, np.asarray(logits[0]), recent, gp)
-            if eos is not None and token == eos:
-                break
-            out_tokens.append(token)
-            recent = (recent + [token])[-gp.repetition_context_size :]
-            logits, cache = step(self.lm_params, jnp.asarray([[token]], jnp.int32), cache)
+        step_fn, carry_len = generation.decoder_step_fn(self.lm_config)
+        out_tokens = generation.decode_loop(
+            self.lm_params, logits, cache,
+            loop_key=("decoder", self.lm_config, str(jnp.dtype(dtype))),
+            step_fn=step_fn, carry_len=carry_len, max_len=max_len,
+            gen_params=gp, eos_token_ids=[eos] if eos is not None else None,
+            seed=seed,
+        )
         return self.tokenizer.decode(out_tokens)
 
 
@@ -147,22 +157,33 @@ class Qwen35VLMService:
         text_ids = list(self.tokenizer.apply_chat_template(messages, add_generation_prompt=True))
         ids, merged = self._merged_inputs(text_ids, image)
 
-        max_len = ids.shape[1] + max_tokens
+        # Bucket so prompt-length jitter reuses the compiled decode loop.
+        max_len = -(-(ids.shape[1] + max_tokens) // 256) * 256
         cache = qwen35.init_hybrid_cache(self.lm_config, batch=1, max_len=max_len)
-        prefill = jax.jit(lambda p, i, c, e: qwen35.forward_cached(p, self.lm_config, i, c, jnp.int32(0), inputs_embeds=e))
-        step = jax.jit(lambda p, t, c, pos: qwen35.forward_cached(p, self.lm_config, t, c, pos))
+        logits, cache = _qwen35_prefill(self.lm_config)(self.lm_params, ids, cache, merged)
 
-        logits, cache = prefill(self.lm_params, ids, cache, merged)
+        # Greedy decode via the shared chunked device loop: carry is
+        # (hybrid cache, absolute position) because forward_cached threads
+        # start_pos explicitly for MRoPE.
+        cfg = self.lm_config
+
+        def step_fn(p, tok, carry):
+            c, pos = carry
+            lg, nc = qwen35.forward_cached(p, cfg, tok, c, pos)
+            return lg, (nc, pos + 1)
+
         eos = getattr(self.tokenizer, "eos_token_id", None)
-        out: List[int] = []
-        pos = ids.shape[1]
-        for _ in range(max_tokens):
-            token = int(np.argmax(np.asarray(logits[0])))
-            if eos is not None and token == eos:
-                break
-            out.append(token)
-            logits, cache = step(self.lm_params, jnp.asarray([[token]], jnp.int32), cache, jnp.int32(pos))
-            pos += 1
+        out = generation.decode_loop(
+            self.lm_params, logits, (cache, jnp.int32(ids.shape[1])),
+            loop_key=("qwen35", cfg),
+            step_fn=step_fn, carry_len=lambda carry: carry[1],
+            max_len=max_len,
+            gen_params=generation.GenerateParameters(
+                max_tokens=max_tokens, temperature=0.0, repetition_penalty=1.0
+            ),
+            eos_token_ids=[eos] if eos is not None else None,
+            seed=seed,
+        )
         return self.tokenizer.decode(out)
 
     def score_validation_image(

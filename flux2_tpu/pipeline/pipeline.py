@@ -98,6 +98,11 @@ class Flux2Pipeline:
     lora_num_steps: Optional[int] = None
     lora_guidance: Optional[float] = None
     lora_keywords: Sequence[str] = ()
+    # VAE decode compute dtype. The reference decodes in the checkpoint's
+    # stream dtype (bf16) with f32 GroupNorm statistics (ResnetBlock.swift:
+    # 33-47); matching that halves decode HBM traffic and conv time on the
+    # MXU. Set to jnp.float32 for full-precision quality comparisons.
+    vae_compute_dtype: Any = jnp.bfloat16
 
     # ------------------------------------------------------------------
     # Construction helpers
@@ -523,7 +528,8 @@ class Flux2Pipeline:
             and max(height, width) > self.memory_profile.vae_tile_threshold_px
         )
         return _decode_latents_jit(
-            self.vae_params, self.vae_config, latents_seq, height, width, tiled
+            self.vae_params, self.vae_config, latents_seq, height, width, tiled,
+            compute_dtype=self.vae_compute_dtype,
         )
 
     def decode_latents_u8(self, latents_seq: jnp.ndarray, height: int, width: int) -> jnp.ndarray:
@@ -533,7 +539,8 @@ class Flux2Pipeline:
             and max(height, width) > self.memory_profile.vae_tile_threshold_px
         )
         return _decode_latents_jit(
-            self.vae_params, self.vae_config, latents_seq, height, width, tiled, True
+            self.vae_params, self.vae_config, latents_seq, height, width, tiled, True,
+            compute_dtype=self.vae_compute_dtype,
         )
 
     def encode_image_to_packed_sequence(
@@ -772,20 +779,30 @@ def _denoise_kv_cached(
     return lat
 
 
-@functools.partial(jax.jit, static_argnames=("vae_config", "height", "width", "tiled", "as_uint8"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("vae_config", "height", "width", "tiled", "as_uint8", "compute_dtype"),
+)
 def _decode_latents_jit(
     vae_params, vae_config, latents_seq, height: int, width: int,
-    tiled: bool = False, as_uint8: bool = False,
+    tiled: bool = False, as_uint8: bool = False, compute_dtype=jnp.bfloat16,
 ):
     patched = lu.unpack_sequence_to_patchified(latents_seq, height, width)
     mean, var = vae_mod.get_batchnorm_stats(vae_params)
     denormed = lu.denormalize_with_batchnorm(patched, mean, var)
     z = lu.unpatchify_latents(denormed)
+    # Convs run in compute_dtype (bf16 streams on the MXU); group_norm keeps
+    # f32 statistics internally, and the [-1,1]->[0,1] epilogue is f32.
+    vp = jax.tree_util.tree_map(
+        lambda x: x.astype(compute_dtype)
+        if jnp.issubdtype(x.dtype, jnp.floating) else x,
+        vae_params,
+    )
     if tiled:
-        img = vae_mod.decode_tiled(vae_params, z.astype(jnp.float32), vae_config)
+        img = vae_mod.decode_tiled(vp, z.astype(compute_dtype), vae_config)
     else:
-        img = vae_mod.decode(vae_params, z.astype(jnp.float32), vae_config)
-    img = jnp.clip(img * 0.5 + 0.5, 0.0, 1.0)
+        img = vae_mod.decode(vp, z.astype(compute_dtype), vae_config)
+    img = jnp.clip(img.astype(jnp.float32) * 0.5 + 0.5, 0.0, 1.0)
     img = img.transpose(0, 2, 3, 1)  # NCHW -> NHWC
     if as_uint8:
         img = jnp.clip(img * 255.0 + 0.5, 0.0, 255.0).astype(jnp.uint8)

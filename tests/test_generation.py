@@ -131,3 +131,48 @@ def test_subject_mask_shapes_and_convention():
     assert mask[32, 32] < 0.5
     assert mask[2, 2] > 0.5
     assert 0.0 <= mask.min() and mask.max() <= 1.0
+
+
+@pytest.mark.slow
+def test_device_loop_matches_host_oracle(params):
+    """The chunked device-side decode loop must reproduce the host
+    step-per-call oracle exactly under greedy decoding (penalty on/off,
+    EOS, chunk-boundary crossing) and behave equivalently when sampling."""
+    for p in (
+        gen.GenerateParameters(max_tokens=8, temperature=0.0),
+        gen.GenerateParameters(max_tokens=24, temperature=0.0, repetition_penalty=1.5),
+        # > DECODE_CHUNK tokens: crosses a chunk boundary
+        gen.GenerateParameters(max_tokens=gen.DECODE_CHUNK + 5, temperature=0.0),
+    ):
+        host = gen.generate_host(params, CFG, [1, 2, 3], p, seed=0)
+        dev = gen.generate(params, CFG, [1, 2, 3], p, seed=0)
+        assert dev == host, p
+    # EOS parity: stop on the first generated token
+    p = gen.GenerateParameters(max_tokens=50, temperature=0.0)
+    first = gen.generate_host(params, CFG, [1, 2, 3], p)[0]
+    assert gen.generate(params, CFG, [1, 2, 3], p, eos_token_ids=[first]) == []
+    # sampled path: deterministic per seed, valid ids, max_tokens respected
+    p = gen.GenerateParameters(max_tokens=20, temperature=0.9, top_p=0.9)
+    a = gen.generate(params, CFG, [1, 2, 3], p, seed=7)
+    b = gen.generate(params, CFG, [1, 2, 3], p, seed=7)
+    assert a == b and len(a) <= 20
+    assert all(0 <= t < CFG.vocab_size for t in a)
+
+
+@pytest.mark.slow
+def test_generation_with_quantized_untied_lm_head():
+    """quantize_params() turns an untied lm_head into a QTensor; generation
+    must route the vocab projection through q_matmul (a quantized Mistral
+    encoder chat would otherwise crash on `h @ W8A8Tensor`)."""
+    import dataclasses as dc
+
+    from flux2_tpu.ops import quant
+
+    cfg = dc.replace(CFG, tie_word_embeddings=False)
+    params = dec.init_params(jax.random.PRNGKey(1), cfg, dtype=jnp.float32)
+    qparams = quant.quantize_params(params, "w8a8", min_size=1)
+    from flux2_tpu.ops.quant import is_quantized
+    assert is_quantized(qparams["lm_head"])  # the precondition for the bug
+    p = gen.GenerateParameters(max_tokens=4, temperature=0.0)
+    out = gen.generate(qparams, cfg, [1, 2, 3], p)
+    assert len(out) == 4 and all(0 <= t < cfg.vocab_size for t in out)
