@@ -128,7 +128,22 @@ def test_sharded_pipeline_generate():
 
     pipe_sharded = tiny_pipeline().shard(mesh_mod.make_mesh(data=1, fsdp=2, tp=4))
     out = pipe_sharded.generate(embeddings=emb, height=64, width=64, num_steps=2, seed=7)
-    np.testing.assert_allclose(out.image, ref.image, atol=2e-3)
+    _assert_generation_close(out, ref)
+
+
+def _assert_generation_close(out, ref):
+    """Sharded == unsharded, asserted where it is meaningful.
+
+    Latents are the real check: sharded reductions reorder float adds, so we
+    allow fp-level noise (measured 2e-6) with a 1e-4 bound. The image check
+    is deliberately coarse: the TINY random-init VAE's GroupNorms divide by
+    near-zero activation std and amplify that latent noise ~1e4x (measured
+    0.02 from 2e-6), then the uint8 transfer buckets it into 1/255 steps —
+    decoding identical latents through the sharded decoder is bitwise equal,
+    so image-space slack reflects the fixture, not the sharding."""
+    np.testing.assert_allclose(out.latents, ref.latents, atol=1e-4)
+    np.testing.assert_allclose(out.image, ref.image, atol=0.06)
+    assert np.abs(out.image - ref.image).mean() < 0.01
 
 
 def test_ring_attention_matches_full():
@@ -194,7 +209,7 @@ def test_context_parallel_pipeline_generate():
     )
     assert pipe_cp.ring is not None
     out = pipe_cp.generate(embeddings=emb, height=64, width=64, num_steps=2, seed=7)
-    np.testing.assert_allclose(out.image, ref.image, atol=2e-3)
+    _assert_generation_close(out, ref)
 
 
 def test_context_parallel_prefers_sp_axis():
@@ -210,7 +225,7 @@ def test_context_parallel_prefers_sp_axis():
     pipe_cp = tiny_pipeline().shard(mesh, context_parallel=True)
     assert pipe_cp.ring == (mesh, "sp")
     out = pipe_cp.generate(embeddings=emb, height=64, width=64, num_steps=2, seed=7)
-    np.testing.assert_allclose(out.image, ref.image, atol=2e-3)
+    _assert_generation_close(out, ref)
 
 
 def test_ring_attention_rejects_indivisible():
