@@ -171,9 +171,22 @@ def main():
         jax.random.PRNGKey(3), (1, 512, cfg.KLEIN_4B.joint_attention_dim), jnp.bfloat16
     )
     pipe.generate(embeddings=emb, height=1024, width=1024, num_steps=4, seed=0)  # warm/compile
-    t0 = time.perf_counter()
-    res = pipe.generate(embeddings=emb, height=1024, width=1024, num_steps=4, seed=1)
-    e2e = time.perf_counter() - t0
+
+    def _median_e2e(gen, n=3):
+        """Median of n runs: the tunneled host transfer sporadically stalls
+        for seconds (measured in ANY memory state — not HBM pressure), and a
+        single-sample row can catch such a spike. Median = steady-state wall."""
+        runs = []
+        for i in range(n):
+            t0 = time.perf_counter()
+            r = gen(i)
+            runs.append((time.perf_counter() - t0, r))
+        runs.sort(key=lambda x: x[0])
+        return runs[len(runs) // 2]
+
+    e2e, res = _median_e2e(
+        lambda i: pipe.generate(embeddings=emb, height=1024, width=1024, num_steps=4, seed=1 + i)
+    )
     rows["klein4b_e2e_1024_4step"] = {
         "value": round(e2e, 3),
         "unit": "s",
@@ -202,12 +215,12 @@ def main():
             eparams, tenc_cfg.QWEN3_4B, _BenchTokenizer()
         )
         pipe.generate(prompt="warm", height=1024, width=1024, num_steps=4, seed=0)
-        t0 = time.perf_counter()
-        res_e = pipe.generate(
-            prompt="a serene mountain lake at dawn, ultra detailed",
-            height=1024, width=1024, num_steps=4, seed=1,
+        e2e_enc, res_e = _median_e2e(
+            lambda i: pipe.generate(
+                prompt="a serene mountain lake at dawn, ultra detailed",
+                height=1024, width=1024, num_steps=4, seed=1 + i,
+            )
         )
-        e2e_enc = time.perf_counter() - t0
         rows["klein4b_e2e_with_encoder"] = {
             "value": round(e2e_enc, 3),
             "unit": "s",
