@@ -38,22 +38,41 @@ class YAMLTrainingConfig:
     trigger_word: Optional[str] = None
     rank: int = 16
     alpha: float = 16.0
+    target_layers: str = "attention_ffn"  # attention|attention_output|attention_ffn|all
     learning_rate: float = 1e-4
     optimizer: str = "adamw"
     weight_decay: float = 0.01
+    # reference user-facing defaults: cosine decay after 100 warmup steps
+    # (LoRATrainingConfig.swift:573-574)
+    warmup_steps: int = 100
+    lr_scheduler: str = "cosine"
+    lr_num_cycles: int = 3
     batch_size: int = 1
     grad_accumulation: int = 1
     max_steps: int = 1000
+    epochs: int = 0  # >0: max_steps = epochs * ceil(len(dataset)/effective_batch)
     save_every: int = 250
+    keep_last_checkpoints: int = 0  # prune to the last N checkpoint dirs (0 = keep all)
+    log_every: int = 10
     timestep_sampling: str = "balanced"
+    logit_normal_mean: float = 0.0
+    logit_normal_std: float = 1.0
+    flux_shift: float = 1.0
     loss_weighting: str = "none"
     dop_weight: float = 0.0
     dop_preservation_class: str = "person"
+    use_ema: bool = False
+    ema_decay: float = 0.99
+    caption_dropout: float = 0.0  # P(train on the empty caption) per sample
     seed: int = 42
     resolution: int = 512
     remat: bool = True
     control_dropout: float = 0.0
     cache_dir: Optional[str] = None
+    # train-loss plateau early stop (LoRATrainingConfig.swift:472-478):
+    # checked on a 20-step moving average; 0 disables
+    early_stop_loss_patience: int = 0
+    early_stop_min_delta: float = 1e-4
     # validation (SimpleLoRATrainer.swift:1746-2409)
     validation_prompts: Sequence[str] = ()
     validation_every: int = 0  # 0 -> save_every
@@ -88,6 +107,18 @@ class YAMLTrainingConfig:
             for k, v in val.items():
                 flat[mapping.get(k, k)] = v
         flat.update({k: v for k, v in raw.items() if not isinstance(v, dict)})
+        # reference YAML spellings (TrainingConfigYAML.swift)
+        aliases = {
+            "caption_dropout_rate": "caption_dropout",
+            "keep_only_last_n_checkpoints": "keep_last_checkpoints",
+            "warmup": "warmup_steps",
+            "flux_shift_value": "flux_shift",
+            "ema_enabled": "use_ema",
+            "log_every_n_steps": "log_every",
+        }
+        for src, dst in aliases.items():
+            if src in flat and dst not in flat:
+                flat[dst] = flat.pop(src)
         fields = {f.name for f in dataclasses.fields(cls)}
         known = {k: v for k, v in flat.items() if k in fields}
         return cls(**known)
@@ -160,6 +191,8 @@ def _prepare_real_data(pipe, cfg: YAMLTrainingConfig, tconfig):
 
     for it in items:
         embed(it.caption)
+    if cfg.caption_dropout > 0:
+        embed("")  # unconditional embedding for caption dropout
     dop_caps = {}
     if cfg.dop_weight > 0 and cfg.trigger_word:
         # DOP preservation caption: trigger -> class swap
@@ -203,9 +236,16 @@ def _prepare_real_data(pipe, cfg: YAMLTrainingConfig, tconfig):
         b = bucket_list[rng.choice(len(bucket_list), p=weights)]
         group = grouped[b]
         chosen = [group[i] for i in rng.randint(0, len(group), size=bs)]
+        # caption dropout: train some samples on the empty caption for
+        # generalization (LoRATrainingConfig.swift:246)
+        caps = [
+            "" if cfg.caption_dropout > 0 and rng.uniform() < cfg.caption_dropout
+            else it.caption
+            for it in chosen
+        ]
         batch = {
             "latents": jnp.asarray(np.stack([latents[it.image_path] for it in chosen])),
-            "embeddings": jnp.asarray(np.stack([embed(it.caption) for it in chosen])),
+            "embeddings": jnp.asarray(np.stack([embed(c) for c in caps])),
         }
         use_control = bool(control) and rng.uniform() >= cfg.control_dropout
         if use_control:
@@ -325,20 +365,6 @@ def run_training(args) -> None:
         base_params = pipe.transformer_params
         tconfig = pipe.transformer_config
 
-    tcfg = trainer.TrainConfig(
-        rank=cfg.rank,
-        alpha=cfg.alpha,
-        learning_rate=cfg.learning_rate,
-        weight_decay=cfg.weight_decay,
-        optimizer=cfg.optimizer,
-        timestep_sampling=cfg.timestep_sampling,
-        loss_weighting="bell" if cfg.loss_weighting in ("bell", "bellShaped", "weighted") else "none",
-        grad_accumulation=cfg.grad_accumulation,
-        dop_weight=cfg.dop_weight,
-        remat=cfg.remat,
-        seed=cfg.seed,
-    )
-
     # --- data prep (two-phase style; real encode path with real weights) ---
     if pipe is not None:
         if not (cfg.dataset_dir and os.path.isdir(cfg.dataset_dir)):
@@ -350,6 +376,37 @@ def run_training(args) -> None:
     else:
         sample_batch = _prepare_synthetic_data(cfg, tconfig)
         items = []
+
+    if cfg.epochs > 0 and items:
+        # epochs -> steps given the effective batch (LoRATrainingConfig.swift:281)
+        eff = cfg.batch_size * max(1, cfg.grad_accumulation)
+        steps = cfg.epochs * max(1, -(-len(items) // eff))
+        flog.info(f"epochs={cfg.epochs} -> {steps} steps ({len(items)} items, effective batch {eff})")
+        cfg = dataclasses.replace(cfg, max_steps=steps)
+
+    tcfg = trainer.TrainConfig(
+        rank=cfg.rank,
+        alpha=cfg.alpha,
+        target_layers=cfg.target_layers,
+        learning_rate=cfg.learning_rate,
+        weight_decay=cfg.weight_decay,
+        optimizer=cfg.optimizer,
+        warmup_steps=cfg.warmup_steps,
+        lr_scheduler=cfg.lr_scheduler,
+        lr_num_cycles=cfg.lr_num_cycles,
+        total_steps=cfg.max_steps,
+        timestep_sampling=cfg.timestep_sampling,
+        logit_normal_mean=cfg.logit_normal_mean,
+        logit_normal_std=cfg.logit_normal_std,
+        flux_shift=cfg.flux_shift,
+        loss_weighting="bell" if cfg.loss_weighting in ("bell", "bellShaped", "weighted") else "none",
+        grad_accumulation=cfg.grad_accumulation,
+        dop_weight=cfg.dop_weight,
+        use_ema=cfg.use_ema,
+        ema_decay=cfg.ema_decay,
+        remat=cfg.remat,
+        seed=cfg.seed,
+    )
 
     # --- validation setup (distilled sibling previews; LoRA merged per pass) ---
     val_every = cfg.validation_every or cfg.save_every
@@ -417,7 +474,8 @@ def run_training(args) -> None:
     step_fn = trainer.make_train_step(base_params, tconfig, tcfg, optimizer)
     lora_scale = lora_mod.LoRAConfig(tcfg.rank, tcfg.alpha).scale
 
-    lora, opt_state = state_t.lora, state_t.opt_state
+    lora, opt_state, ema = state_t.lora, state_t.opt_state, state_t.ema
+    plateau_best, plateau_bad = float("inf"), 0
     bs = cfg.batch_size * max(1, cfg.grad_accumulation)
     rng = np.random.RandomState(cfg.seed)
     key = jax.random.PRNGKey(cfg.seed)
@@ -444,26 +502,44 @@ def run_training(args) -> None:
             key, k_step = jax.random.split(key)
             batch = sample_batch(rng, bs)
             lora, opt_state, metrics = step_fn(lora, opt_state, batch, k_step)
+            if tcfg.use_ema:
+                ema = trainer.ema_update(ema, lora, tcfg.ema_decay)
             loss = float(metrics["loss"])
             tstate.step = step
             tstate.elapsed_s = time.time() - t_start
             tstate.record_loss(loss)
             beacon.update(phase="training", step=step, total_steps=cfg.max_steps)
 
-            if step % 10 == 0 or step == 1:
+            if step % max(1, cfg.log_every) == 0 or step == 1:
                 eta = tstate.eta_seconds(cfg.max_steps)
                 flog.info(f"step {step}/{cfg.max_steps} loss {loss:.4f} eta {eta and round(eta)}s")
 
+            # train-loss plateau early stop on a 20-step moving average
+            if cfg.early_stop_loss_patience > 0 and step % 20 == 0 and len(tstate.loss_history) >= 20:
+                ma = float(np.mean(tstate.loss_history[-20:]))
+                if ma < plateau_best - cfg.early_stop_min_delta:
+                    plateau_best, plateau_bad = ma, 0
+                else:
+                    plateau_bad += 1
+                    if plateau_bad >= cfg.early_stop_loss_patience:
+                        flog.info(
+                            f"early stop: loss plateau ({plateau_bad} checks without "
+                            f"{cfg.early_stop_min_delta} improvement on the 20-step mean)"
+                        )
+                        break
+
             saved_path = None
             if step % cfg.save_every == 0 or controller.consume_checkpoint_request():
-                saved_path = _save(cfg, trainer, tstate, lora, opt_state, tcfg, step)
+                saved_path = _save(cfg, trainer, tstate, lora, opt_state, tcfg, step, ema=ema)
                 write_learning_curve_svg(tstate.loss_history, os.path.join(cfg.output_dir, "learning_curve.svg"))
 
             if val_enabled and step % val_every == 0:
                 # validate with the distilled sibling + current LoRA merged
-                # (SimpleLoRATrainer.swift:1746-2409)
+                # (SimpleLoRATrainer.swift:1746-2409); EMA weights are the
+                # evaluated ones when enabled
+                eval_lora = ema if (tcfg.use_ema and ema is not None) else lora
                 val_pipe.transformer_params = lora_mod.merge_into_params(
-                    val_base, lora, lora_scale
+                    val_base, eval_lora, lora_scale
                 )
                 records = run_validation(
                     val_pipe, val_cfg, step, embeddings_fn=val_pipe.encode_prompt,
@@ -486,7 +562,7 @@ def run_training(args) -> None:
                     )
                     break
 
-    _save(cfg, trainer, tstate, lora, opt_state, tcfg, tstate.step)
+    _save(cfg, trainer, tstate, lora, opt_state, tcfg, tstate.step, ema=ema)
     write_learning_curve_svg(tstate.loss_history, os.path.join(cfg.output_dir, "learning_curve.svg"))
     flog.info(f"training done at step {tstate.step}; output in {cfg.output_dir}")
 
@@ -512,13 +588,31 @@ def _make_scorer(pipe):
     return scorer
 
 
-def _save(cfg, trainer_mod, tstate, lora, opt_state, tcfg, step):
+def _save(cfg, trainer_mod, tstate, lora, opt_state, tcfg, step, ema=None):
     path = os.path.join(cfg.output_dir, f"checkpoint_{step:06d}")
-    st = trainer_mod.TrainState(lora=lora, opt_state=opt_state, step=step)
+    st = trainer_mod.TrainState(lora=lora, opt_state=opt_state, step=step, ema=ema)
     trainer_mod.save_checkpoint(path, st, tcfg)
     tstate.save(os.path.join(path, "training_state.json"))
     print(f"checkpoint -> {path}")
+    _prune_checkpoints(cfg, keep=path)
     return path
+
+
+def _prune_checkpoints(cfg, keep: str) -> None:
+    """keep_last_checkpoints > 0: delete all but the newest N checkpoint
+    dirs (LoRATrainingConfig.swift:383). The `best/` copy is a separate
+    directory and never pruned."""
+    n = getattr(cfg, "keep_last_checkpoints", 0)
+    if n <= 0:
+        return
+    dirs = sorted(
+        d for d in os.listdir(cfg.output_dir)
+        if d.startswith("checkpoint_") and os.path.isdir(os.path.join(cfg.output_dir, d))
+    )
+    for d in dirs[:-n]:
+        full = os.path.join(cfg.output_dir, d)
+        if os.path.abspath(full) != os.path.abspath(keep):
+            shutil.rmtree(full, ignore_errors=True)
 
 
 def write_learning_curve_svg(losses, path: str, width: int = 640, height: int = 240) -> None:

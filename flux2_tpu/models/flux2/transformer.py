@@ -198,6 +198,33 @@ def _swiglu_ff(x: jnp.ndarray, w_in: jnp.ndarray, w_out: jnp.ndarray) -> jnp.nda
     return mm(jax.nn.silu(g) * v, w_out)
 
 
+def _swiglu_ff_l(x: jnp.ndarray, bp: Params, lp: Optional[Params], in_name: str, out_name: str, scale) -> jnp.ndarray:
+    """SwiGLU FFN with optional unmerged LoRA on both projections."""
+    proj = _lmm(x, bp, lp, in_name, scale)
+    g, v = jnp.split(proj, 2, axis=-1)
+    return _lmm(jax.nn.silu(g) * v, bp, lp, out_name, scale)
+
+
+def _lmm(x: jnp.ndarray, bp: Params, lp: Optional[Params], name: str, scale) -> jnp.ndarray:
+    """Projection with an optional UNMERGED LoRA adapter:
+    y = x@W + scale*((x@a)@b).
+
+    The unmerged form is the memory-correct training path: differentiating
+    a MERGED W' = W + s*a@b materializes a full [in,out] f32 cotangent per
+    target weight (tens of GB for a full-width DiT); here the backward only
+    forms [in,r] and [r,out] gradients. It also works when W is a quantized
+    QTensor (QLoRA-style training on int8/int4 bases,
+    LoRATrainingConfig.swift:9-34). Adapter matmuls run in the stream dtype;
+    f32 masters live in the optimizer.
+    """
+    y = mm(x, bp[name])
+    if lp is not None and name in lp:
+        a = lp[name]["a"].astype(x.dtype)
+        b = lp[name]["b"].astype(x.dtype)
+        y = y + ((x @ a) @ b) * jnp.asarray(scale, x.dtype)
+    return y
+
+
 def double_block(
     bp: Params,
     img: jnp.ndarray,
@@ -212,6 +239,8 @@ def double_block(
     kv_extract_span: Optional[Tuple[int, int]] = None,
     blocked_span: Optional[Tuple[int, int, int]] = None,
     ring: Optional[tuple] = None,
+    lp: Optional[Params] = None,
+    lora_scale: float = 1.0,
 ):
     """One double-stream block (Flux2TransformerBlock.swift:80-168).
 
@@ -226,12 +255,12 @@ def double_block(
     img_n = modulate(layer_norm(img), bp_shift(img_mod, 0), bp_scale(img_mod, 0))
     txt_n = modulate(layer_norm(txt), bp_shift(txt_mod, 0), bp_scale(txt_mod, 0))
 
-    q_img = _heads(mm(img_n, bp["to_q"]), num_heads)
-    k_img = _heads(mm(img_n, bp["to_k"]), num_heads)
-    v_img = _heads(mm(img_n, bp["to_v"]), num_heads)
-    q_txt = _heads(mm(txt_n, bp["add_q"]), num_heads)
-    k_txt = _heads(mm(txt_n, bp["add_k"]), num_heads)
-    v_txt = _heads(mm(txt_n, bp["add_v"]), num_heads)
+    q_img = _heads(_lmm(img_n, bp, lp, "to_q", lora_scale), num_heads)
+    k_img = _heads(_lmm(img_n, bp, lp, "to_k", lora_scale), num_heads)
+    v_img = _heads(_lmm(img_n, bp, lp, "to_v", lora_scale), num_heads)
+    q_txt = _heads(_lmm(txt_n, bp, lp, "add_q", lora_scale), num_heads)
+    k_txt = _heads(_lmm(txt_n, bp, lp, "add_k", lora_scale), num_heads)
+    v_txt = _heads(_lmm(txt_n, bp, lp, "add_v", lora_scale), num_heads)
 
     q_img = rms_norm(q_img, bp["norm_q"])
     k_img = rms_norm(k_img, bp["norm_k"])
@@ -262,14 +291,14 @@ def double_block(
                 bounded_logits=True)
     txt_attn, img_attn = attn[:, :, :s_txt], attn[:, :, s_txt:]
 
-    img = img + gate(mm(_unheads(img_attn), bp["to_out"]), bp_gate(img_mod, 0))
-    txt = txt + gate(mm(_unheads(txt_attn), bp["add_out"]), bp_gate(txt_mod, 0))
+    img = img + gate(_lmm(_unheads(img_attn), bp, lp, "to_out", lora_scale), bp_gate(img_mod, 0))
+    txt = txt + gate(_lmm(_unheads(txt_attn), bp, lp, "add_out", lora_scale), bp_gate(txt_mod, 0))
 
     # --- FFN sub-block ---
     img_n2 = modulate(layer_norm(img), bp_shift(img_mod, 1), bp_scale(img_mod, 1))
     txt_n2 = modulate(layer_norm(txt), bp_shift(txt_mod, 1), bp_scale(txt_mod, 1))
-    img = img + gate(_swiglu_ff(img_n2, bp["ff_in"], bp["ff_out"]), bp_gate(img_mod, 1))
-    txt = txt + gate(_swiglu_ff(txt_n2, bp["ff_ctx_in"], bp["ff_ctx_out"]), bp_gate(txt_mod, 1))
+    img = img + gate(_swiglu_ff_l(img_n2, bp, lp, "ff_in", "ff_out", lora_scale), bp_gate(img_mod, 1))
+    txt = txt + gate(_swiglu_ff_l(txt_n2, bp, lp, "ff_ctx_in", "ff_ctx_out", lora_scale), bp_gate(txt_mod, 1))
     if kv_extract_span is not None:
         return img, txt, extracted
     return img, txt
@@ -288,6 +317,8 @@ def single_block(
     kv_extract_span: Optional[Tuple[int, int]] = None,
     blocked_span: Optional[Tuple[int, int, int]] = None,
     ring: Optional[tuple] = None,
+    lp: Optional[Params] = None,
+    lora_scale: float = 1.0,
 ):
     """One single-stream block (Flux2SingleBlock.swift:59-98).
 
@@ -299,9 +330,9 @@ def single_block(
     """
     x_n = modulate(layer_norm(x), bp_shift(mod, 0), bp_scale(mod, 0))
 
-    q = rms_norm(_heads(mm(x_n, bp["to_q"]), num_heads), bp["norm_q"])
-    k = rms_norm(_heads(mm(x_n, bp["to_k"]), num_heads), bp["norm_k"])
-    v = _heads(mm(x_n, bp["to_v"]), num_heads)
+    q = rms_norm(_heads(_lmm(x_n, bp, lp, "to_q", lora_scale), num_heads), bp["norm_q"])
+    k = rms_norm(_heads(_lmm(x_n, bp, lp, "to_k", lora_scale), num_heads), bp["norm_k"])
+    v = _heads(_lmm(x_n, bp, lp, "to_v", lora_scale), num_heads)
 
     q = apply_rope(q, rope_cos, rope_sin)
     k = apply_rope(k, rope_cos, rope_sin)
@@ -318,8 +349,8 @@ def single_block(
 
     attn = _unheads(sdpa(q, k, v, bias=attn_bias, blocked_span=blocked_span, ring=ring,
                          bounded_logits=True))  # qk RMS-normed above
-    mlp = jax.nn.silu(mm(x_n, bp["mlp_gate"])) * (mm(x_n, bp["mlp_up"]))
-    out = mm(attn, bp["out_attn"]) + mm(mlp, bp["out_mlp"])
+    mlp = jax.nn.silu(_lmm(x_n, bp, lp, "mlp_gate", lora_scale)) * _lmm(x_n, bp, lp, "mlp_up", lora_scale)
+    out = _lmm(attn, bp, lp, "out_attn", lora_scale) + _lmm(mlp, bp, lp, "out_mlp", lora_scale)
     res = x + gate(out, bp_gate(mod, 0))
     if kv_extract_span is not None:
         return res, extracted
@@ -381,6 +412,8 @@ def forward(
     guidance: Optional[jnp.ndarray] = None,  # [B]
     remat: "bool | str" = False,
     ring: Optional[tuple] = None,
+    lora: Optional[Params] = None,
+    lora_scale: float = 1.0,
 ) -> jnp.ndarray:
     """DiT forward: [B, S_img, 128] velocity prediction.
 
@@ -417,25 +450,38 @@ def forward(
     rope_cos = rope_cos.astype(jnp.float32)
     rope_sin = rope_sin.astype(jnp.float32)
 
-    def double_body(carry, bp):
+    lora_d = lora.get("double_blocks") if lora is not None else None
+    lora_s = lora.get("single_blocks") if lora is not None else None
+
+    def double_body(carry, xs):
+        bp, lp = xs if lora_d is not None else (xs, None)
         i, t = carry
-        fn = _remat_wrap(functools.partial(double_block, num_heads=nh, ring=ring), remat)
-        i, t = fn(bp, i, t, img_mod, txt_mod, rope_cos, rope_sin)
+        fn = _remat_wrap(
+            functools.partial(double_block, num_heads=nh, ring=ring, lora_scale=lora_scale),
+            remat,
+        )
+        i, t = fn(bp, i, t, img_mod, txt_mod, rope_cos, rope_sin, lp=lp)
         # Sequence-sharded activations END-TO-END: pin each block's output
         # streams to the ring axis so the FFNs/norms/projections (not just
         # attention) split token work across sp — per-device activation
         # memory and non-attention FLOPs scale ~1/sp.
         return (_seq_shard(i, ring), _seq_shard(t, ring)), None
 
-    (img, txt), _ = jax.lax.scan(double_body, (img, txt), params["double_blocks"])
+    xs_d = (params["double_blocks"], lora_d) if lora_d is not None else params["double_blocks"]
+    (img, txt), _ = jax.lax.scan(double_body, (img, txt), xs_d)
 
     x = _seq_shard(jnp.concatenate([txt, img], axis=1), ring)
 
-    def single_body(carry, bp):
-        fn = _remat_wrap(functools.partial(single_block, num_heads=nh, ring=ring), remat)
-        return _seq_shard(fn(bp, carry, single_mod, rope_cos, rope_sin), ring), None
+    def single_body(carry, xs):
+        bp, lp = xs if lora_s is not None else (xs, None)
+        fn = _remat_wrap(
+            functools.partial(single_block, num_heads=nh, ring=ring, lora_scale=lora_scale),
+            remat,
+        )
+        return _seq_shard(fn(bp, carry, single_mod, rope_cos, rope_sin, lp=lp), ring), None
 
-    x, _ = jax.lax.scan(single_body, x, params["single_blocks"])
+    xs_s = (params["single_blocks"], lora_s) if lora_s is not None else params["single_blocks"]
+    x, _ = jax.lax.scan(single_body, x, xs_s)
 
     img = x[:, s_txt:]
 

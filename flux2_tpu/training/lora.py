@@ -15,8 +15,13 @@ uniform Kaiming-style init (LoRALinear.swift:20-60).
 
 Two application modes:
   - ``merge_into_params``: returns params with W + scale*(a@b) folded in —
-    the inference path (load -> merge -> generate), differentiable w.r.t.
-    the LoRA leaves, which is also how the trainer computes its forward.
+    the inference path (load -> merge -> generate).
+  - UNMERGED: the trainer passes the LoRA pytree to
+    ``transformer.forward(lora=...)`` which computes y = x@W + s*(x@a)@b
+    per target (transformer._lmm) — backward never materializes an
+    [in,out] cotangent (merged training needs base-sized f32 gradients,
+    more HBM than a chip for full-width DiTs) and the base may be a
+    quantized QTensor (QLoRA-style, LoRATrainingConfig.swift:9-34).
   - scale can be recomputed per-adapter: scale = alpha / rank * user_scale
     (LoRALoader.swift:75-94).
 """

@@ -42,13 +42,32 @@ class TrainConfig:
     learning_rate: float = 1e-4
     weight_decay: float = 0.01
     optimizer: str = "adamw"  # or "lion"
-    timestep_sampling: str = "balanced"  # uniform|content|style|balanced
+    timestep_sampling: str = "balanced"  # uniform|logit_normal|flux_shift|content|style|balanced
     loss_weighting: str = "none"  # none|bell
     max_grad_norm: float = 1.0
     grad_accumulation: int = 1
     dop_weight: float = 0.0  # >0 enables DOP
     remat: bool = True
     seed: int = 42
+    # LoRA target-layer selection (LoRATrainingConfig.swift:40-81):
+    # attention|attention_output -> Q/K/V/out only; attention_ffn|all -> +FFN.
+    target_layers: str = "attention_ffn"
+    # LR schedule (LoRATrainingConfig.swift:85-107,286-290). The reference
+    # SURFACES these in config/CLI but its trainer runs a constant LR
+    # (SimpleLoRATrainer.swift:3 "no bells and whistles"); here they are
+    # implemented via optax schedules.
+    warmup_steps: int = 0
+    lr_scheduler: str = "constant"  # constant|linear|cosine|cosine_with_restarts
+    lr_num_cycles: int = 3  # hard restarts for cosine_with_restarts
+    total_steps: int = 1000  # decay horizon for linear/cosine schedules
+    # timestep-sampling parameters (LoRATrainingConfig.swift:316-328)
+    logit_normal_mean: float = 0.0
+    logit_normal_std: float = 1.0
+    flux_shift: float = 1.0
+    # EMA weight averaging (LoRATrainingConfig.swift:505-508; surfaced-only
+    # in the reference, implemented here — see ema_update()).
+    use_ema: bool = False
+    ema_decay: float = 0.99
 
 
 # ---------------------------------------------------------------------------
@@ -57,10 +76,28 @@ class TrainConfig:
 # ---------------------------------------------------------------------------
 
 
-def sample_timesteps(key: jax.Array, batch: int, mode: str) -> jnp.ndarray:
+def sample_timesteps(
+    key: jax.Array,
+    batch: int,
+    mode: str,
+    *,
+    logit_mean: float = 0.0,
+    logit_std: float = 1.0,
+    shift: float = 1.0,
+) -> jnp.ndarray:
     if mode == "uniform":
         t = jax.random.randint(key, (batch,), 0, 1000).astype(jnp.float32)
         return t / 1000.0
+    if mode == "logit_normal":
+        # sigma = sigmoid(m + s*N(0,1)) — SD3 detail-focused sampling
+        # (LoRATrainingConfig.swift:167,316-324; surfaced-only there).
+        z = jax.random.normal(key, (batch,))
+        return jnp.clip(jax.nn.sigmoid(logit_mean + logit_std * z), 0.0, 0.999)
+    if mode == "flux_shift":
+        # sigma = shift*u / (1 + (shift-1)*u) — the flow-match time shift
+        # applied to a uniform draw (LoRATrainingConfig.swift:171,328).
+        u = jax.random.uniform(key, (batch,))
+        return jnp.clip(shift * u / (1.0 + (shift - 1.0) * u), 0.0, 0.999)
     k1, k2 = jax.random.split(key)
     u = jax.random.uniform(k1, (batch,))
     cubic = u**3
@@ -112,10 +149,13 @@ def flow_matching_loss(
     I2I training concatenates clean control tokens after the output tokens
     and slices the loss back to the output portion
     (SimpleLoRATrainer.swift:949-979).
+
+    The LoRA rides UNMERGED through the forward (y = x@W + s*(x@a)@b,
+    transformer._lmm): merging would make the backward materialize a full
+    [in,out] f32 cotangent per adapted weight — more HBM than the chip has
+    for a full-width DiT — and would forbid quantized (QTensor) bases.
     """
-    merged = lora_mod.merge_into_params(
-        base_params, lora_params, lora_mod.LoRAConfig(train_cfg.rank, train_cfg.alpha).scale
-    )
+    scale = lora_mod.LoRAConfig(train_cfg.rank, train_cfg.alpha).scale
     s_out = latents_seq.shape[1]
     noisy = (1.0 - sigmas[:, None, None]) * latents_seq + sigmas[:, None, None] * noise_seq
     x = noisy
@@ -124,10 +164,10 @@ def flow_matching_loss(
     # Run the DiT in the weights' dtype (mixed-precision training: bf16 base
     # + f32 LoRA masters); the loss math below stays f32. Without this cast
     # an f32 noisy input splits the img/txt stream dtypes mid-scan.
-    stream_dtype = _stream_dtype(merged)
+    stream_dtype = _stream_dtype(base_params)
     pred = tfm.forward(
-        merged, config, x.astype(stream_dtype), embeddings, sigmas, rope_cos, rope_sin,
-        guidance=guidance, remat=train_cfg.remat,
+        base_params, config, x.astype(stream_dtype), embeddings, sigmas, rope_cos, rope_sin,
+        guidance=guidance, remat=train_cfg.remat, lora=lora_params, lora_scale=scale,
     )[:, :s_out]
     target = sch.get_velocity(latents_seq, noise_seq)
     sq = jnp.square(pred.astype(jnp.float32) - target.astype(jnp.float32))
@@ -152,14 +192,12 @@ def dop_loss(
 ) -> jnp.ndarray:
     """Differential Output Preservation: MSE(LoRA out, stop_grad(base out))
     on preservation captions (SimpleLoRATrainer.swift:524-605)."""
-    merged = lora_mod.merge_into_params(
-        base_params, lora_params, lora_mod.LoRAConfig(train_cfg.rank, train_cfg.alpha).scale
-    )
+    scale = lora_mod.LoRAConfig(train_cfg.rank, train_cfg.alpha).scale
     noisy = (1.0 - sigmas[:, None, None]) * latents_seq + sigmas[:, None, None] * noise_seq
-    noisy = noisy.astype(_stream_dtype(merged))
+    noisy = noisy.astype(_stream_dtype(base_params))
     pred_lora = tfm.forward(
-        merged, config, noisy, preservation_embeddings, sigmas, rope_cos, rope_sin,
-        guidance=guidance, remat=train_cfg.remat,
+        base_params, config, noisy, preservation_embeddings, sigmas, rope_cos, rope_sin,
+        guidance=guidance, remat=train_cfg.remat, lora=lora_params, lora_scale=scale,
     )
     pred_base = tfm.forward(
         base_params, config, noisy, preservation_embeddings, sigmas, rope_cos, rope_sin,
@@ -173,14 +211,56 @@ def dop_loss(
 # ---------------------------------------------------------------------------
 
 
+def lr_schedule(cfg: TrainConfig) -> optax.Schedule:
+    """LR schedule per LoRATrainingConfig.swift:85-107 (warmup then decay).
+
+    constant: flat after linear warmup. linear: to 0 over the horizon.
+    cosine: single annealing. cosine_with_restarts: `lr_num_cycles` hard
+    restarts (diffusers convention; the reference exposes no cycle count).
+    """
+    base = cfg.learning_rate
+    decay_steps = max(1, cfg.total_steps - cfg.warmup_steps)
+    if cfg.lr_scheduler == "constant":
+        main = optax.constant_schedule(base)
+    elif cfg.lr_scheduler == "linear":
+        main = optax.linear_schedule(base, 0.0, decay_steps)
+    elif cfg.lr_scheduler == "cosine":
+        main = optax.cosine_decay_schedule(base, decay_steps)
+    elif cfg.lr_scheduler == "cosine_with_restarts":
+        cycles = max(1, cfg.lr_num_cycles)
+        per = max(1, decay_steps // cycles)
+        main = optax.join_schedules(
+            [optax.cosine_decay_schedule(base, per) for _ in range(cycles)],
+            [per * (i + 1) for i in range(cycles - 1)],
+        )
+    else:
+        raise ValueError(f"unknown lr_scheduler {cfg.lr_scheduler}")
+    if cfg.warmup_steps > 0:
+        warm = optax.linear_schedule(0.0, base, cfg.warmup_steps)
+        return optax.join_schedules([warm, main], [cfg.warmup_steps])
+    return main
+
+
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    sched = lr_schedule(cfg)
     if cfg.optimizer == "adamw":
-        opt = optax.adamw(cfg.learning_rate, weight_decay=cfg.weight_decay)
+        opt = optax.adamw(sched, weight_decay=cfg.weight_decay)
     elif cfg.optimizer == "lion":
-        opt = optax.lion(cfg.learning_rate, weight_decay=cfg.weight_decay)
+        opt = optax.lion(sched, weight_decay=cfg.weight_decay)
     else:
         raise ValueError(f"unknown optimizer {cfg.optimizer}")
     return optax.chain(optax.clip_by_global_norm(cfg.max_grad_norm), opt)
+
+
+def lora_targets(cfg: TrainConfig) -> Tuple[Tuple[str, str], ...]:
+    """Map target_layers to adapter leaves (LoRATrainingConfig.swift:40-81;
+    attention_output is an alias of attention there, all an alias of
+    attention_ffn — every DiT linear outside embedders/modulation)."""
+    if cfg.target_layers in ("attention", "attention_output"):
+        return lora_mod.ATTENTION_ONLY_TARGETS
+    if cfg.target_layers in ("attention_ffn", "all"):
+        return lora_mod.DEFAULT_TARGETS
+    raise ValueError(f"unknown target_layers {cfg.target_layers}")
 
 
 @dataclasses.dataclass
@@ -188,12 +268,24 @@ class TrainState:
     lora: Params
     opt_state: Any
     step: int
+    ema: Optional[Params] = None  # EMA of the LoRA leaves when cfg.use_ema
+
+
+@jax.jit
+def ema_update(ema: Params, lora: Params, decay: jnp.ndarray) -> Params:
+    """ema <- decay*ema + (1-decay)*lora. Kept OUTSIDE the train step so the
+    heavy fwd+bwd program is identical with and without EMA (LoRA leaves are
+    tiny; this is a trivially cheap second program)."""
+    return jax.tree_util.tree_map(lambda e, l: decay * e + (1.0 - decay) * l, ema, lora)
 
 
 def init_train_state(key: jax.Array, base_params: Params, cfg: TrainConfig) -> Tuple[TrainState, optax.GradientTransformation]:
-    lora = lora_mod.init_lora(key, base_params, lora_mod.LoRAConfig(cfg.rank, cfg.alpha))
+    lora = lora_mod.init_lora(
+        key, base_params, lora_mod.LoRAConfig(cfg.rank, cfg.alpha, lora_targets(cfg))
+    )
     opt = make_optimizer(cfg)
-    return TrainState(lora=lora, opt_state=opt.init(lora), step=0), opt
+    ema = jax.tree_util.tree_map(jnp.copy, lora) if cfg.use_ema else None
+    return TrainState(lora=lora, opt_state=opt.init(lora), step=0, ema=ema), opt
 
 
 def make_train_step(
@@ -210,12 +302,23 @@ def make_train_step(
 
     Gradient accumulation: when cfg.grad_accumulation > 1, the leading batch
     axis is split into micro-batches scanned inside the same program.
+
+    base_params ride as a RUNTIME OPERAND of the jitted program, not a
+    closure capture — captured arrays are baked into the HLO as constants
+    (multi-GB for a full-width DiT), which balloons compile time and
+    duplicates the weights in HBM. The public signature stays
+    step(lora, opt_state, batch, key); base binds at call time.
     """
 
-    def loss_fn(lora, batch, key):
+    def loss_fn(base_params, lora, batch, key):
         k_t, k_n = jax.random.split(key)
         b = batch["latents"].shape[0]
-        sigmas = sample_timesteps(k_t, b, train_cfg.timestep_sampling)
+        sigmas = sample_timesteps(
+            k_t, b, train_cfg.timestep_sampling,
+            logit_mean=train_cfg.logit_normal_mean,
+            logit_std=train_cfg.logit_normal_std,
+            shift=train_cfg.flux_shift,
+        )
         noise = jax.random.normal(k_n, batch["latents"].shape, jnp.float32)
         main = flow_matching_loss(
             base_params, lora, config, train_cfg,
@@ -235,14 +338,14 @@ def make_train_step(
             total = main + train_cfg.dop_weight * dop
         return total, {"loss": main, "dop_loss": dop}
 
-    def step(lora, opt_state, batch, key):
+    def step_impl(base, lora, opt_state, batch, key):
         if train_cfg.grad_accumulation > 1:
             n = train_cfg.grad_accumulation
 
             def micro(carry, inp):
                 g_acc, l_acc = carry
                 mb, k = inp
-                (l, aux), g = jax.value_and_grad(loss_fn, has_aux=True)(lora, mb, k)
+                (l, aux), g = jax.value_and_grad(loss_fn, argnums=1, has_aux=True)(base, lora, mb, k)
                 return (jax.tree_util.tree_map(jnp.add, g_acc, g), l_acc + l), aux
 
             batched_keys = {"latents", "embeddings", "guidance", "control", "dop_embeddings"}
@@ -257,13 +360,18 @@ def make_train_step(
             grads = jax.tree_util.tree_map(lambda g: g / n, grads)
             metrics = {"loss": loss_sum / n, "dop_loss": jnp.mean(auxs["dop_loss"])}
         else:
-            (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(lora, batch, key)
+            (loss, metrics), grads = jax.value_and_grad(loss_fn, argnums=1, has_aux=True)(base, lora, batch, key)
         updates, opt_state = optimizer.update(grads, opt_state, lora)
         lora = optax.apply_updates(lora, updates)
         metrics["grad_norm"] = optax.global_norm(grads)
         return lora, opt_state, metrics
 
-    return jax.jit(step)
+    jitted = jax.jit(step_impl)
+
+    def step(lora, opt_state, batch, key):
+        return jitted(base_params, lora, opt_state, batch, key)
+
+    return step
 
 
 # ---------------------------------------------------------------------------
@@ -277,6 +385,11 @@ def save_checkpoint(path: str, state: TrainState, train_cfg: TrainConfig, extra:
 
     flat_lora = _flatten(state.lora)
     safetensors_io.save_file({k: np.asarray(v) for k, v in flat_lora.items()}, os.path.join(path, "lora.safetensors"))
+    if state.ema is not None:
+        flat_ema = _flatten(state.ema)
+        safetensors_io.save_file(
+            {k: np.asarray(v) for k, v in flat_ema.items()}, os.path.join(path, "lora_ema.safetensors")
+        )
     opt_leaves, opt_def = jax.tree_util.tree_flatten(state.opt_state)
     opt_arrays = {f"opt_{i}": np.asarray(x) for i, x in enumerate(opt_leaves) if hasattr(x, "shape")}
     safetensors_io.save_file(opt_arrays, os.path.join(path, "optimizer.safetensors"))
@@ -314,7 +427,13 @@ def load_checkpoint(path: str, base_params: Params, cfg: TrainConfig) -> TrainSt
                 new_leaves.append(leaf)
             i += 1
         opt_state = jax.tree_util.tree_unflatten(treedef, new_leaves)
-    return TrainState(lora=lora, opt_state=opt_state, step=int(meta["step"]))
+    ema = None
+    ema_file = os.path.join(path, "lora_ema.safetensors")
+    if os.path.exists(ema_file):
+        ema = _unflatten({k: jnp.asarray(v) for k, v in safetensors_io.load_file(ema_file).items()})
+    elif cfg.use_ema:
+        ema = jax.tree_util.tree_map(jnp.copy, lora)
+    return TrainState(lora=lora, opt_state=opt_state, step=int(meta["step"]), ema=ema)
 
 
 def _flatten(tree: Params, prefix: str = "") -> Dict[str, Any]:

@@ -4,6 +4,11 @@
 # timeouts). Fast tier first for quick signal.
 set -e
 cd "$(dirname "$0")/.."
+# The suite is hermetic CPU-only; skip axon TPU-plugin registration so a
+# wedged device tunnel can never hang backend init (sitecustomize.py
+# registers only when PALLAS_AXON_POOL_IPS is set).
+export PALLAS_AXON_POOL_IPS=
+export JAX_PLATFORMS=cpu
 python -m pytest tests/ -m "not slow" -q          # ~2.5 min
 python -m pytest tests/test_[a-o]*.py -m slow -q  # ~5 min
 python -m pytest tests/test_p*.py -m slow -q      # ~7 min (parallel/pipeline)

@@ -216,3 +216,121 @@ def test_train_step_with_bf16_base_params():
     # LoRA masters stay f32 through the update
     leaf = jax.tree_util.tree_leaves(lora)[0]
     assert leaf.dtype == jnp.float32
+
+
+# ---------------------------------------------------------------------------
+# Round-3 trainer depth: unmerged LoRA forward, LR schedules, EMA, samplers,
+# target-layer selection
+# ---------------------------------------------------------------------------
+
+
+def test_unmerged_lora_forward_matches_merged(base_params):
+    """transformer.forward(lora=...) == forward(merge_into_params(...))."""
+    lc = lora_mod.LoRAConfig(rank=4, alpha=8.0)
+    lora = lora_mod.init_lora(jax.random.PRNGKey(0), base_params, lc)
+    lora = jax.tree_util.tree_map(
+        lambda x: x + 0.02 * jax.random.normal(jax.random.PRNGKey(9), x.shape), lora
+    )
+    b = _batch(b=1)
+    t = jnp.asarray([0.5])
+    merged = lora_mod.merge_into_params(base_params, lora, lc.scale)
+    y_merged = tfm.forward(
+        merged, CONFIG, b["latents"], b["embeddings"], t, b["rope_cos"], b["rope_sin"]
+    )
+    y_unmerged = tfm.forward(
+        base_params, CONFIG, b["latents"], b["embeddings"], t, b["rope_cos"], b["rope_sin"],
+        lora=lora, lora_scale=lc.scale,
+    )
+    y_base = tfm.forward(
+        base_params, CONFIG, b["latents"], b["embeddings"], t, b["rope_cos"], b["rope_sin"]
+    )
+    assert float(jnp.abs(y_merged - y_base).max()) > 1e-3  # LoRA has an effect
+    np.testing.assert_allclose(np.asarray(y_unmerged), np.asarray(y_merged), atol=2e-5)
+    # remat path agrees too
+    y_r = tfm.forward(
+        base_params, CONFIG, b["latents"], b["embeddings"], t, b["rope_cos"], b["rope_sin"],
+        lora=lora, lora_scale=lc.scale, remat=True,
+    )
+    np.testing.assert_allclose(np.asarray(y_r), np.asarray(y_merged), atol=2e-5)
+
+
+def test_train_step_never_materializes_base_cotangent(base_params):
+    """The jitted step's HLO must not bake base weights in as constants
+    (captured multi-GB constants were the round-3 compile/OOM bug)."""
+    tcfg = trainer.TrainConfig(rank=2, alpha=2.0, remat=True)
+    state, opt = trainer.init_train_state(jax.random.PRNGKey(0), base_params, tcfg)
+    step = trainer.make_train_step(base_params, CONFIG, tcfg, opt)
+    import warnings
+
+    with warnings.catch_warnings(record=True) as wlist:
+        warnings.simplefilter("always")
+        lora, _, m = step(state.lora, state.opt_state, _batch(b=1), jax.random.PRNGKey(3))
+    assert not any("constants were captured" in str(w.message) for w in wlist)
+    assert np.isfinite(float(m["loss"]))
+
+
+def test_lr_schedules():
+    base = 1e-4
+    for name in ("constant", "linear", "cosine", "cosine_with_restarts"):
+        tc = trainer.TrainConfig(learning_rate=base, lr_scheduler=name, warmup_steps=10, total_steps=110)
+        sched = trainer.lr_schedule(tc)
+        assert float(sched(0)) == 0.0  # warmup starts at 0
+        np.testing.assert_allclose(float(sched(10)), base, rtol=1e-6)  # warmup peak
+        if name == "constant":
+            np.testing.assert_allclose(float(sched(110)), base, rtol=1e-6)
+        elif name in ("linear", "cosine"):
+            assert float(sched(110)) < 1e-6  # decayed to ~0 at the horizon
+        else:  # restarts: LR comes back up after each cycle boundary
+            per = (110 - 10) // 3
+            end_c1 = float(sched(10 + per - 1))
+            start_c2 = float(sched(10 + per + 1))
+            assert start_c2 > end_c1 + base / 2
+
+
+def test_sample_timesteps_logit_normal_and_flux_shift():
+    key = jax.random.PRNGKey(0)
+    ln = trainer.sample_timesteps(key, 4096, "logit_normal", logit_mean=0.0, logit_std=1.0)
+    assert float(ln.min()) >= 0.0 and float(ln.max()) <= 0.999
+    assert abs(float(ln.mean()) - 0.5) < 0.02  # sigmoid of centered normal
+    ln_hi = trainer.sample_timesteps(key, 4096, "logit_normal", logit_mean=1.0)
+    assert float(ln_hi.mean()) > float(ln.mean()) + 0.1  # mean shifts the mass
+
+    fs1 = trainer.sample_timesteps(key, 4096, "flux_shift", shift=1.0)
+    u = jax.random.uniform(key, (4096,))  # shift=1 is the identity map
+    np.testing.assert_allclose(np.asarray(fs1), np.clip(np.asarray(u), 0, 0.999), atol=1e-6)
+    fs3 = trainer.sample_timesteps(key, 4096, "flux_shift", shift=3.0)
+    assert float(fs3.mean()) > float(fs1.mean()) + 0.1  # shift>1 skews high
+
+
+def test_ema_update_and_checkpoint_roundtrip(base_params, tmp_path):
+    tcfg = trainer.TrainConfig(rank=2, alpha=2.0, use_ema=True, ema_decay=0.9)
+    state, opt = trainer.init_train_state(jax.random.PRNGKey(0), base_params, tcfg)
+    assert state.ema is not None
+    bumped = jax.tree_util.tree_map(lambda x: x + 1.0, state.lora)
+    ema = trainer.ema_update(state.ema, bumped, tcfg.ema_decay)
+    leaf = jax.tree_util.tree_leaves(ema)[0]
+    init_leaf = jax.tree_util.tree_leaves(state.ema)[0]
+    np.testing.assert_allclose(
+        np.asarray(leaf), 0.9 * np.asarray(init_leaf) + 0.1 * (np.asarray(init_leaf) + 1.0),
+        rtol=1e-6,
+    )
+    st = trainer.TrainState(lora=bumped, opt_state=state.opt_state, step=7, ema=ema)
+    trainer.save_checkpoint(str(tmp_path / "ck"), st, tcfg)
+    assert (tmp_path / "ck" / "lora_ema.safetensors").exists()
+    restored = trainer.load_checkpoint(str(tmp_path / "ck"), base_params, tcfg)
+    np.testing.assert_allclose(
+        np.asarray(jax.tree_util.tree_leaves(restored.ema)[0]), np.asarray(leaf), rtol=1e-6
+    )
+
+
+def test_target_layers_attention_only(base_params):
+    tcfg = trainer.TrainConfig(rank=2, alpha=2.0, target_layers="attention")
+    state, _ = trainer.init_train_state(jax.random.PRNGKey(0), base_params, tcfg)
+    assert "to_q" in state.lora["double_blocks"]
+    assert "ff_in" not in state.lora["double_blocks"]
+    assert "mlp_gate" not in state.lora["single_blocks"]
+    # and the step trains only those leaves
+    opt = trainer.make_optimizer(tcfg)
+    step = trainer.make_train_step(base_params, CONFIG, tcfg, opt)
+    lora, _, m = step(state.lora, state.opt_state, _batch(b=1), jax.random.PRNGKey(3))
+    assert np.isfinite(float(m["loss"]))
