@@ -37,11 +37,21 @@ def _lazy_imports():
 def _enable_compile_cache():
     """Persistent XLA compilation cache: repeat shapes skip recompilation
     across processes (the warm-load analogue of the reference's
-    loading-costs tracking)."""
+    loading-costs tracking).
+
+    TPU-only: XLA:CPU AOT artifacts embed the build host's CPU feature set,
+    and a cache written before a VM migration can be replayed onto a host
+    with different features — loading such an executable SIGILLs/aborts the
+    process (observed as the slow-suite SIGABRT in the CLI sharding tests).
+    CPU compiles are cheap; the cache's value is the tunnel-side TPU compile.
+    """
     import os
 
     import jax
 
+    platforms = str(getattr(jax.config, "jax_platforms", None) or os.environ.get("JAX_PLATFORMS", ""))
+    if "cpu" in platforms:
+        return
     cache_dir = os.environ.get(
         "FLUX2_COMPILE_CACHE", os.path.expanduser("~/.cache/flux2_tpu/xla_cache")
     )

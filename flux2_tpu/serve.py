@@ -61,22 +61,11 @@ import numpy as np
 
 
 def _enable_compile_cache():
-    """Persistent XLA compilation cache: repeat shapes skip recompilation
-    across processes (the warm-load analogue of the reference's
-    loading-costs tracking)."""
-    import os
+    """TPU-only persistent XLA cache (see cli.main._enable_compile_cache —
+    CPU AOT artifacts are not portable across host CPU migrations)."""
+    from flux2_tpu.cli.main import _enable_compile_cache as _impl
 
-    import jax
-
-    cache_dir = os.environ.get(
-        "FLUX2_COMPILE_CACHE", os.path.expanduser("~/.cache/flux2_tpu/xla_cache")
-    )
-    try:
-        os.makedirs(cache_dir, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    _impl()
 
 
 

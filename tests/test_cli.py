@@ -115,54 +115,60 @@ training:
     assert len(state["loss_history"]) == 2
 
 
-@pytest.fixture()
-def _tiny_model_config():
-    """Shrink Flux2Model.transformer_config so --random-init is CPU-feasible
-    (full Klein-4B random-init aborts the CPU client)."""
-    from flux2_tpu.models.flux2 import config as cfg_mod
+def _run_shard_cli_subprocess(extra_args, out):
+    """Run a sharded t2i CLI invocation in a FRESH process.
 
-    tiny = cfg_mod.Flux2TransformerConfig(
-        num_layers=1, num_single_layers=2, num_attention_heads=2,
-        attention_head_dim=128, joint_attention_dim=96, guidance_embeds=False,
+    Isolation matters: XLA:CPU collective rendezvous with 8 virtual device
+    threads on few host cores can stall; inside the long-lived pytest
+    process an unlucky stall crosses the rendezvous hard timeout and
+    SIGABRTs the whole suite (observed on a 1-core host). A fresh process
+    per mesh topology keeps the rendezvous windows short and contains any
+    failure to the one test.
+    """
+    import subprocess
+    import sys
+
+    code = (
+        "import os\n"
+        "os.environ['XLA_FLAGS'] = '--xla_force_host_platform_device_count=8'\n"
+        "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+        "from flux2_tpu.models.flux2 import config as cfg_mod\n"
+        "tiny = cfg_mod.Flux2TransformerConfig(\n"
+        "    num_layers=1, num_single_layers=2, num_attention_heads=2,\n"
+        "    attention_head_dim=128, joint_attention_dim=96, guidance_embeds=False)\n"
+        "cfg_mod.Flux2Model.transformer_config = property(lambda self: tiny)\n"
+        "from flux2_tpu.cli.main import main\n"
+        "import sys\n"
+        "sys.exit(main(sys.argv[1:]))\n"
     )
-    orig = cfg_mod.Flux2Model.transformer_config
-    cfg_mod.Flux2Model.transformer_config = property(lambda self: tiny)
-    try:
-        yield
-    finally:
-        cfg_mod.Flux2Model.transformer_config = orig
+    env = dict(os.environ, PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu")
+    env.pop("XLA_FLAGS", None)
+    args = ["t2i", "--random-init", "--width", "64", "--height", "64",
+            "--steps", "1", *extra_args, "-o", out]
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run([sys.executable, "-c", code, *args], env=env, cwd=repo,
+                       capture_output=True, text=True, timeout=900)
+    assert r.returncode == 0, f"stdout:\n{r.stdout}\nstderr:\n{r.stderr[-3000:]}"
+    assert os.path.exists(out)
 
 
 @pytest.mark.slow
-def test_cli_shard_flag(tmp_path, _tiny_model_config):
+def test_cli_shard_flag(tmp_path):
     """--shard data,fsdp,tp[,sp] shards the pipeline on the virtual mesh."""
-    out = str(tmp_path / "sharded.png")
-    main([
-        "t2i", "--random-init", "--width", "64", "--height", "64", "--steps", "1",
-        "--shard", "1,2,4", "-o", out,
-    ])
-    assert os.path.exists(out)
+    _run_shard_cli_subprocess(["--shard", "1,2,4"], str(tmp_path / "sharded.png"))
 
 
 @pytest.mark.slow
-def test_cli_shard_context_parallel(tmp_path, _tiny_model_config):
-    out = str(tmp_path / "cp.png")
-    main([
-        "t2i", "--random-init", "--width", "64", "--height", "64", "--steps", "1",
-        "--shard", "1,1,2,4", "--context-parallel", "-o", out,
-    ])
-    assert os.path.exists(out)
+def test_cli_shard_context_parallel(tmp_path):
+    _run_shard_cli_subprocess(
+        ["--shard", "1,1,2,4", "--context-parallel"], str(tmp_path / "cp.png")
+    )
 
 
 @pytest.mark.slow
-def test_cli_shard_dcn_multislice(tmp_path, _tiny_model_config):
+def test_cli_shard_dcn_multislice(tmp_path):
     """--shard data,fsdp,tp --dcn builds the multi-slice mesh (data over DCN)."""
-    out = str(tmp_path / "dcn.png")
-    main([
-        "t2i", "--random-init", "--width", "64", "--height", "64", "--steps", "1",
-        "--shard", "2,2,2", "--dcn", "-o", out,
-    ])
-    assert os.path.exists(out)
+    _run_shard_cli_subprocess(["--shard", "2,2,2", "--dcn"], str(tmp_path / "dcn.png"))
 
 
 def test_encoders_vision_subcommand(tmp_path, capsys):
