@@ -762,7 +762,7 @@ def cmd_beacons(args):
 
 def _add_common(p, with_gen=True):
     p.add_argument("--model", default="klein-4b", choices=[m.value for m in _models()])
-    p.add_argument("--quantization", default="bf16", choices=["bf16", "qint8", "w8a8", "int4", "w4a8", "mxfp8", "mxfp4", "nvfp4"])
+    p.add_argument("--quantization", default="bf16", choices=["bf16", "qint8", "w8a8", "int4", "nf4", "w4a8", "mxfp8", "mxfp4", "nvfp4"])
     p.add_argument("--transformer-dir")
     p.add_argument("--vae-dir")
     p.add_argument("--small-decoder", action="store_true", help="distilled VAE decoder (faster)")
@@ -862,7 +862,7 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     p = sub.add_parser("download", help="download model weights from HF")
     p.add_argument("--model", default="klein-4b", choices=[m.value for m in _models()])
-    p.add_argument("--quantization", default="bf16", choices=["bf16", "qint8", "w8a8", "int4", "w4a8", "mxfp8", "mxfp4", "nvfp4"])
+    p.add_argument("--quantization", default="bf16", choices=["bf16", "qint8", "w8a8", "int4", "nf4", "w4a8", "mxfp8", "mxfp4", "nvfp4"])
     p.add_argument("--token", help="HF token (or env HF_TOKEN)")
     p.set_defaults(fn=cmd_download)
 
@@ -871,7 +871,7 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     p = sub.add_parser("export-quantized", help="export a prequantized checkpoint")
     p.add_argument("--model", default="klein-4b", choices=[m.value for m in _models()])
-    p.add_argument("--quantization", required=True, choices=["qint8", "int4", "mxfp8", "mxfp4", "nvfp4"])
+    p.add_argument("--quantization", required=True, choices=["qint8", "int4", "nf4", "mxfp8", "mxfp4", "nvfp4"])
     p.add_argument("--transformer-dir")
     p.add_argument("--lora", action="append", metavar="PATH[:SCALE]",
                    help="bake this LoRA into the exported weights (repeatable)")

@@ -10,6 +10,9 @@ quantize semantics used in ``WeightLoader.swift:793-819``):
   - mxfp8: e4m3 values, power-of-2 scale, group 32
   - mxfp4: e2m1 values, power-of-2 scale, group 32
   - nvfp4: e2m1 values, e4m3 float scale, group 16
+  - nf4: QLoRA NormalFloat4 codebook (16 normal-quantile values in [-1,1]),
+    per-group absmax scale, group 64 (TrainingQuantization nf4,
+    LoRATrainingConfig.swift:18)
 
 Representation: ``QTensor`` — a registered pytree whose children are the
 code/scale(/bias) arrays and whose aux data (format, group size, original
@@ -38,13 +41,24 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-FORMATS = ("bf16", "qint8", "int4", "mxfp8", "mxfp4", "nvfp4")
+FORMATS = ("bf16", "qint8", "int4", "nf4", "mxfp8", "mxfp4", "nvfp4")
 
-GROUP_SIZES = {"qint8": 64, "int4": 64, "mxfp8": 32, "mxfp4": 32, "nvfp4": 16}
+GROUP_SIZES = {"qint8": 64, "int4": 64, "nf4": 64, "mxfp8": 32, "mxfp4": 32, "nvfp4": 16}
 
 # e2m1 (sign + 2-bit exponent + 1-bit mantissa) value table for fp4 codes.
 _E2M1_VALUES = np.array(
     [0.0, 0.5, 1.0, 1.5, 2.0, 3.0, 4.0, 6.0, -0.0, -0.5, -1.0, -1.5, -2.0, -3.0, -4.0, -6.0],
+    dtype=np.float32,
+)
+
+# QLoRA NormalFloat4: quantiles of N(0,1) normalized to [-1, 1]
+# (bitsandbytes reference values; symmetric around a true zero code).
+_NF4_VALUES = np.array(
+    [-1.0, -0.6961928009986877, -0.5250730514526367, -0.39491748809814453,
+     -0.28444138169288635, -0.18477343022823334, -0.09105003625154495, 0.0,
+     0.07958029955625534, 0.16093020141124725, 0.24611230194568634,
+     0.33791524171829224, 0.44070982933044434, 0.5626170039176941,
+     0.7229568362236023, 1.0],
     dtype=np.float32,
 )
 
@@ -288,6 +302,14 @@ def quantize(w: jnp.ndarray, fmt: str, group_size: Optional[int] = None) -> QTen
             q = _pack_nibbles(q)
         return QTensor(q, scale.squeeze(-2).astype(jnp.float32), wmin.squeeze(-2).astype(jnp.float32), fmt, g, d_in)
 
+    if fmt == "nf4":
+        amax = jnp.max(jnp.abs(wf), axis=-2, keepdims=True)
+        scale = jnp.where(amax == 0, 1.0, amax)
+        vals = jnp.asarray(_NF4_VALUES)
+        codes = jnp.argmin(jnp.abs((wf / scale)[..., None] - vals), axis=-1).astype(jnp.uint8)
+        q = _pack_nibbles(codes.reshape(*lead, d_in, d_out))
+        return QTensor(q, scale.squeeze(-2).astype(jnp.float32), None, fmt, g, d_in)
+
     if fmt in ("mxfp8", "mxfp4", "nvfp4"):
         amax = jnp.max(jnp.abs(wf), axis=-2, keepdims=True)
         amax = jnp.where(amax == 0, 1.0, amax)
@@ -312,7 +334,7 @@ def quantize(w: jnp.ndarray, fmt: str, group_size: Optional[int] = None) -> QTen
 def dequantize(qw: QTensor, dtype=jnp.bfloat16) -> jnp.ndarray:
     fmt, g, d_in = qw.format, qw.group_size, qw.orig_in
     q = qw.q
-    if fmt in ("int4", "mxfp4", "nvfp4"):
+    if fmt in ("int4", "nf4", "mxfp4", "nvfp4"):
         q = _unpack_nibbles(q, d_in)
     *lead, _, d_out = q.shape
     scale = jnp.expand_dims(qw.scale, -2)  # [.., G, 1, out]
@@ -323,6 +345,9 @@ def dequantize(qw: QTensor, dtype=jnp.bfloat16) -> jnp.ndarray:
     elif fmt == "mxfp8":
         vals = q.astype(jnp.float32).reshape(*lead, d_in // g, g, d_out)
         w = vals * scale
+    elif fmt == "nf4":
+        vals = jnp.asarray(_NF4_VALUES)[q.astype(jnp.int32)]
+        w = vals.reshape(*lead, d_in // g, g, d_out) * scale
     else:  # e2m1 codebook
         vals = jnp.asarray(_E2M1_VALUES)[q.astype(jnp.int32)]
         w = vals.reshape(*lead, d_in // g, g, d_out) * scale
@@ -443,7 +468,7 @@ def quantize_params(params: Any, fmt: str, min_size: int = 1 << 16) -> Any:
             and leaf.size >= min_size
             and jnp.issubdtype(leaf.dtype, jnp.floating)
             and leaf.shape[-2] % GROUP_SIZES[fmt] == 0
-            and (fmt not in ("int4", "mxfp4", "nvfp4") or leaf.shape[-2] % 2 == 0)
+            and (fmt not in ("int4", "nf4", "mxfp4", "nvfp4") or leaf.shape[-2] % 2 == 0)
         ):
             return quantize(leaf, fmt)
         return leaf

@@ -86,7 +86,10 @@ def init_lora(
     keys = iter(jax.random.split(key, len(config.targets)))
     for group, leaf in config.targets:
         w = params[group][leaf]  # [L, in, out]
-        nl, d_in, d_out = w.shape
+        if hasattr(w, "shape"):
+            nl, d_in, d_out = w.shape
+        else:  # QTensor base (QLoRA-style training on a quantized model)
+            nl, d_in, d_out = w.q.shape[0], w.orig_in, w.q.shape[-1]
         bound = 1.0 / (d_in**0.5)
         a = jax.random.uniform(next(keys), (nl, d_in, config.rank), jnp.float32, -bound, bound)
         b = jnp.zeros((nl, config.rank, d_out), jnp.float32)

@@ -19,7 +19,7 @@ import jax
 
 from flux2_tpu.models.flux2.config import Flux2Model
 
-BYTES_PER_PARAM = {"bf16": 2.0, "qint8": 1.06, "int4": 0.56, "mxfp8": 1.12, "mxfp4": 0.62, "nvfp4": 0.56}
+BYTES_PER_PARAM = {"bf16": 2.0, "qint8": 1.06, "int4": 0.56, "mxfp8": 1.12, "mxfp4": 0.62, "nvfp4": 0.56, "nf4": 0.56}
 
 APPROX_PARAMS = {
     Flux2Model.DEV: 32e9,

@@ -384,3 +384,54 @@ def test_w8a8_params_skip_stacked_norm_leaves():
         assert not quant.is_quantized(qp["embed_tokens"])
     qp = quant.w8a8_params(params)
     assert quant.is_quantized(qp["layers"]["q_proj"])
+
+
+def test_nf4():
+    """QLoRA NormalFloat4: codebook roundtrip + zero code + error bound."""
+    from flux2_tpu.ops import quant
+
+    w = jax.random.normal(jax.random.PRNGKey(3), (128, 64)) * 0.02
+    qw = quant.quantize(w, "nf4")
+    assert qw.group_size == 64 and qw.q.shape == (64, 64)  # packed nibbles
+    deq = quant.dequantize(qw, jnp.float32)
+    err = float(jnp.abs(deq - w).max() / jnp.abs(w).max())
+    assert err < 0.12  # 4-bit normal-quantile codebook on gaussian weights
+    # exact zero is representable (code 7)
+    wz = w.at[0, 0].set(0.0)
+    deqz = quant.dequantize(quant.quantize(wz, "nf4"), jnp.float32)
+    assert float(jnp.abs(deqz[0, 0])) == 0.0
+    # model forward runs with nf4 params
+    base = tfm_init_small()
+    qp = quant.quantize_params(base, "nf4", min_size=0)
+    y = qmm_forward(qp)
+    assert np.isfinite(np.asarray(y)).all()
+
+
+def tfm_init_small():
+    from flux2_tpu.models.flux2 import transformer as tfm
+    from flux2_tpu.models.flux2.config import Flux2TransformerConfig
+
+    cfg = Flux2TransformerConfig(
+        num_layers=1, num_single_layers=1, num_attention_heads=2,
+        attention_head_dim=128, joint_attention_dim=96, guidance_embeds=False,
+    )
+    return tfm.init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+
+
+def qmm_forward(params):
+    import numpy as _np
+
+    from flux2_tpu.models.flux2 import transformer as tfm
+    from flux2_tpu.models.flux2.config import Flux2TransformerConfig
+    from flux2_tpu.ops import latents as lu
+    from flux2_tpu.ops.rope import rope_embeddings
+
+    cfg = Flux2TransformerConfig(
+        num_layers=1, num_single_layers=1, num_attention_heads=2,
+        attention_head_dim=128, joint_attention_dim=96, guidance_embeds=False,
+    )
+    ids = _np.concatenate([lu.text_position_ids(4), lu.image_position_ids(64, 64)], axis=0)
+    cos, sin = rope_embeddings(jnp.asarray(ids))
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 16, 128), jnp.bfloat16)
+    emb = jax.random.normal(jax.random.PRNGKey(2), (1, 4, 96), jnp.bfloat16)
+    return tfm.forward(params, cfg, x, emb, jnp.asarray([0.5]), cos, sin)

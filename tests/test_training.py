@@ -334,3 +334,21 @@ def test_target_layers_attention_only(base_params):
     step = trainer.make_train_step(base_params, CONFIG, tcfg, opt)
     lora, _, m = step(state.lora, state.opt_state, _batch(b=1), jax.random.PRNGKey(3))
     assert np.isfinite(float(m["loss"]))
+
+
+def test_qlora_train_step_on_quantized_base():
+    """QLoRA-style: the unmerged LoRA trains against a QTensor (qint8) base
+    (TrainingQuantization, LoRATrainingConfig.swift:9-34)."""
+    from flux2_tpu.ops import quant
+
+    base = tfm.init_params(jax.random.PRNGKey(0), CONFIG, dtype=jnp.bfloat16)
+    qbase = quant.quantize_params(base, "qint8")
+    tcfg = trainer.TrainConfig(rank=4, alpha=4.0, remat=True)
+    state, opt = trainer.init_train_state(jax.random.PRNGKey(1), qbase, tcfg)
+    step = trainer.make_train_step(qbase, CONFIG, tcfg, opt)
+    b = _batch(b=1)
+    lora, ost, m = step(state.lora, state.opt_state, b, jax.random.PRNGKey(5))
+    assert np.isfinite(float(m["loss"])) and float(m["grad_norm"]) > 0
+    # the zero-initialized b leaves received real gradient updates
+    b_leaf = lora["double_blocks"]["to_q"]["b"]
+    assert float(jnp.abs(b_leaf).max()) > 0
