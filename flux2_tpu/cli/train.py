@@ -377,8 +377,9 @@ def run_training(args) -> None:
         sample_batch = _prepare_synthetic_data(cfg, tconfig)
         items = []
 
-    if cfg.epochs > 0 and items:
-        # epochs -> steps given the effective batch (LoRATrainingConfig.swift:281)
+    if cfg.epochs > 0 and items and getattr(args, "max_steps", None) is None:
+        # epochs -> steps given the effective batch (LoRATrainingConfig.swift:281);
+        # an explicit --max-steps beats YAML epochs (maxSteps override semantics)
         eff = cfg.batch_size * max(1, cfg.grad_accumulation)
         steps = cfg.epochs * max(1, -(-len(items) // eff))
         flog.info(f"epochs={cfg.epochs} -> {steps} steps ({len(items)} items, effective batch {eff})")

@@ -12,7 +12,18 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_cpu_collective" not in flags:
+    # 8 virtual device threads on a small host can legitimately take longer
+    # than XLA:CPU's default 40 s rendezvous termination timeout (each
+    # "device" runs sequentially on the same cores); the default aborts the
+    # whole process (F rendezvous.cc:127 "Exiting to ensure a consistent
+    # program state"). Raise both rendezvous timeouts for the hermetic suite.
+    flags += (
+        " --xla_cpu_collective_timeout_seconds=600"
+        " --xla_cpu_collective_call_terminate_timeout_seconds=600"
+    )
+os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
 

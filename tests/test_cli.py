@@ -130,7 +130,10 @@ def _run_shard_cli_subprocess(extra_args, out):
 
     code = (
         "import os\n"
-        "os.environ['XLA_FLAGS'] = '--xla_force_host_platform_device_count=8'\n"
+        "os.environ['XLA_FLAGS'] = ("
+        "'--xla_force_host_platform_device_count=8 '"
+        "'--xla_cpu_collective_timeout_seconds=600 '"
+        "'--xla_cpu_collective_call_terminate_timeout_seconds=600')\n"
         "import jax; jax.config.update('jax_platforms', 'cpu')\n"
         "from flux2_tpu.models.flux2 import config as cfg_mod\n"
         "tiny = cfg_mod.Flux2TransformerConfig(\n"

@@ -44,6 +44,10 @@ def _write_config(tmp_path, dataset, **extra):
         "training": {
             "max_steps": 2, "batch_size": 1, "learning_rate": 1e-3,
             "save_every": 2, "seed": 7, "remat": False,
+            # round-3 trainer depth exercised through the real CLI path
+            "lr_scheduler": "cosine", "warmup_steps": 1,
+            "use_ema": True, "ema_decay": 0.9,
+            "caption_dropout": 0.5, "keep_last_checkpoints": 1,
         },
         "validation": {
             "prompts": ["a tpz photo"], "every": 2, "steps": 1, "size": 64,
@@ -71,7 +75,11 @@ def test_train_lora_real_data_e2e(model_dirs, encoder_dir, dataset_dir, tmp_path
     ckpt = out / "checkpoint_000002"
     assert (ckpt / "lora.safetensors").exists()
     assert (ckpt / "optimizer.safetensors").exists()
+    assert (ckpt / "lora_ema.safetensors").exists()  # use_ema: true
     assert (out / "learning_curve.svg").exists()
+    # keep_last_checkpoints: 1 -> only the newest checkpoint dir survives
+    ckpt_dirs = [d for d in os.listdir(out) if d.startswith("checkpoint_")]
+    assert ckpt_dirs == ["checkpoint_000002"]
 
     # REAL encode path ran: the latent cache holds one .npy per dataset image
     # (plus nothing else) — proof images went through the VAE, not randn
