@@ -57,6 +57,7 @@ def cmd_chat(args):
             params=GenerateParameters(max_tokens=args.max_tokens, temperature=args.temperature),
             seed=args.seed,
             on_token=lambda piece: print(piece, end="", flush=True),
+            enable_thinking=getattr(args, "thinking", False),
         )
         print()
         messages.append({"role": "assistant", "content": reply})
@@ -141,6 +142,11 @@ def main(argv=None) -> int:
 
     p = sub.add_parser("chat", help="interactive streaming chat")
     _common(p)
+    p.add_argument(
+        "--thinking", action="store_true",
+        help="enable Qwen3 thinking mode (default off: /no_think appended, "
+        "direct responses — TestQwen3.swift --no-thinking inverse)",
+    )
     p.set_defaults(fn=cmd_chat)
 
     p = sub.add_parser("embed", help="export FLUX conditioning embeddings (.npy)")

@@ -4,6 +4,7 @@ Bit-parity-critical path (EmbeddingExtractor.swift:196-278,
 KleinEmbeddingExtractor.swift / KleinConfig.swift:28-100): the DiT is
 conditioned on LLM hidden states produced with an exact protocol —
 
+  Mistral/Dev recipe (EmbeddingExtractor.swift):
   1. Build chat messages: [system: BFL reasoning prompt, user: prompt]
      with any "[IMG]" markers stripped from the prompt.
   2. Apply the model's chat template WITHOUT a generation prompt.
@@ -11,6 +12,11 @@ conditioned on LLM hidden states produced with an exact protocol —
      token; attention mask is 0 on padding.
   4. Forward with hidden states; concatenate layers (Mistral [10,20,30],
      Qwen3 [9,18,27]; index 0 = embedding layer) along features.
+
+  Klein/Qwen3 recipe (KleinEmbeddingExtractor.swift — DIFFERENT):
+  NO system message; generation prompt ending in the empty
+  ``<think>\\n\\n</think>\\n\\n`` block (enable_thinking=False); RIGHT
+  padding. See ``prepare_klein_input_ids``.
 
 Output: [1, 512, 15360] (Dev/Mistral), [1, 512, 7680/12288] (Klein/Qwen3).
 
@@ -104,6 +110,46 @@ def prepare_input_ids(
     )
 
 
+def format_qwen3_chat_template(prompt: str, add_generation_prompt: bool = True) -> str:
+    """Klein chat template (KleinEmbeddingExtractor.swift:144-162): NO
+    system message; `enable_thinking=False` semantics — the assistant turn
+    opens with the empty think block, exactly as HF's Qwen3 template emits
+    it."""
+    s = f"<|im_start|>user\n{prompt}<|im_end|>\n"
+    if add_generation_prompt:
+        s += "<|im_start|>assistant\n<think>\n\n</think>\n\n"
+    return s
+
+
+def prepare_klein_input_ids(
+    tokenizer: ChatTokenizer,
+    prompt: str,
+    max_length: int = MAX_SEQUENCE_LENGTH,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Klein (Qwen3) conditioning recipe — DIFFERENT from the Mistral one
+    (KleinEmbeddingExtractor.swift:58-100): no system message, generation
+    prompt ending in the empty ``<think>\\n\\n</think>\\n\\n`` block
+    (enable_thinking=False), and RIGHT padding."""
+    cleaned = prompt.replace("[IMG]", "")
+    text = format_qwen3_chat_template(cleaned, add_generation_prompt=True)
+    if hasattr(tokenizer, "encode"):
+        token_ids = list(tokenizer.encode(text))
+    else:  # chat-template-only tokenizers (hermetic stubs)
+        token_ids = list(
+            tokenizer.apply_chat_template(
+                [{"role": "user", "content": cleaned}], add_generation_prompt=True
+            )
+        )
+    token_ids = token_ids[:max_length]
+    pad_count = max_length - len(token_ids)
+    ids = token_ids + [tokenizer.pad_token_id] * pad_count
+    mask = [1] * len(token_ids) + [0] * pad_count
+    return (
+        np.asarray(ids, dtype=np.int32)[None],
+        np.asarray(mask, dtype=np.int32)[None],
+    )
+
+
 @dataclasses.dataclass
 class EmbeddingExtractor:
     """Extracts DiT conditioning from a decoder's hidden states."""
@@ -113,9 +159,11 @@ class EmbeddingExtractor:
     tokenizer: ChatTokenizer
     hidden_layers: Tuple[int, ...]
     max_length: int = MAX_SEQUENCE_LENGTH
+    recipe: str = "mistral"  # mistral: system+LEFT-pad | klein: think+RIGHT-pad
 
     def __call__(self, prompt: str) -> jnp.ndarray:
-        ids, mask = prepare_input_ids(self.tokenizer, prompt, self.max_length)
+        prep = prepare_klein_input_ids if self.recipe == "klein" else prepare_input_ids
+        ids, mask = prep(self.tokenizer, prompt, self.max_length)
         return decoder.extract_hidden_layers(
             self.params, self.config, jnp.asarray(ids), jnp.asarray(mask), self.hidden_layers
         )
@@ -131,5 +179,8 @@ def mistral_extractor(params: dict, config: DecoderConfig, tokenizer: ChatTokeni
 
 
 def qwen3_extractor(params: dict, config: DecoderConfig, tokenizer: ChatTokenizer) -> EmbeddingExtractor:
-    """Klein path: Qwen3 layers [9, 18, 27] -> [1, 512, 7680/12288]."""
-    return EmbeddingExtractor(params, config, tokenizer, QWEN3_HIDDEN_LAYERS)
+    """Klein path: Qwen3 layers [9, 18, 27] -> [1, 512, 7680/12288].
+
+    Uses the Klein recipe (no system message, enable_thinking=False
+    generation prompt, RIGHT padding) — KleinEmbeddingExtractor.swift."""
+    return EmbeddingExtractor(params, config, tokenizer, QWEN3_HIDDEN_LAYERS, recipe="klein")

@@ -253,8 +253,15 @@ class TextEncoders:
         params: Optional[generation.GenerateParameters] = None,
         seed: int = 0,
         on_token=None,
+        enable_thinking: bool = False,
     ) -> str:
+        """Chat turn. Thinking is DISABLED by default for FLUX.2 usage
+        (Qwen3Generator.swift:38,54): Qwen3-family encoders get the
+        ``/no_think`` soft switch appended to the last user turn, and
+        ``<think>`` blocks are stripped from the reply either way."""
         enc = self._encoders[name]
+        if "qwen3" in name.lower():
+            messages = generation.apply_thinking_control(messages, enable_thinking)
         ids = enc.tokenizer.apply_chat_template(messages, add_generation_prompt=True)
         eos = [enc.tokenizer.eos_token_id] if getattr(enc.tokenizer, "eos_token_id", None) is not None else []
         tokens = generation.generate(
@@ -262,7 +269,7 @@ class TextEncoders:
             eos_token_ids=eos, seed=seed,
             on_token=(lambda t: on_token(enc.tokenizer.decode([t]))) if on_token else None,
         )
-        return enc.tokenizer.decode(tokens)
+        return generation.strip_think_tags(enc.tokenizer.decode(tokens))
 
     def generate_text(self, prompt: str, name: str, **kw) -> str:
         return self.chat([{"role": "user", "content": prompt}], name, **kw)
@@ -276,7 +283,8 @@ class TextEncoders:
     def upsample_prompt(self, prompt: str, name: str, mode: str = "upsampling_t2i", seed: int = 0) -> str:
         enc = self._encoders[name]
         return generation.upsample_prompt(
-            enc.params, enc.config, enc.tokenizer, prompt, mode=mode, seed=seed
+            enc.params, enc.config, enc.tokenizer, prompt, mode=mode, seed=seed,
+            qwen3_no_think="qwen3" in name.lower(),
         )
 
 

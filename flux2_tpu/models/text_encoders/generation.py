@@ -332,6 +332,31 @@ def prefill_embeds_runner(cfg: DecoderConfig):
     )
 
 
+def apply_thinking_control(messages: list, enable_thinking: bool) -> list:
+    """Qwen3 thinking soft-switch: append ``/no_think`` to the LAST user
+    turn when thinking is disabled (Qwen3Generator.swift:358-374; Qwen3.5
+    controls this via the chat template instead — its service path). Returns
+    a new messages list; non-user-final conversations pass through."""
+    if enable_thinking or not messages:
+        return messages
+    out = [dict(m) for m in messages]
+    for m in reversed(out):
+        if m.get("role") == "user":
+            if "/no_think" not in str(m.get("content", "")):
+                m["content"] = f"{m['content']} /no_think"
+            break
+    return out
+
+
+def strip_think_tags(text: str) -> str:
+    """Drop ``<think>...</think>`` reasoning blocks (incl. the empty one the
+    no-think mode still emits) from a decoded reply
+    (Qwen3Generator.swift:144,269)."""
+    import re
+
+    return re.sub(r"<think>.*?</think>\s*", "", text, flags=re.DOTALL).strip()
+
+
 def upsample_prompt(
     params: dict,
     cfg: DecoderConfig,
@@ -340,12 +365,17 @@ def upsample_prompt(
     mode: str = "upsampling_t2i",
     gen_params: Optional[GenerateParameters] = None,
     seed: int = 0,
+    qwen3_no_think: bool = False,
 ) -> str:
     """Rewrite a prompt with the BFL upsampling system prompt via chat
-    (Flux2TextEncoder text upsampling, MistralEncoder.swift:70-91)."""
+    (Flux2TextEncoder text upsampling, MistralEncoder.swift:70-91).
+    ``qwen3_no_think`` appends the Qwen3 ``/no_think`` soft switch so the
+    upsampler answers directly instead of reasoning first."""
     from flux2_tpu.models.text_encoders.extractor import build_messages
 
     messages = build_messages(prompt, mode=mode)
+    if qwen3_no_think:
+        messages = apply_thinking_control(messages, enable_thinking=False)
     input_ids = list(tokenizer.apply_chat_template(messages, add_generation_prompt=True))
     eos = [tokenizer.eos_token_id] if getattr(tokenizer, "eos_token_id", None) is not None else []
     tokens = generate(
@@ -354,4 +384,4 @@ def upsample_prompt(
         eos_token_ids=eos, seed=seed,
     )
     text = tokenizer.decode(tokens) if hasattr(tokenizer, "decode") else ""
-    return text.strip() or prompt
+    return strip_think_tags(text) or prompt

@@ -377,7 +377,7 @@ class Flux2Server:
         )
 
     def chat(self, messages, *, max_tokens: int = 512, temperature: float = 0.7,
-             seed: int = 0, on_token=None) -> dict:
+             seed: int = 0, on_token=None, thinking: bool = False) -> dict:
         """Run a chat turn on the attached text encoder (reference:
         ChatViewModel.sendMessage — streaming tokens + GenerationStats).
 
@@ -412,6 +412,7 @@ class Flux2Server:
                     params=GenerateParameters(max_tokens=int(max_tokens),
                                               temperature=float(temperature)),
                     seed=int(seed), on_token=counting,
+                    enable_thinking=thinking,
                 )
         dur = max(time.time() - t0, 1e-6)
         with self.lock:
@@ -748,6 +749,7 @@ def make_handler(server: Flux2Server):
                     max_tokens=int(req.get("max_tokens", 512)),
                     temperature=float(req.get("temperature", 0.7)),
                     seed=int(req.get("seed", 0)),
+                    thinking=bool(req.get("thinking", False)),
                 )
                 if not req.get("stream"):
                     self._json(200, server.chat(req.get("messages"), **kwargs))

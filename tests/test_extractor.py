@@ -73,3 +73,43 @@ def test_mistral_and_qwen3_factories():
     q = ex.qwen3_extractor(params, tc.TINY_DECODER, _Tok())
     assert m.hidden_layers == (10, 20, 30)
     assert q.hidden_layers == (9, 18, 27)
+
+
+class _EncTok(_Tok):
+    """Stub with a raw-text encode (the Klein recipe path)."""
+
+    def __init__(self, n_tokens=10):
+        super().__init__(n_tokens)
+        self.last_text = None
+
+    def encode(self, text):
+        self.last_text = text
+        return list(range(1, self.n + 1))
+
+
+def test_klein_recipe_right_padding_and_template():
+    """Klein (KleinEmbeddingExtractor.swift): no system message, generation
+    prompt with the empty think block, RIGHT padding."""
+    tok = _EncTok(n_tokens=5)
+    ids, mask = ex.prepare_klein_input_ids(tok, "a [IMG] cat", max_length=8)
+    np.testing.assert_array_equal(ids[0], [1, 2, 3, 4, 5, 0, 0, 0])  # RIGHT pad
+    np.testing.assert_array_equal(mask[0], [1, 1, 1, 1, 1, 0, 0, 0])
+    assert tok.last_text == (
+        "<|im_start|>user\na  cat<|im_end|>\n"
+        "<|im_start|>assistant\n<think>\n\n</think>\n\n"
+    )
+
+
+def test_klein_recipe_truncation():
+    tok = _EncTok(n_tokens=20)
+    ids, mask = ex.prepare_klein_input_ids(tok, "long", max_length=8)
+    np.testing.assert_array_equal(ids[0], list(range(1, 9)))
+    np.testing.assert_array_equal(mask[0], 1)
+
+
+def test_qwen3_extractor_uses_klein_recipe():
+    params = dec.init_params(jax.random.PRNGKey(0), tc.TINY_DECODER, dtype=jnp.float32)
+    q = ex.qwen3_extractor(params, tc.TINY_DECODER, _EncTok())
+    assert q.recipe == "klein"
+    m = ex.mistral_extractor(params, tc.TINY_DECODER, _Tok())
+    assert m.recipe == "mistral"

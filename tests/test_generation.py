@@ -176,3 +176,28 @@ def test_generation_with_quantized_untied_lm_head():
     p = gen.GenerateParameters(max_tokens=4, temperature=0.0)
     out = gen.generate(qparams, cfg, [1, 2, 3], p)
     assert len(out) == 4 and all(0 <= t < cfg.vocab_size for t in out)
+
+
+def test_thinking_control_and_strip():
+    """Qwen3 /no_think soft switch + think-tag stripping
+    (Qwen3Generator.swift:144,358-374)."""
+    from flux2_tpu.models.text_encoders import generation as g
+
+    msgs = [
+        {"role": "system", "content": "sys"},
+        {"role": "user", "content": "q1"},
+        {"role": "assistant", "content": "a1"},
+        {"role": "user", "content": "q2"},
+    ]
+    out = g.apply_thinking_control(msgs, enable_thinking=False)
+    assert out[3]["content"] == "q2 /no_think"
+    assert out[1]["content"] == "q1"  # only the LAST user turn
+    assert msgs[3]["content"] == "q2"  # input untouched
+    assert g.apply_thinking_control(msgs, enable_thinking=True) is msgs
+    # idempotent
+    again = g.apply_thinking_control(out, enable_thinking=False)
+    assert again[3]["content"] == "q2 /no_think"
+
+    assert g.strip_think_tags("<think>\n\n</think>\n\nanswer") == "answer"
+    assert g.strip_think_tags("<think>reasoning\nhere</think>  final") == "final"
+    assert g.strip_think_tags("plain") == "plain"
