@@ -58,7 +58,8 @@ class YAMLTrainingConfig:
     logit_normal_mean: float = 0.0
     logit_normal_std: float = 1.0
     flux_shift: float = 1.0
-    loss_weighting: str = "none"
+    loss_weighting: str = "none"  # none|bell_shaped|snr
+    snr_gamma: float = 5.0
     dop_weight: float = 0.0
     dop_preservation_class: str = "person"
     use_ema: bool = False
@@ -73,6 +74,16 @@ class YAMLTrainingConfig:
     # checked on a 20-step moving average; 0 disables
     early_stop_loss_patience: int = 0
     early_stop_min_delta: float = 1e-4
+    # validation-LOSS early stops on a held-out dataset
+    # (LoRATrainingConfig.swift:223,483-500 — config-surfaced there,
+    # implemented here): val-train gap (overfit) + val-loss stagnation
+    validation_dataset_dir: Optional[str] = None
+    early_stop_on_overfit: bool = False
+    early_stop_max_val_gap: float = 0.5
+    early_stop_gap_patience: int = 3
+    early_stop_on_val_stagnation: bool = False
+    early_stop_min_val_improvement: float = 0.1
+    early_stop_val_stagnation_patience: int = 2
     # validation (SimpleLoRATrainer.swift:1746-2409)
     validation_prompts: Sequence[str] = ()
     validation_every: int = 0  # 0 -> save_every
@@ -400,7 +411,12 @@ def run_training(args) -> None:
         logit_normal_mean=cfg.logit_normal_mean,
         logit_normal_std=cfg.logit_normal_std,
         flux_shift=cfg.flux_shift,
-        loss_weighting="bell" if cfg.loss_weighting in ("bell", "bellShaped", "weighted") else "none",
+        loss_weighting=(
+            "bell" if cfg.loss_weighting in ("bell", "bellShaped", "bell_shaped", "weighted")
+            else "snr" if cfg.loss_weighting == "snr"
+            else "none"
+        ),
+        snr_gamma=cfg.snr_gamma,
         grad_accumulation=cfg.grad_accumulation,
         dop_weight=cfg.dop_weight,
         use_ema=cfg.use_ema,
@@ -462,6 +478,25 @@ def run_training(args) -> None:
 
         ref_images = [td.load_image(it.image_path, *it.bucket) for it in items[:4]]
 
+    # --- validation LOSS on a held-out dataset (overfit/stagnation stops) ---
+    val_loss_fn = None
+    val_batches = []
+    if pipe is not None and cfg.validation_dataset_dir:
+        vcfg = dataclasses.replace(
+            cfg, dataset_dir=cfg.validation_dataset_dir, dop_weight=0.0,
+            control_dir=None, caption_dropout=0.0,
+            cache_dir=os.path.join(cfg.output_dir, "val_latent_cache"),
+        )
+        val_sample, val_items = _prepare_real_data(pipe, vcfg, tconfig)
+        val_loss_fn = trainer.make_eval_loss(base_params, tconfig, tcfg)
+        vr = np.random.RandomState(cfg.validation_seed)
+        n_val = min(4, max(1, len(val_items)))
+        # FIXED batches + keys: the val-loss curve is comparable across steps
+        val_batches = [val_sample(vr, cfg.batch_size) for _ in range(n_val)]
+        flog.info(
+            f"validation loss: {len(val_items)} held-out item(s), {n_val} fixed batch(es)"
+        )
+
     # --- state / resume ---
     controller = TrainingController(cfg.output_dir)
     if args.resume:
@@ -477,6 +512,7 @@ def run_training(args) -> None:
 
     lora, opt_state, ema = state_t.lora, state_t.opt_state, state_t.ema
     plateau_best, plateau_bad = float("inf"), 0
+    gap_bad, best_val, val_bad = 0, float("inf"), 0
     bs = cfg.batch_size * max(1, cfg.grad_accumulation)
     rng = np.random.RandomState(cfg.seed)
     key = jax.random.PRNGKey(cfg.seed)
@@ -561,6 +597,42 @@ def run_training(args) -> None:
                     flog.info(
                         f"early stop: {cfg.early_stop_patience} non-improving validation(s)"
                     )
+                    break
+
+            if val_loss_fn is not None and step % val_every == 0:
+                # held-out loss with the evaluated (EMA when enabled) weights
+                eval_lora = ema if (tcfg.use_ema and ema is not None) else lora
+                vloss = float(np.mean([
+                    float(val_loss_fn(eval_lora, vb, jax.random.PRNGKey(cfg.validation_seed + i)))
+                    for i, vb in enumerate(val_batches)
+                ]))
+                train_ma = (
+                    float(np.mean(tstate.loss_history[-20:])) if tstate.loss_history else vloss
+                )
+                gap = vloss - train_ma
+                tstate.record_val_loss(step, vloss, gap)
+                flog.info(f"val loss @ {step}: {vloss:.4f} (train MA {train_ma:.4f}, gap {gap:+.4f})")
+                stop = False
+                if cfg.early_stop_on_overfit:
+                    if gap > cfg.early_stop_max_val_gap:
+                        gap_bad += 1
+                        if gap_bad >= cfg.early_stop_gap_patience:
+                            flog.info(
+                                f"early stop: val-train gap {gap:.3f} > "
+                                f"{cfg.early_stop_max_val_gap} for {gap_bad} check(s) (overfitting)"
+                            )
+                            stop = True
+                    else:
+                        gap_bad = 0
+                if cfg.early_stop_on_val_stagnation:
+                    if vloss < best_val - cfg.early_stop_min_val_improvement:
+                        best_val, val_bad = vloss, 0
+                    else:
+                        val_bad += 1
+                        if val_bad >= cfg.early_stop_val_stagnation_patience:
+                            flog.info(f"early stop: val loss stagnant for {val_bad} check(s)")
+                            stop = True
+                if stop:
                     break
 
     _save(cfg, trainer, tstate, lora, opt_state, tcfg, tstate.step, ema=ema)

@@ -128,6 +128,10 @@ class TrainingState:
     started_at: float = dataclasses.field(default_factory=time.time)
     elapsed_s: float = 0.0
     validation_scores: List[Dict] = dataclasses.field(default_factory=list)
+    val_loss_history: List[Dict] = dataclasses.field(default_factory=list)  # [{step, loss, gap}]
+
+    def record_val_loss(self, step: int, loss: float, gap: float) -> None:
+        self.val_loss_history.append({"step": step, "loss": loss, "gap": gap})
 
     def record_loss(self, loss: float) -> None:
         self.loss_history.append(loss)

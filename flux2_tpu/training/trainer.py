@@ -43,7 +43,8 @@ class TrainConfig:
     weight_decay: float = 0.01
     optimizer: str = "adamw"  # or "lion"
     timestep_sampling: str = "balanced"  # uniform|logit_normal|flux_shift|content|style|balanced
-    loss_weighting: str = "none"  # none|bell
+    loss_weighting: str = "none"  # none|bell|snr
+    snr_gamma: float = 5.0  # min-SNR clamp for loss_weighting="snr"
     max_grad_norm: float = 1.0
     grad_accumulation: int = 1
     dop_weight: float = 0.0  # >0 enables DOP
@@ -119,6 +120,18 @@ def bell_weights(sigmas: jnp.ndarray) -> jnp.ndarray:
     return jnp.exp(-2.0 * centered * centered)
 
 
+def snr_weights(sigmas: jnp.ndarray, gamma: float = 5.0) -> jnp.ndarray:
+    """Min-SNR-gamma weighting for the velocity objective:
+    w = min(SNR, gamma) / (SNR + 1), SNR = ((1-sigma)/sigma)^2 under
+    rectified flow. The reference CLI accepts ``snr``
+    (TrainLoRACommand.swift:111) but its LossWeighting enum cannot
+    represent it; implemented here per Hang et al. 2023 (min-SNR) with the
+    +1 denominator for v-prediction."""
+    s = jnp.clip(sigmas, 1e-3, 1.0 - 1e-3)
+    snr = ((1.0 - s) / s) ** 2
+    return jnp.minimum(snr, gamma) / (snr + 1.0)
+
+
 # ---------------------------------------------------------------------------
 # Loss
 # ---------------------------------------------------------------------------
@@ -171,8 +184,12 @@ def flow_matching_loss(
     )[:, :s_out]
     target = sch.get_velocity(latents_seq, noise_seq)
     sq = jnp.square(pred.astype(jnp.float32) - target.astype(jnp.float32))
-    if train_cfg.loss_weighting == "bell":
-        w = bell_weights(sigmas)[:, None, None]
+    if train_cfg.loss_weighting in ("bell", "snr"):
+        w = (
+            bell_weights(sigmas)
+            if train_cfg.loss_weighting == "bell"
+            else snr_weights(sigmas, train_cfg.snr_gamma)
+        )[:, None, None]
         return jnp.sum(w * sq) / (jnp.sum(w) * sq.shape[1] * sq.shape[2])
     return jnp.mean(sq)
 
@@ -372,6 +389,46 @@ def make_train_step(
         return jitted(base_params, lora, opt_state, batch, key)
 
     return step
+
+
+def make_eval_loss(
+    base_params: Params,
+    config: Flux2TransformerConfig,
+    train_cfg: TrainConfig,
+) -> Callable:
+    """Jitted VALIDATION loss: the training objective with no gradient or
+    update — eval_loss(lora, batch, key) -> scalar. Deterministic per
+    (batch, key), so a fixed key gives comparable val-loss curves. Used for
+    val-train-gap overfit detection and val-loss stagnation early stops
+    (the reference surfaces validationDatasetPath +
+    earlyStoppingOnOverfit/OnValStagnation in config,
+    LoRATrainingConfig.swift:223,483-500, without a consuming trainer;
+    implemented here)."""
+
+    def impl(base, lora, batch, key):
+        k_t, k_n = jax.random.split(key)
+        b = batch["latents"].shape[0]
+        sigmas = sample_timesteps(
+            k_t, b, train_cfg.timestep_sampling,
+            logit_mean=train_cfg.logit_normal_mean,
+            logit_std=train_cfg.logit_normal_std,
+            shift=train_cfg.flux_shift,
+        )
+        noise = jax.random.normal(k_n, batch["latents"].shape, jnp.float32)
+        return flow_matching_loss(
+            base, lora, config, train_cfg,
+            batch["latents"], batch["embeddings"], noise, sigmas,
+            batch["rope_cos"], batch["rope_sin"],
+            guidance=batch.get("guidance"),
+            control_seq=batch.get("control"),
+        )
+
+    jitted = jax.jit(impl)
+
+    def eval_loss(lora, batch, key):
+        return jitted(base_params, lora, batch, key)
+
+    return eval_loss
 
 
 # ---------------------------------------------------------------------------

@@ -352,3 +352,32 @@ def test_qlora_train_step_on_quantized_base():
     # the zero-initialized b leaves received real gradient updates
     b_leaf = lora["double_blocks"]["to_q"]["b"]
     assert float(jnp.abs(b_leaf).max()) > 0
+
+
+def test_snr_weights():
+    """Min-SNR-gamma (v-pred): high weight at low sigma, clamped; ->0 as
+    sigma->1; implemented though the reference only CLI-surfaces "snr"."""
+    s = jnp.asarray([0.1, 0.5, 0.9])
+    w = trainer.snr_weights(s, gamma=5.0)
+    # sigma=0.1 -> SNR=81 -> min(81,5)/82
+    np.testing.assert_allclose(float(w[0]), 5.0 / 82.0, rtol=1e-5)
+    # sigma=0.5 -> SNR=1 -> min(1,5)/2
+    np.testing.assert_allclose(float(w[1]), 0.5, rtol=1e-5)
+    assert float(w[2]) < float(w[1])  # high noise downweighted
+    # loss path runs with snr weighting
+    base = tfm.init_params(jax.random.PRNGKey(0), CONFIG, dtype=jnp.float32)
+    tcfg = trainer.TrainConfig(rank=2, alpha=2.0, loss_weighting="snr", remat=False)
+    state, opt = trainer.init_train_state(jax.random.PRNGKey(1), base, tcfg)
+    step = trainer.make_train_step(base, CONFIG, tcfg, opt)
+    _, _, m = step(state.lora, state.opt_state, _batch(b=1), jax.random.PRNGKey(3))
+    assert np.isfinite(float(m["loss"]))
+
+
+def test_make_eval_loss_deterministic(base_params):
+    tcfg = trainer.TrainConfig(rank=2, alpha=2.0, remat=False)
+    state, _ = trainer.init_train_state(jax.random.PRNGKey(0), base_params, tcfg)
+    ev = trainer.make_eval_loss(base_params, CONFIG, tcfg)
+    b = _batch(b=1)
+    l1 = float(ev(state.lora, b, jax.random.PRNGKey(7)))
+    l2 = float(ev(state.lora, b, jax.random.PRNGKey(7)))
+    assert l1 == l2 and np.isfinite(l1)

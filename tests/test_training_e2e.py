@@ -53,6 +53,7 @@ def _write_config(tmp_path, dataset, **extra):
             "prompts": ["a tpz photo"], "every": 2, "steps": 1, "size": 64,
             "early_stop_patience": 2,
         },
+        "validation_dataset_dir": dataset,  # held-out val loss (same tiny set)
     }
     for k, v in extra.items():
         cfg[k] = v
@@ -91,6 +92,9 @@ def test_train_lora_real_data_e2e(model_dirs, encoder_dir, dataset_dir, tmp_path
     # validation ran with the (fallback) sibling: baseline + step-2 records,
     # images on disk, best-checkpoint copy
     state = json.loads((ckpt / "training_state.json").read_text())
+    # held-out validation loss recorded (val-train gap machinery)
+    vlh = state["val_loss_history"]
+    assert vlh and vlh[-1]["step"] == 2 and np.isfinite(vlh[-1]["loss"])
     recs = state["validation_scores"]
     steps = {r["step"] for r in recs}
     assert 0 in steps and 2 in steps  # baseline + periodic
