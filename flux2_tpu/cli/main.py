@@ -398,7 +398,9 @@ def _checkpoint_callback(args):
 def cmd_i2i(args):
     pipe = build_pipeline(args)
     refs = [_load_image(p) for p in args.reference]
-    ref_lat, ref_ids = pipe.encode_reference_images(refs)
+    ref_lat, ref_ids = pipe.encode_reference_images(
+        refs, max_pixels=int(args.max_ref_megapixels * 1024 * 1024)
+    )
     init = None
     if args.strength < 1.0:
         init = pipe.encode_image_to_packed_sequence(refs[0])
@@ -453,6 +455,7 @@ def cmd_inpaint(args):
         mask_crop_padding=args.crop_padding,
         composite_on_original=args.composite,
         use_image_as_reference=args.use_image_as_reference,
+        max_pixels=args.max_pixels,
         embeddings=_embeddings_for(pipe, args),
     )
     res = chain.run()
@@ -474,6 +477,7 @@ def cmd_outpaint(args):
         steps=args.steps or 4,
         guidance=args.guidance,
         seed=args.seed,
+        max_pixels=args.max_pixels,
         embeddings=_embeddings_for(pipe, args),
     )
     res = chain.run()
@@ -838,6 +842,11 @@ def main(argv: Optional[List[str]] = None) -> int:
     _add_common(p)
     p.add_argument("--reference", action="append", required=True, help="reference image path (repeatable)")
     p.add_argument("--strength", type=float, default=1.0)
+    p.add_argument(
+        "--max-ref-megapixels", type=float, default=1.0,
+        help="VAE encode budget per reference image in MP (1.0 = 1024^2); "
+        "raise for higher-fidelity conditioning at more HBM",
+    )
     p.set_defaults(fn=cmd_i2i)
 
     p = sub.add_parser("inpaint", help="RePaint masked inpainting")
@@ -849,6 +858,11 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--crop-padding", type=int, help="crop-and-stitch padding px")
     p.add_argument("--composite", action="store_true", help="pixel-composite onto original")
     p.add_argument("--use-image-as-reference", action="store_true")
+    p.add_argument(
+        "--max-pixels", type=int, default=4 * 1024 * 1024,
+        help="working-resolution cap in total pixels (inputs above it are "
+        "Lanczos-downscaled to multiples of 32)",
+    )
     p.set_defaults(fn=cmd_inpaint)
 
     p = sub.add_parser("outpaint", help="BFL-style outpainting")
@@ -858,6 +872,10 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--bottom", type=int, default=0)
     p.add_argument("--left", type=int, default=0)
     p.add_argument("--right", type=int, default=0)
+    p.add_argument(
+        "--max-pixels", type=int, default=4 * 1024 * 1024,
+        help="canvas working-pixel cap (the canvas itself is never cropped)",
+    )
     p.set_defaults(fn=cmd_outpaint)
 
     p = sub.add_parser("download", help="download model weights from HF")

@@ -67,6 +67,9 @@ class YAMLTrainingConfig:
     caption_dropout: float = 0.0  # P(train on the empty caption) per sample
     seed: int = 42
     resolution: int = 512
+    # multi-resolution bucketing: union of the ratio table scaled to each
+    # listed resolution (LoRATrainingConfig.swift:235-239 bucketResolutions)
+    bucket_resolutions: Sequence[int] = ()
     remat: bool = True
     control_dropout: float = 0.0
     cache_dir: Optional[str] = None
@@ -160,7 +163,15 @@ def _prepare_real_data(pipe, cfg: YAMLTrainingConfig, tconfig):
     from flux2_tpu.training import data as td
     from flux2_tpu.utils import logging as flog
 
-    buckets = td.scaled_buckets(cfg.resolution)
+    resolutions = [int(r) for r in (cfg.bucket_resolutions or [cfg.resolution])]
+    buckets = []
+    for r in resolutions:
+        for b in td.scaled_buckets(r):
+            if b not in buckets:
+                buckets.append(b)
+    buckets = tuple(buckets)
+    if len(resolutions) > 1:
+        flog.info(f"multi-resolution bucketing: {resolutions} -> {len(buckets)} buckets")
     items = td.load_dataset(
         cfg.dataset_dir, trigger=cfg.trigger_word, control_dir=cfg.control_dir, buckets=buckets
     )

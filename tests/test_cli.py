@@ -212,3 +212,34 @@ def test_encoders_vision_requires_weights(tmp_path):
     Image.fromarray(np.zeros((8, 8, 3), np.uint8)).save(img_path)
     with _pytest.raises(SystemExit, match="encoder-dir"):
         enc_main(["vision", "--image", img_path])
+
+
+def test_train_yaml_round3_fields(tmp_path):
+    """Round-3 YAML surface: schedulers, EMA, samplers, buckets, val-loss."""
+    import yaml as _yaml
+
+    from flux2_tpu.cli.train import YAMLTrainingConfig
+
+    cfg_path = tmp_path / "t.yaml"
+    cfg_path.write_text(_yaml.safe_dump({
+        "training": {
+            "lr_scheduler": "cosine_with_restarts", "warmup_steps": 50,
+            "epochs": 3, "keep_only_last_n_checkpoints": 2,
+            "caption_dropout_rate": 0.1, "ema_enabled": True,
+            "log_every_n_steps": 5,
+        },
+        "loss": {"loss_weighting": "snr", "snr_gamma": 3.0,
+                 "timestep_sampling": "flux_shift", "flux_shift_value": 3.0},
+        "dataset": {"bucket_resolutions": [512, 768]},
+        "validation_dataset_dir": "/tmp/val",
+        "early_stop_on_overfit": True,
+    }))
+    cfg = YAMLTrainingConfig.from_yaml(str(cfg_path))
+    assert cfg.lr_scheduler == "cosine_with_restarts" and cfg.warmup_steps == 50
+    assert cfg.epochs == 3 and cfg.keep_last_checkpoints == 2  # alias
+    assert cfg.caption_dropout == 0.1 and cfg.use_ema is True  # aliases
+    assert cfg.log_every == 5
+    assert cfg.loss_weighting == "snr" and cfg.snr_gamma == 3.0
+    assert cfg.timestep_sampling == "flux_shift" and cfg.flux_shift == 3.0
+    assert list(cfg.bucket_resolutions) == [512, 768]
+    assert cfg.validation_dataset_dir == "/tmp/val" and cfg.early_stop_on_overfit
