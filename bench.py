@@ -110,8 +110,40 @@ def _random_w8a8_decoder(config):
     return jax.tree_util.tree_map_with_path(visit, shapes)
 
 
+def _device_watchdog(timeout_s: float = 180.0):
+    """Fail LOUDLY (one honest JSON error line) instead of hanging forever
+    when the device tunnel is wedged: backend init on a dead axon relay
+    blocks indefinitely, which would hang the driver's bench capture. A
+    daemon thread probes the first device op; the main thread proceeds only
+    once the probe lands."""
+    import os
+    import threading
+
+    done = threading.Event()
+
+    def probe():
+        jax.devices()
+        jnp.ones((8, 8)).block_until_ready()
+        done.set()
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    if not done.wait(timeout_s):
+        print(json.dumps({
+            "metric": "klein4b_t2i_e2e_1024px_4steps_bf16",
+            "value": None,
+            "unit": "s",
+            "vs_baseline": None,
+            "error": f"device backend did not initialize within {timeout_s:.0f}s "
+                     "(axon tunnel unreachable)",
+        }), flush=True)
+        os._exit(2)
+
+
 def main():
     from flux2_tpu.cli.main import _enable_compile_cache
+
+    _device_watchdog()
     from flux2_tpu.models.flux2 import config as cfg
     from flux2_tpu.models.flux2 import transformer as tfm
     from flux2_tpu.ops import quant
