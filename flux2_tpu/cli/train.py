@@ -450,6 +450,7 @@ def run_training(args) -> None:
         steps=cfg.validation_steps,
         seed=cfg.validation_seed,
         early_stop_patience=cfg.early_stop_patience,
+        trigger_word=cfg.trigger_word,
     )
     scorer = None
     ref_images = []

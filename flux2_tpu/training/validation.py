@@ -29,8 +29,46 @@ VLMScorer = Callable[[np.ndarray, Sequence[np.ndarray], str], Tuple[float, float
 
 
 @dataclasses.dataclass
+class ValidationPrompt:
+    """Per-prompt validation config (ValidationPromptConfig,
+    LoRATrainingConfig.swift:395-405): per-prompt size/seed, trigger-word
+    application, and an optional reference image for I2I validation."""
+
+    prompt: str
+    width: Optional[int] = None  # None -> ValidationConfig.width
+    height: Optional[int] = None
+    seed: Optional[int] = None  # None -> config seed + prompt index
+    apply_trigger: bool = True
+    reference: Optional[str] = None  # image path -> I2I validation
+    vlm_generated: bool = False
+
+    @classmethod
+    def normalize(cls, p) -> "ValidationPrompt":
+        if isinstance(p, ValidationPrompt):
+            return p
+        if isinstance(p, str):
+            return cls(prompt=p)
+        if isinstance(p, dict):
+            size = p.get("size")
+            is512 = p.get("is512")
+            is1024 = p.get("is1024")
+            if size is None and (is512 or is1024):
+                size = 1024 if is1024 else 512
+            return cls(
+                prompt=p["prompt"],
+                width=p.get("width", size),
+                height=p.get("height", size),
+                seed=p.get("seed"),
+                apply_trigger=bool(p.get("apply_trigger", True)),
+                reference=p.get("reference") or p.get("reference_image"),
+                vlm_generated=bool(p.get("vlm_generated", False)),
+            )
+        raise TypeError(f"validation prompt must be str|dict, got {type(p)}")
+
+
+@dataclasses.dataclass
 class ValidationConfig:
-    prompts: Sequence[str] = ()
+    prompts: Sequence[object] = ()  # str or ValidationPrompt-style dicts
     every_n_steps: int = 250
     images_per_prompt: int = 1
     early_stop_patience: int = 3  # non-improving validations before stop
@@ -38,6 +76,7 @@ class ValidationConfig:
     height: int = 512
     steps: int = 4
     seed: int = 1234
+    trigger_word: Optional[str] = None  # applied when prompt.apply_trigger
 
 
 @dataclasses.dataclass
@@ -88,16 +127,31 @@ def run_validation(
     reference_images: Sequence[np.ndarray] = (),
     output_dir: Optional[str] = None,
 ) -> List[ValidationRecord]:
-    """Generate validation images with the (distilled) pipeline and score them."""
+    """Generate validation images with the (distilled) pipeline and score
+    them. Each prompt may be a plain string or a per-prompt config (size,
+    seed, trigger application, I2I reference — ValidationPrompt)."""
     records: List[ValidationRecord] = []
-    for pi, prompt in enumerate(config.prompts):
+    for pi, raw in enumerate(config.prompts):
+        vp = ValidationPrompt.normalize(raw)
+        prompt = vp.prompt
+        if vp.apply_trigger and config.trigger_word and config.trigger_word not in prompt:
+            prompt = f"{config.trigger_word} {prompt}"
+        ref_kw = {}
+        if vp.reference:
+            from PIL import Image
+
+            with Image.open(vp.reference) as im:
+                ref_img = np.asarray(im.convert("RGB"), np.float32) / 255.0
+            lat, ids = pipeline.encode_reference_images([ref_img])
+            ref_kw = {"reference_latents": lat, "reference_ids": ids}
         for vi in range(config.images_per_prompt):
             res = pipeline.generate(
                 embeddings=embeddings_fn(prompt),
-                height=config.height,
-                width=config.width,
+                height=vp.height or config.height,
+                width=vp.width or config.width,
                 num_steps=config.steps,
-                seed=config.seed + pi * 100 + vi,
+                seed=(vp.seed if vp.seed is not None else config.seed + pi * 100) + vi,
+                **ref_kw,
             )
             if output_dir is not None:
                 _save_png(res.image, os.path.join(output_dir, f"val_{step:06d}_p{pi}_{vi}.png"))

@@ -61,3 +61,49 @@ def test_gap_analysis_recommendations():
     assert g3.recommended_timestep_sampling == "balanced"
     assert g3.recommended_rank == 8
     assert g3.recommended_steps == 500
+
+
+def test_validation_prompt_normalize():
+    """ValidationPromptConfig parity (LoRATrainingConfig.swift:395-405)."""
+    vp = val.ValidationPrompt.normalize("plain")
+    assert vp.prompt == "plain" and vp.apply_trigger and vp.seed is None
+    vp = val.ValidationPrompt.normalize(
+        {"prompt": "p", "is1024": True, "seed": 7, "apply_trigger": False}
+    )
+    assert vp.width == 1024 and vp.height == 1024 and vp.seed == 7
+    assert not vp.apply_trigger
+    vp = val.ValidationPrompt.normalize({"prompt": "p", "size": 512})
+    assert vp.width == 512
+    vp = val.ValidationPrompt.normalize({"prompt": "p", "width": 256, "height": 128})
+    assert vp.width == 256 and vp.height == 128
+
+
+def test_run_validation_per_prompt_config(tmp_path):
+    """Per-prompt size/seed + trigger-word application reach generate()."""
+    pipe = tiny_pipeline()
+    seen = []
+    orig_generate = pipe.generate
+
+    def spy(**kw):
+        seen.append({k: kw.get(k) for k in ("width", "height", "seed")})
+        return orig_generate(**kw)
+
+    pipe.generate = spy
+    cfg = val.ValidationConfig(
+        prompts=(
+            "a photo",  # plain: config size, trigger applied
+            {"prompt": "b photo", "size": 32, "seed": 99, "apply_trigger": False},
+        ),
+        width=64, height=64, steps=1, seed=1000, trigger_word="tpz",
+    )
+    prompts_seen = []
+
+    def emb_fn(prompt):
+        prompts_seen.append(prompt)
+        return _emb(pipe, seed=1)
+
+    records = val.run_validation(pipe, cfg, step=5, embeddings_fn=emb_fn)
+    assert prompts_seen == ["tpz a photo", "b photo"]
+    assert seen[0]["width"] == 64 and seen[0]["seed"] == 1000
+    assert seen[1]["width"] == 32 and seen[1]["height"] == 32 and seen[1]["seed"] == 99
+    assert records[0].prompt == "tpz a photo"
