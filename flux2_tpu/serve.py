@@ -548,6 +548,7 @@ _DEMO_HTML = """<!doctype html>
    onkeydown="if(event.key==='Enter')sendChat()">
   <input id="maxtok" type="number" value="512" min="16" max="4096" style="width:6rem" title="max tokens">
   <input id="temp" type="number" value="0.7" step="0.1" min="0" max="2" style="width:5rem" title="temperature">
+  <label title="Qwen3 thinking mode"><input id="think" type="checkbox"> thinking</label>
   <button id="send" onclick="sendChat()">Send</button>
   <button onclick="chatMsgs=[];document.getElementById('chatlog').textContent=''">Clear</button>
  </div>
@@ -568,7 +569,8 @@ async function sendChat(){const inp=document.getElementById('chatin'),log=docume
  try{const r=await fetch('/chat',{method:'POST',headers:{'Content-Type':'application/json'},
    body:JSON.stringify({messages:chatMsgs,stream:true,
      max_tokens:+document.getElementById('maxtok').value,
-     temperature:+document.getElementById('temp').value})});
+     temperature:+document.getElementById('temp').value,
+     thinking:document.getElementById('think').checked})});
   if(!r.ok){throw new Error((await r.json()).error||r.statusText)}
   const rd=r.body.getReader(),dec=new TextDecoder();let full='';
   for(;;){const{done,value}=await rd.read();if(done)break;
