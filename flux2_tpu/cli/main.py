@@ -560,6 +560,11 @@ def cmd_evaluate_lora(args):
         "recommended_rank": gap.recommended_rank,
         "recommended_steps": gap.recommended_steps,
         "recommended_timestep_sampling": gap.recommended_timestep_sampling,
+        "recommended_alpha": gap.recommended_alpha,
+        "recommended_learning_rate": gap.recommended_learning_rate,
+        "recommended_warmup_steps": gap.recommended_warmup_steps,
+        "recommended_loss_weighting": gap.recommended_loss_weighting,
+        "recommended_target_layers": gap.recommended_target_layers,
         "notes": gap.notes,
     }))
 

@@ -184,6 +184,12 @@ class GapAnalysis:
     recommended_steps: int
     recommended_timestep_sampling: str
     notes: str
+    # full training-config recommendation (LoRAEvaluator.swift:395-416)
+    recommended_alpha: float = 16.0
+    recommended_learning_rate: float = 1e-4
+    recommended_warmup_steps: int = 100
+    recommended_loss_weighting: str = "bell_shaped"
+    recommended_target_layers: str = "attention_ffn"
 
 
 def evaluate_training_need(
@@ -218,4 +224,10 @@ def evaluate_training_need(
         recommended_steps=steps,
         recommended_timestep_sampling=sampling,
         notes=f"scene gap {scene_gap:.1f}, style gap {style_gap:.1f} -> {sampling} sampling, rank {rank}, {steps} steps",
+        recommended_alpha=float(rank),
+        recommended_learning_rate=1e-4,
+        recommended_warmup_steps=max(10, steps // 10),
+        recommended_loss_weighting="bell_shaped",
+        # small adapters can afford every linear; big ones focus attention
+        recommended_target_layers="attention_ffn" if rank <= 48 else "attention",
     )
