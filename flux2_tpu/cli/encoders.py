@@ -95,6 +95,13 @@ def cmd_vision(args):
                 "(vision services need the Pixtral tower in that checkpoint)"
             )
         shared.load_mistral_vlm(args.encoder_dir, args.tokenizer_dir)
+    if getattr(args, "image2", None):
+        import json as _json
+
+        with Image.open(args.image2) as im2:
+            generated = np.asarray(im2.convert("RGB"), np.float32) / 255.0
+        print(_json.dumps(shared.compare_images_for_flux(image, generated), indent=2))
+        return
     print(shared.analyze_image(image, args.prompt, seed=args.seed))
 
 
@@ -164,6 +171,11 @@ def main(argv=None) -> int:
     p = sub.add_parser("vision", help="VLM image analysis (image + prompt -> description)")
     _common(p)
     p.add_argument("--image", required=True, help="image path to analyze")
+    p.add_argument(
+        "--image2",
+        help="second image: compare --image (reference) vs --image2 (generated) "
+        "with FLUX.2 LoRA-evaluation criteria (0-100 scene/style JSON)",
+    )
     p.add_argument("--prompt", default="Describe this image in detail.")
     p.set_defaults(fn=cmd_vision)
 

@@ -280,6 +280,15 @@ class TextEncoders:
             raise ValueError("no VLM loaded; call load_mistral_vlm first")
         return self._vlm.analyze_image(image, prompt, seed=seed)
 
+    def compare_images_for_flux(self, reference, generated) -> dict:
+        """Two-image FLUX.2 comparison via the Qwen3.5 VLM
+        (FluxTextEncoders.compareImagesForFlux)."""
+        if self._vlm is None:
+            raise ValueError("no VLM loaded; call load_qwen35_vlm first")
+        if not hasattr(self._vlm, "compare_images_for_flux"):
+            raise ValueError("image comparison needs the Qwen3.5 VLM (multi-image)")
+        return self._vlm.compare_images_for_flux(reference, generated)
+
     def upsample_prompt(self, prompt: str, name: str, mode: str = "upsampling_t2i", seed: int = 0) -> str:
         enc = self._encoders[name]
         return generation.upsample_prompt(

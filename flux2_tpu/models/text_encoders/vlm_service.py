@@ -45,6 +45,48 @@ def _qwen35_prefill(cfg: qwen35.Qwen35TextConfig):
     )
 
 
+FLUX_IMAGE_COMPARISON_SYSTEM_PROMPT = (
+    "You compare two images for FLUX.2 LoRA training evaluation. Image 1 is "
+    "the REFERENCE (target). Image 2 is the GENERATED image (baseline "
+    "without LoRA). Score each criterion from 0 to 100. Be STRICT and "
+    "PRECISE - small differences matter for LoRA training decisions. "
+    "SCENE score = content fidelity (subjects, poses, spatial layout); "
+    "STYLE score = visual fidelity (art style, palette, lighting, "
+    "textures). Respond ONLY with this exact JSON format, no other text: "
+    '{"scene_score": N, "scene_reason": "brief explanation", '
+    '"style_score": N, "style_reason": "brief explanation"}'
+)
+
+
+def parse_comparison(text: str) -> dict:
+    """Parse the comparison JSON with a regex fallback
+    (FluxTextEncoders.swift:633-680 parseComparisonResult)."""
+    import json as _json
+
+    cleaned = generation.strip_think_tags(text).replace("<|im_end|>", "").strip()
+    for candidate in (cleaned, text):
+        start, end = candidate.find("{"), candidate.rfind("}")
+        if 0 <= start < end:
+            try:
+                d = _json.loads(candidate[start : end + 1])
+                return {
+                    "scene_score": float(d.get("scene_score", 0) or 0),
+                    "scene_reason": str(d.get("scene_reason", "")),
+                    "style_score": float(d.get("style_score", 0) or 0),
+                    "style_reason": str(d.get("style_reason", "")),
+                }
+            except (ValueError, TypeError):
+                pass
+    scene = re.search(r"scene[_ ]?score\D{0,4}(\d{1,3})", cleaned, re.I)
+    style = re.search(r"style[_ ]?score\D{0,4}(\d{1,3})", cleaned, re.I)
+    return {
+        "scene_score": float(scene.group(1)) if scene else 0.0,
+        "scene_reason": "",
+        "style_score": float(style.group(1)) if style else 0.0,
+        "style_reason": "",
+    }
+
+
 def parse_scores(text: str) -> Tuple[float, float]:
     """Parse 'scene=<n> style=<n>' with graceful fallback to 0/0."""
     scene = re.search(r"scene\s*[=:]\s*([0-9]+(?:\.[0-9]+)?)", text, re.I)
@@ -127,12 +169,22 @@ class Qwen35VLMService:
     vision_config: qwen35_vision.Qwen35VisionConfig
     tokenizer: Any
 
-    def _merged_inputs(self, text_ids: List[int], image: Optional[np.ndarray]):
+    def _merged_inputs(self, text_ids: List[int], image):
+        """image: None | one [H,W,3] array | a sequence of them (multi-image
+        prompts — compareImagesForFlux feeds reference+generated)."""
         if image is None:
             ids = jnp.asarray([text_ids], jnp.int32)
             return ids, None
-        pixels = qwen35_vision.preprocess_image(np.asarray(image, np.float32), self.vision_config)
-        img_embeds = qwen35_vision.encode_image(self.vision_params, self.vision_config, jnp.asarray(pixels[None]))
+        images = [image] if isinstance(image, np.ndarray) or getattr(image, "ndim", 0) == 3 else list(image)
+        blocks = []
+        for im in images:
+            pixels = qwen35_vision.preprocess_image(np.asarray(im, np.float32), self.vision_config)
+            blocks.append(
+                qwen35_vision.encode_image(
+                    self.vision_params, self.vision_config, jnp.asarray(pixels[None])
+                )
+            )
+        img_embeds = jnp.concatenate(blocks, axis=1)
         n_img = img_embeds.shape[1]
         ids = [self.vision_config.image_token_id] * n_img + list(text_ids)
         ids_arr = jnp.asarray([ids], jnp.int32)
@@ -185,6 +237,21 @@ class Qwen35VLMService:
             seed=seed,
         )
         return self.tokenizer.decode(out)
+
+    def compare_images_for_flux(
+        self, reference: np.ndarray, generated: np.ndarray, max_tokens: int = 300
+    ) -> dict:
+        """Two-image FLUX.2 LoRA-evaluation comparison: image 1 = reference,
+        image 2 = generated; returns {"scene_score", "scene_reason",
+        "style_score", "style_reason"} on the 0-100 scale
+        (FluxTextEncoders.swift:564-614 compareImagesForFlux)."""
+        reply = self.chat(
+            FLUX_IMAGE_COMPARISON_SYSTEM_PROMPT,
+            "Compare these two images.",
+            image=[reference, generated],
+            max_tokens=max_tokens,
+        )
+        return parse_comparison(reply)
 
     def score_validation_image(
         self, image: np.ndarray, reference_images: Sequence[np.ndarray], prompt: str

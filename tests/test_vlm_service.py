@@ -79,3 +79,45 @@ def test_qwen35_vlm_chat_and_scoring():
 
     scores = svc.score_validation_image(image, [], "a cat")
     assert len(scores) == 2  # parse fallback gives (0, 0) on random babble
+
+
+def test_parse_comparison():
+    from flux2_tpu.models.text_encoders.vlm_service import parse_comparison
+
+    j = parse_comparison(
+        '<think>hmm</think>{"scene_score": 85, "scene_reason": "same cat", '
+        '"style_score": 40, "style_reason": "different palette"}<|im_end|>'
+    )
+    assert j["scene_score"] == 85.0 and j["style_score"] == 40.0
+    assert j["scene_reason"] == "same cat"
+    # regex fallback on non-JSON babble
+    j2 = parse_comparison("the scene_score is 70 and style_score: 55 roughly")
+    assert j2["scene_score"] == 70.0 and j2["style_score"] == 55.0
+    j3 = parse_comparison("nothing useful")
+    assert j3["scene_score"] == 0.0 and j3["style_score"] == 0.0
+
+
+def test_qwen35_vlm_compare_images():
+    """Two-image comparison path (compareImagesForFlux parity): both image
+    blocks merge into the prompt and the reply parses to the dict schema."""
+    lm_cfg = qwen35.TINY_QWEN35
+    lm_params = qwen35.init_params(jax.random.PRNGKey(0), lm_cfg)
+    v_cfg = qwen35_vision.Qwen35VisionConfig(
+        depth=1, hidden_size=32, num_heads=2, intermediate_size=64,
+        num_position_embeddings=16, out_hidden_size=lm_cfg.hidden_size,
+        image_token_id=99,
+    )
+    v_params = qwen35_vision.init_params(jax.random.PRNGKey(1), v_cfg)
+    svc = Qwen35VLMService(lm_params, lm_cfg, v_params, v_cfg, _StubTokenizer())
+    rng = np.random.RandomState(3)
+    ref = rng.rand(64, 64, 3).astype(np.float32)
+    gen = rng.rand(64, 64, 3).astype(np.float32)
+    # multi-image merged inputs: ids start with BOTH image-token blocks
+    ids, merged = svc._merged_inputs([11, 12], [ref, gen])
+    one_ids, _ = svc._merged_inputs([11, 12], ref)
+    n_one = int((np.asarray(one_ids) == v_cfg.image_token_id).sum())
+    n_two = int((np.asarray(ids) == v_cfg.image_token_id).sum())
+    assert n_two == 2 * n_one and merged.shape[1] == ids.shape[1]
+
+    result = svc.compare_images_for_flux(ref, gen, max_tokens=3)
+    assert set(result) == {"scene_score", "scene_reason", "style_score", "style_reason"}
