@@ -73,6 +73,7 @@ class YAMLTrainingConfig:
     remat: bool = True
     control_dropout: float = 0.0
     cache_dir: Optional[str] = None
+    cache_text_embeddings: bool = True  # disk-cache caption embeddings
     # train-loss plateau early stop (LoRATrainingConfig.swift:472-478):
     # checked on a 20-step moving average; 0 disables
     early_stop_loss_patience: int = 0
@@ -205,10 +206,31 @@ def _prepare_real_data(pipe, cfg: YAMLTrainingConfig, tconfig):
     if pipe.text_encoder is None:
         raise SystemExit("training needs the text encoder (it encodes captions)")
     emb_cache = {}
+    # disk cache (cacheTextEmbeddings, LoRATrainingConfig.swift:363): resume
+    # runs skip the encoder re-encode; keyed by caption digest + encoder name
+    emb_dir = None
+    if cfg.cache_text_embeddings:
+        emb_dir = os.path.join(
+            cfg.cache_dir or os.path.join(cfg.output_dir, "latent_cache"), "text_embeddings"
+        )
+        os.makedirs(emb_dir, exist_ok=True)
 
     def embed(caption: str) -> np.ndarray:
         if caption not in emb_cache:
+            path = None
+            if emb_dir is not None:
+                import hashlib
+
+                tag = f"{pipe.text_encoder_name or 'enc'}|{caption}"
+                path = os.path.join(
+                    emb_dir, hashlib.sha256(tag.encode()).hexdigest()[:24] + ".npy"
+                )
+                if os.path.exists(path):
+                    emb_cache[caption] = np.load(path)
+                    return emb_cache[caption]
             emb_cache[caption] = np.asarray(pipe.encode_prompt(caption), np.float32)[0]
+            if path is not None:
+                np.save(path, emb_cache[caption])
         return emb_cache[caption]
 
     for it in items:

@@ -88,6 +88,9 @@ def test_train_lora_real_data_e2e(model_dirs, encoder_dir, dataset_dir, tmp_path
     assert len(cache_files) == 2
     lat = np.load(str(out / "latent_cache" / cache_files[0]))
     assert lat.shape == (1, 16, 128)  # 64x64 -> 4x4 patches, packed
+    # caption embeddings disk-cached (cacheTextEmbeddings)
+    emb_files = os.listdir(out / "latent_cache" / "text_embeddings")
+    assert len(emb_files) >= 2 and all(f.endswith(".npy") for f in emb_files)
 
     # validation ran with the (fallback) sibling: baseline + step-2 records,
     # images on disk, best-checkpoint copy
