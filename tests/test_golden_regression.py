@@ -35,3 +35,43 @@ def test_fixed_seed_latents_match_golden():
     # loose-ish tolerance: XLA version-to-version fusion drift is ~1e-6;
     # any real semantic change in the pipeline moves latents by >> 1e-3.
     np.testing.assert_allclose(got, expected, atol=1e-3, rtol=0)
+
+
+GOLDEN_I2I = os.path.join(os.path.dirname(__file__), "goldens", "tiny_i2i_latents_seed1234.npy")
+GOLDEN_KV = os.path.join(os.path.dirname(__file__), "goldens", "tiny_kv_latents_seed1234.npy")
+
+
+def _ref_image():
+    import jax
+
+    return np.asarray(
+        jax.random.uniform(jax.random.PRNGKey(11), (64, 64, 3)), np.float32
+    )
+
+
+def test_fixed_seed_i2i_latents_match_golden():
+    """Guards the reference-image encode path + joint [txt;ref;img] denoise."""
+    pipe = tiny_pipeline()
+    lat, ids = pipe.encode_reference_images([_ref_image()])
+    res = pipe.generate(
+        embeddings=_emb(pipe), height=64, width=64, num_steps=3, seed=1234,
+        reference_latents=lat, reference_ids=ids,
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.latents, np.float32), np.load(GOLDEN_I2I), atol=1e-3, rtol=0
+    )
+
+
+def test_fixed_seed_kv_cached_latents_match_golden():
+    """Guards the KV-extract + KV-cached denoise dispatch (klein-9b-kv)."""
+    from flux2_tpu.models.flux2 import config as cfg
+
+    pipe = tiny_pipeline(model=cfg.Flux2Model.KLEIN_9B_KV)
+    lat, ids = pipe.encode_reference_images([_ref_image()])
+    res = pipe.generate(
+        embeddings=_emb(pipe), height=64, width=64, num_steps=3, seed=1234,
+        reference_latents=lat, reference_ids=ids,
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.latents, np.float32), np.load(GOLDEN_KV), atol=1e-3, rtol=0
+    )
