@@ -75,3 +75,21 @@ def test_fixed_seed_kv_cached_latents_match_golden():
     np.testing.assert_allclose(
         np.asarray(res.latents, np.float32), np.load(GOLDEN_KV), atol=1e-3, rtol=0
     )
+
+
+GOLDEN_CFG = os.path.join(os.path.dirname(__file__), "goldens", "tiny_cfg_latents_seed1234.npy")
+
+
+def test_fixed_seed_classical_cfg_latents_match_golden():
+    """Guards the base-model classical-CFG path (batched cond/uncond rows
+    + guided velocity combine)."""
+    from flux2_tpu.models.flux2 import config as cfg
+
+    pipe = tiny_pipeline(model=cfg.Flux2Model.KLEIN_4B_BASE)
+    res = pipe.generate(
+        embeddings=_emb(pipe), negative_embeddings=_emb(pipe, seed=99),
+        guidance=3.5, height=64, width=64, num_steps=3, seed=1234,
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.latents, np.float32), np.load(GOLDEN_CFG), atol=1e-3, rtol=0
+    )
