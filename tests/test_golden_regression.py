@@ -93,3 +93,40 @@ def test_fixed_seed_classical_cfg_latents_match_golden():
     np.testing.assert_allclose(
         np.asarray(res.latents, np.float32), np.load(GOLDEN_CFG), atol=1e-3, rtol=0
     )
+
+
+GOLDEN_STRENGTH = os.path.join(
+    os.path.dirname(__file__), "goldens", "tiny_strength_latents_seed1234.npy"
+)
+GOLDEN_SIGMAS = os.path.join(
+    os.path.dirname(__file__), "goldens", "tiny_customsigmas_latents_seed1234.npy"
+)
+
+
+def test_fixed_seed_strength_latents_match_golden():
+    """Guards img2img: noised init latents + sliced schedule (strength)."""
+    import jax
+
+    pipe = tiny_pipeline()
+    img = np.asarray(jax.random.uniform(jax.random.PRNGKey(21), (64, 64, 3)), np.float32)
+    init = pipe.encode_image_to_packed_sequence(img)
+    res = pipe.generate(
+        embeddings=_emb(pipe), height=64, width=64, num_steps=4, seed=1234,
+        init_latents=init, strength=0.5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.latents, np.float32), np.load(GOLDEN_STRENGTH), atol=1e-3, rtol=0
+    )
+
+
+def test_fixed_seed_custom_sigmas_latents_match_golden():
+    """Guards custom-sigma schedules (the Turbo-LoRA override path)."""
+    pipe = tiny_pipeline()
+    res = pipe.generate(
+        embeddings=_emb(pipe), height=64, width=64,
+        custom_sigmas=[1.0, 0.6, 0.2], seed=1234,
+    )
+    assert res.num_steps == 3
+    np.testing.assert_allclose(
+        np.asarray(res.latents, np.float32), np.load(GOLDEN_SIGMAS), atol=1e-3, rtol=0
+    )
