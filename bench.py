@@ -278,6 +278,52 @@ def main():
         del params9
     except Exception as e:  # pragma: no cover - HBM-dependent
         rows["klein9b_step_w8a8"] = {"error": str(e)[:120]}
+    jax.clear_caches()
+
+    # --- Klein-4B LoRA train step (rank 32, 512px, bs=1, remat) ---
+    # Reference: lion-vs-adamw AdamW run = 2h36m45s / 500 = 18.8 s/step
+    # (docs/examples/lora-training lion-vs-adamw). The unmerged-LoRA step
+    # compiles in minutes (base params are operands, not HLO constants).
+    try:
+        from flux2_tpu.ops import latents as lu
+        from flux2_tpu.ops.rope import rope_embeddings
+        from flux2_tpu.training import trainer
+
+        base4 = tfm.init_params(jax.random.PRNGKey(0), cfg.KLEIN_4B, dtype=jnp.bfloat16)
+        tc = trainer.TrainConfig(
+            rank=32, alpha=32.0, optimizer="adamw", timestep_sampling="balanced",
+            loss_weighting="bell", remat=True,
+        )
+        state, opt = trainer.init_train_state(jax.random.PRNGKey(1), base4, tc)
+        step_fn = trainer.make_train_step(base4, cfg.KLEIN_4B, tc, opt)
+        h = w = 512
+        s_img, s_txt = (h // 16) * (w // 16), 512
+        ids = np.concatenate([lu.text_position_ids(s_txt), lu.image_position_ids(h, w)], axis=0)
+        cos, sin = rope_embeddings(jnp.asarray(ids))
+        batch = {
+            "latents": jax.random.normal(jax.random.PRNGKey(2), (1, s_img, 128)),
+            "embeddings": jax.random.normal(
+                jax.random.PRNGKey(3), (1, s_txt, cfg.KLEIN_4B.joint_attention_dim)
+            ),
+            "rope_cos": cos, "rope_sin": sin,
+        }
+        key = jax.random.PRNGKey(5)
+        lora, ost, m = step_fn(state.lora, state.opt_state, batch, key)
+        jax.block_until_ready(m["loss"])  # compile + first step
+        t0 = time.perf_counter()
+        for _ in range(5):
+            key, k = jax.random.split(key)
+            lora, ost, m = step_fn(lora, ost, batch, k)
+        jax.block_until_ready(m["loss"])
+        sec_train = (time.perf_counter() - t0) / 5
+        rows["klein4b_lora_train_step_512px"] = {
+            "value": round(sec_train, 4),
+            "unit": "s/step",
+            "vs_baseline": round(18.8 / sec_train, 2),
+        }
+        del base4, state, lora, ost
+    except Exception as e:  # pragma: no cover - HBM-dependent
+        rows["klein4b_lora_train_step_512px"] = {"error": str(e)[:120]}
 
     print(
         json.dumps(
