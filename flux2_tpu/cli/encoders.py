@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 from typing import Optional
 
@@ -91,10 +92,24 @@ def cmd_vision(args):
     if not shared.is_vlm_loaded:
         if not args.encoder_dir:
             raise SystemExit(
-                "pass --encoder-dir pointing at the Mistral-Small VLM weights "
-                "(vision services need the Pixtral tower in that checkpoint)"
+                "pass --encoder-dir pointing at a VLM checkpoint (Mistral-Small "
+                "w/ Pixtral tower, or Qwen3.5-VL for --image2 comparison)"
             )
-        shared.load_mistral_vlm(args.encoder_dir, args.tokenizer_dir)
+        # auto-detect the VLM family from config.json
+        import json as _json
+
+        cfg_path = os.path.join(args.encoder_dir, "config.json")
+        family = "mistral"
+        if os.path.exists(cfg_path):
+            with open(cfg_path) as f:
+                d = _json.load(f)
+            mtype = str(d.get("model_type", "")).lower()
+            if "qwen" in mtype or "qwen" in str(d.get("text_config", {}).get("model_type", "")).lower():
+                family = "qwen35"
+        if family == "qwen35":
+            shared.load_qwen35_vlm(args.encoder_dir, args.tokenizer_dir)
+        else:
+            shared.load_mistral_vlm(args.encoder_dir, args.tokenizer_dir)
     if getattr(args, "image2", None):
         import json as _json
 

@@ -498,6 +498,56 @@ def map_pixtral_weights(w: Weights, cfg, dtype=np.float32) -> Dict[str, Any]:
 # ---------------------------------------------------------------------------
 
 
+def map_qwen35_vision_weights(w: Weights, cfg, dtype=np.float32) -> Dict[str, Any]:
+    """HF Qwen3-VL vision-tower keys (``visual.*`` / ``model.visual.*``) ->
+    the qwen35_vision pytree (KleinVLEmbeddingExtractor / Qwen35VLM vision
+    side). Conv3d patch embed [D, C, T, P, P] flattens to our
+    (t, ph, pw, c)-ordered linear kernel; the layout is validated
+    elementwise vs HF Qwen3VLVisionModel in tests/test_hf_parity.py."""
+    w = dequantize_quanto(w)
+    pre = ""
+    for cand in ("model.visual.", "visual.", ""):
+        if any(k.startswith(cand + "patch_embed.") for k in w):
+            pre = cand
+            break
+
+    def g(k):
+        return np.asarray(w[pre + k], np.float32)
+
+    p, t = cfg.patch_size, cfg.temporal_patch_size
+    conv = np.transpose(g("patch_embed.proj.weight"), (2, 3, 4, 1, 0)).reshape(
+        t * p * p * cfg.in_channels, -1
+    )
+
+    def lin(k):
+        return {"kernel": g(k + ".weight").T.astype(dtype), "bias": g(k + ".bias").astype(dtype)}
+
+    def norm(k):
+        return {"scale": g(k + ".weight").astype(dtype), "bias": g(k + ".bias").astype(dtype)}
+
+    blocks = []
+    for i in range(cfg.depth):
+        b = f"blocks.{i}."
+        blocks.append({
+            "norm1": norm(b + "norm1"),
+            "norm2": norm(b + "norm2"),
+            "qkv": lin(b + "attn.qkv"),
+            "proj": lin(b + "attn.proj"),
+            "fc1": lin(b + "mlp.linear_fc1"),
+            "fc2": lin(b + "mlp.linear_fc2"),
+        })
+    return {
+        "patch_embed": {"kernel": conv.astype(dtype), "bias": g("patch_embed.proj.bias").astype(dtype)},
+        "pos_embed": g("pos_embed.weight").astype(dtype),
+        "blocks": blocks,
+        "merger": {
+            "norm": norm("merger.norm"),
+            "fc1": lin("merger.linear_fc1"),
+            "fc2": lin("merger.linear_fc2"),
+        },
+    }
+
+
 def map_qwen35_weights(w: Weights, cfg, dtype=np.float32) -> Dict[str, Any]:
     """HF qwen3_next-layout keys -> the qwen35 hybrid pytree.
 
@@ -514,7 +564,12 @@ def map_qwen35_weights(w: Weights, cfg, dtype=np.float32) -> Dict[str, Any]:
         is ones-init standard and passes through unchanged).
     """
     w = dequantize_quanto(w)
-    pre = "model." if any(k.startswith("model.") for k in w) else ""
+    pre = ""
+    # text-only: model.* ; VL checkpoints nest: model.language_model.*
+    for cand in ("model.language_model.", "language_model.", "model."):
+        if any(k.startswith(cand + "layers.") for k in w):
+            pre = cand
+            break
 
     hk, hv = cfg.linear_num_key_heads, cfg.linear_num_value_heads
     dk, dv = cfg.linear_key_head_dim, cfg.linear_value_head_dim

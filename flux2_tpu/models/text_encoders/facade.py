@@ -201,6 +201,43 @@ class TextEncoders:
         flog.info(f"loaded Mistral VLM (Pixtral {vcfg.num_hidden_layers}-layer tower)")
         return self._vlm
 
+    def load_qwen35_vlm(self, weights_dir: str, tokenizer_dir: Optional[str] = None):
+        """Qwen3.5 VLM: hybrid GatedDeltaNet LM + Qwen3-VL vision tower from
+        one HF-layout checkpoint -> a Qwen35VLMService (the reference's
+        bundled prompting/scoring/comparison VLM,
+        FluxTextEncoders.loadQwen35VLM). Wires image analysis, validation
+        scoring, and compare_images_for_flux end-to-end from disk."""
+        import json
+
+        from flux2_tpu.io import checkpoints, weight_mapping
+        from flux2_tpu.models.text_encoders import qwen35, qwen35_vision
+        from flux2_tpu.models.text_encoders.vlm_service import Qwen35VLMService
+
+        if self._vlm is not None:
+            return self._vlm
+        with open(os.path.join(weights_dir, "config.json")) as f:
+            d = json.load(f)
+        vis_d = d.get("vision_config")
+        if vis_d is None:
+            raise ValueError(
+                f"{weights_dir}/config.json has no vision_config — not a "
+                "Qwen3.5-VL checkpoint (use load_mistral_vlm for Pixtral VLMs)"
+            )
+        lm_cfg = qwen35.Qwen35TextConfig.from_json_dict(d.get("text_config", d))
+        v_cfg = qwen35_vision.Qwen35VisionConfig.from_json_dict(
+            vis_d, image_token_id=d.get("image_token_id", d.get("image_token_index"))
+        )
+        raw = checkpoints.load_weights_dir(weights_dir)
+        lm_params = _bf16(weight_mapping.map_qwen35_weights(raw, lm_cfg, dtype=np.float32))
+        v_params = _bf16(weight_mapping.map_qwen35_vision_weights(raw, v_cfg, dtype=np.float32))
+        tok = HFTokenizerAdapter.from_pretrained(tokenizer_dir or weights_dir)
+        self._vlm = Qwen35VLMService(lm_params, lm_cfg, v_params, v_cfg, tok)
+        flog.info(
+            f"loaded Qwen3.5 VLM ({lm_cfg.num_hidden_layers}-layer hybrid LM, "
+            f"{v_cfg.depth}-layer vision tower)"
+        )
+        return self._vlm
+
     def attach_vlm(self, vlm) -> None:
         """Register an already-built vision service (tests, custom VLMs)."""
         self._vlm = vlm

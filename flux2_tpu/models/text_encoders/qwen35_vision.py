@@ -56,6 +56,23 @@ class Qwen35VisionConfig:
     def merge_factor(self) -> int:
         return self.patch_size * self.spatial_merge_size  # 32
 
+    @classmethod
+    def from_json_dict(cls, d: dict, image_token_id: Optional[int] = None) -> "Qwen35VisionConfig":
+        """Parse an HF ``vision_config`` section (Qwen3-VL layout)."""
+        return cls(
+            depth=int(d.get("depth", 24)),
+            hidden_size=int(d.get("hidden_size", 1024)),
+            num_heads=int(d.get("num_heads", 16)),
+            intermediate_size=int(d.get("intermediate_size", 4096)),
+            patch_size=int(d.get("patch_size", 16)),
+            spatial_merge_size=int(d.get("spatial_merge_size", 2)),
+            temporal_patch_size=int(d.get("temporal_patch_size", 2)),
+            in_channels=int(d.get("in_channels", d.get("in_chans", 3))),
+            out_hidden_size=int(d.get("out_hidden_size", 2560)),
+            num_position_embeddings=int(d.get("num_position_embeddings", 2304)),
+            image_token_id=int(image_token_id if image_token_id is not None else 248056),
+        )
+
 
 TINY_VISION = Qwen35VisionConfig(
     depth=2, hidden_size=32, num_heads=2, intermediate_size=64,
