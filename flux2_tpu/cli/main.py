@@ -292,24 +292,31 @@ def attach_text_encoder(pipe, encoder_dir=None, tokenizer_dir=None, quantization
 
 
 def _make_vlm_loader(mistral_dir_hint=None):
-    """Lazy Mistral+Pixtral VLM loader for --interpret / vision --upsample.
+    """Lazy VLM loader for --interpret / vision --upsample / LoRA scoring.
 
-    Returns None (pipeline raises a clear error) when the Mistral checkpoint
-    is not on disk — vision services need its weights regardless of which
-    conditioning encoder the model family uses.
+    Prefers the bundled Qwen3.5 VLM (the reference's prompting/scoring/
+    comparison model) when its weights are on disk, else the Mistral-Small
+    Pixtral VLM; raises a clear error when neither checkpoint exists.
     """
     def load():
         from flux2_tpu.io import registry
         from flux2_tpu.models.text_encoders import facade
 
+        qdir = registry.find_model_path(registry.TEXT_ENCODER_REPOS["qwen35-vlm"])
+        if qdir is not None and os.path.exists(os.path.join(qdir, "config.json")):
+            import json as _json
+
+            with open(os.path.join(qdir, "config.json")) as f:
+                if "vision_config" in _json.load(f):
+                    return facade.shared.load_qwen35_vlm(qdir)
         mdir = registry.find_model_path(
             registry.TEXT_ENCODER_REPOS["mistral-small-3.2"], mistral_dir_hint
         )
         if mdir is None:
             raise SystemExit(
-                "--interpret/--upsample with images needs the Mistral-Small "
-                "VLM weights on disk; run `flux2 download --model dev` or set "
-                "FLUX2_MODELS_DIR"
+                "--interpret/--upsample with images needs a VLM checkpoint "
+                "on disk (Qwen3.5-VL or Mistral-Small); run "
+                "`flux2 download --model dev` or set FLUX2_MODELS_DIR"
             )
         return facade.shared.load_mistral_vlm(mdir)
 
