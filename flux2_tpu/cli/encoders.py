@@ -95,18 +95,9 @@ def cmd_vision(args):
                 "pass --encoder-dir pointing at a VLM checkpoint (Mistral-Small "
                 "w/ Pixtral tower, or Qwen3.5-VL for --image2 comparison)"
             )
-        # auto-detect the VLM family from config.json
-        import json as _json
+        from flux2_tpu.models.text_encoders.facade import detect_vlm_family
 
-        cfg_path = os.path.join(args.encoder_dir, "config.json")
-        family = "mistral"
-        if os.path.exists(cfg_path):
-            with open(cfg_path) as f:
-                d = _json.load(f)
-            mtype = str(d.get("model_type", "")).lower()
-            if "qwen" in mtype or "qwen" in str(d.get("text_config", {}).get("model_type", "")).lower():
-                family = "qwen35"
-        if family == "qwen35":
+        if detect_vlm_family(args.encoder_dir) == "qwen35":
             shared.load_qwen35_vlm(args.encoder_dir, args.tokenizer_dir)
         else:
             shared.load_mistral_vlm(args.encoder_dir, args.tokenizer_dir)

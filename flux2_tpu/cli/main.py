@@ -52,6 +52,14 @@ def _enable_compile_cache():
     platforms = str(getattr(jax.config, "jax_platforms", None) or os.environ.get("JAX_PLATFORMS", ""))
     if "cpu" in platforms:
         return
+    if not platforms:
+        # nothing pinned: resolve the backend (hosts with no TPU plugin
+        # auto-select CPU and must NOT write the portable-unsafe CPU cache)
+        try:
+            if jax.default_backend() == "cpu":
+                return
+        except Exception:
+            return
     cache_dir = os.environ.get(
         "FLUX2_COMPILE_CACHE", os.path.expanduser("~/.cache/flux2_tpu/xla_cache")
     )
@@ -286,6 +294,7 @@ def attach_text_encoder(pipe, encoder_dir=None, tokenizer_dir=None, quantization
         )
     pipe.text_encoder = enc.extractor
     pipe.text_encoder_name = enc.name
+    pipe.text_encoder_quantization = quantization
     pipe.encoders = facade.shared
     pipe.vlm_loader = _make_vlm_loader(encoder_dir if name == "mistral-small-3.2" else None)
     flog.info(f"attached text encoder {enc.name} ({enc.extractor.embedding_dim}-dim conditioning)")
@@ -303,12 +312,8 @@ def _make_vlm_loader(mistral_dir_hint=None):
         from flux2_tpu.models.text_encoders import facade
 
         qdir = registry.find_model_path(registry.TEXT_ENCODER_REPOS["qwen35-vlm"])
-        if qdir is not None and os.path.exists(os.path.join(qdir, "config.json")):
-            import json as _json
-
-            with open(os.path.join(qdir, "config.json")) as f:
-                if "vision_config" in _json.load(f):
-                    return facade.shared.load_qwen35_vlm(qdir)
+        if qdir is not None and facade.detect_vlm_family(qdir) == "qwen35":
+            return facade.shared.load_qwen35_vlm(qdir)
         mdir = registry.find_model_path(
             registry.TEXT_ENCODER_REPOS["mistral-small-3.2"], mistral_dir_hint
         )

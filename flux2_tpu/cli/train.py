@@ -221,7 +221,12 @@ def _prepare_real_data(pipe, cfg: YAMLTrainingConfig, tconfig):
             if emb_dir is not None:
                 import hashlib
 
-                tag = f"{pipe.text_encoder_name or 'enc'}|{caption}"
+                # quantization changes the embedding VALUES at the same
+                # shape — a stale-cache hazard if left out of the key
+                tag = (
+                    f"{pipe.text_encoder_name or 'enc'}|"
+                    f"{getattr(pipe, 'text_encoder_quantization', 'bf16')}|{caption}"
+                )
                 path = os.path.join(
                     emb_dir, hashlib.sha256(tag.encode()).hexdigest()[:24] + ".npy"
                 )
@@ -552,6 +557,7 @@ def run_training(args) -> None:
     key = jax.random.PRNGKey(cfg.seed)
     t_start = time.time()
     val_dir = os.path.join(cfg.output_dir, "validation")
+    val_ref_cache: dict = {}  # per-prompt I2I reference encodes, reused across passes
 
     with RuntimeBeacon("train-lora", model=cfg.model) as beacon:
         if val_enabled and not args.resume:
@@ -560,6 +566,7 @@ def run_training(args) -> None:
             baseline = run_validation(
                 val_pipe, val_cfg, 0, embeddings_fn=val_pipe.encode_prompt,
                 scorer=scorer, reference_images=ref_images, output_dir=val_dir,
+                ref_cache=val_ref_cache,
             )
             for r in baseline:
                 tstate.record_validation(0, r.scene, r.style, r.prompt)
@@ -615,6 +622,7 @@ def run_training(args) -> None:
                 records = run_validation(
                     val_pipe, val_cfg, step, embeddings_fn=val_pipe.encode_prompt,
                     scorer=scorer, reference_images=ref_images, output_dir=val_dir,
+                    ref_cache=val_ref_cache,
                 )
                 val_pipe.transformer_params = val_base
                 for r in records:
@@ -712,9 +720,17 @@ def _prune_checkpoints(cfg, keep: str) -> None:
     n = getattr(cfg, "keep_last_checkpoints", 0)
     if n <= 0:
         return
+    def step_of(d: str) -> int:
+        try:
+            return int(d.split("_", 1)[1])
+        except ValueError:
+            return -1
+
+    # numeric sort: lexicographic would mis-order steps past 999999
     dirs = sorted(
-        d for d in os.listdir(cfg.output_dir)
-        if d.startswith("checkpoint_") and os.path.isdir(os.path.join(cfg.output_dir, d))
+        (d for d in os.listdir(cfg.output_dir)
+         if d.startswith("checkpoint_") and os.path.isdir(os.path.join(cfg.output_dir, d))),
+        key=step_of,
     )
     for d in dirs[:-n]:
         full = os.path.join(cfg.output_dir, d)

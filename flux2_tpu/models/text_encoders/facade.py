@@ -91,6 +91,27 @@ class LoadedEncoder:
     extractor: extractor.EmbeddingExtractor
 
 
+def detect_vlm_family(weights_dir: str) -> str:
+    """"qwen35" | "mistral" from a checkpoint dir's config.json.
+
+    Qwen3.5-VL checkpoints carry a vision_config AND a qwen model_type
+    (top-level or in text_config); everything else routes to the
+    Mistral/Pixtral loader. One helper so the CLI and the lazy VLM loader
+    can't drift."""
+    import json
+
+    cfg_path = os.path.join(weights_dir, "config.json")
+    if not os.path.exists(cfg_path):
+        return "mistral"
+    with open(cfg_path) as f:
+        d = json.load(f)
+    if "vision_config" not in d:
+        return "mistral"
+    mtype = str(d.get("model_type", "")).lower()
+    sub = str(d.get("text_config", {}).get("model_type", "")).lower()
+    return "qwen35" if ("qwen" in mtype or "qwen" in sub) else "mistral"
+
+
 class TextEncoders:
     """Singleton-style registry of loaded encoder models."""
 
@@ -301,10 +322,16 @@ class TextEncoders:
             messages = generation.apply_thinking_control(messages, enable_thinking)
         ids = enc.tokenizer.apply_chat_template(messages, add_generation_prompt=True)
         eos = [enc.tokenizer.eos_token_id] if getattr(enc.tokenizer, "eos_token_id", None) is not None else []
+        stream = None
+        if on_token is not None:
+            emit = on_token
+            if not enable_thinking:
+                # keep the live stream consistent with the stripped reply
+                emit = generation.ThinkStreamFilter(on_token)
+            stream = lambda t: emit(enc.tokenizer.decode([t]))  # noqa: E731
         tokens = generation.generate(
             enc.params, enc.config, list(ids), params or generation.GenerateParameters(),
-            eos_token_ids=eos, seed=seed,
-            on_token=(lambda t: on_token(enc.tokenizer.decode([t]))) if on_token else None,
+            eos_token_ids=eos, seed=seed, on_token=stream,
         )
         return generation.strip_think_tags(enc.tokenizer.decode(tokens))
 

@@ -348,6 +348,56 @@ def apply_thinking_control(messages: list, enable_thinking: bool) -> list:
     return out
 
 
+class ThinkStreamFilter:
+    """Wrap a streaming on_token(text) callback: suppress a LEADING
+    <think>...</think> block from the streamed pieces so the live display
+    matches the strip_think_tags'd final reply (Qwen3 no-think mode still
+    emits the empty block). Buffers only while a think block is possible."""
+
+    _OPEN = "<think>"
+    _CLOSE = "</think>"
+
+    def __init__(self, emit):
+        self._emit = emit
+        self._buf = ""
+        self._state = "maybe"  # maybe | inside | passthrough
+
+    def __call__(self, piece: str):
+        if self._state == "passthrough":
+            self._emit(piece)
+            return
+        if self._state == "trim":  # swallow whitespace after </think>
+            out = piece.lstrip()
+            if out:
+                self._state = "passthrough"
+                self._emit(out)
+            return
+        self._buf += piece
+        if self._state == "maybe":
+            stripped = self._buf.lstrip()
+            if not stripped:
+                return
+            if len(stripped) < len(self._OPEN) and self._OPEN.startswith(stripped):
+                return  # ambiguous prefix: keep buffering
+            if stripped.startswith(self._OPEN):
+                self._state = "inside"
+            else:
+                self._state = "passthrough"
+                out, self._buf = self._buf, ""
+                self._emit(out)
+                return
+        if self._state == "inside":
+            idx = self._buf.find(self._CLOSE)
+            if idx >= 0:
+                rest = self._buf[idx + len(self._CLOSE):].lstrip()
+                self._buf = ""
+                if rest:
+                    self._state = "passthrough"
+                    self._emit(rest)
+                else:
+                    self._state = "trim"
+
+
 def strip_think_tags(text: str) -> str:
     """Drop ``<think>...</think>`` reasoning blocks (incl. the empty one the
     no-think mode still emits) from a decoded reply

@@ -185,8 +185,21 @@ class Qwen35VLMService:
                 )
             )
         img_embeds = jnp.concatenate(blocks, axis=1)
-        n_img = img_embeds.shape[1]
-        ids = [self.vision_config.image_token_id] * n_img + list(text_ids)
+        tok_id = self.vision_config.image_token_id
+        # Multi-image prompts label each block ("Image N:") so the model can
+        # attribute content per image (the comparison prompt refers to
+        # Image 1/Image 2); merge_image_embeddings fills image-token
+        # positions by rank, so interleaved text is fine. Single images and
+        # label-less tokenizers (no .encode) keep the bare block layout.
+        can_label = len(images) > 1 and hasattr(self.tokenizer, "encode")
+        ids: list = []
+        for i, blk in enumerate(blocks):
+            if can_label:
+                ids += list(self.tokenizer.encode(f"\nImage {i + 1}: "))
+            ids += [tok_id] * blk.shape[1]
+        if can_label:
+            ids += list(self.tokenizer.encode("\n"))
+        ids += list(text_ids)
         ids_arr = jnp.asarray([ids], jnp.int32)
         text_embeds = self.lm_params["embed_tokens"][
             jnp.where(ids_arr == self.vision_config.image_token_id, 0, ids_arr)
@@ -237,6 +250,21 @@ class Qwen35VLMService:
             seed=seed,
         )
         return self.tokenizer.decode(out)
+
+    def analyze_image(
+        self,
+        image: np.ndarray,
+        prompt: str,
+        gen_params: Optional[generation.GenerateParameters] = None,
+        seed: int = 0,
+    ) -> str:
+        """Image + prompt -> description (the FluxTextEncoders.analyzeImage
+        surface, Qwen3.5 flavor): a vision chat turn with thinking off."""
+        gp = gen_params or generation.GenerateParameters(max_tokens=128, temperature=0.2)
+        return self.chat(
+            "You are a precise visual analyst. Answer directly about the attached image.",
+            prompt, image=image, max_tokens=gp.max_tokens, seed=seed,
+        )
 
     def compare_images_for_flux(
         self, reference: np.ndarray, generated: np.ndarray, max_tokens: int = 300

@@ -102,6 +102,11 @@ def merge_into_params(params: Params, lora: Params, scale: float) -> Params:
 
     Matches the reference merge W += scale*(B@A) (WeightLoader.swift:793-819;
     the transpose difference is layout only — weights here are [in, out]).
+
+    QTensor leaves (quantized/QLoRA bases) merge via a per-leaf
+    dequantize -> add -> REQUANTIZE roundtrip (same format/group size), so
+    merged validation/inference keeps the quantized HBM footprint; the
+    transient dense leaf exists one at a time.
     """
     out = jax.tree_util.tree_map(lambda x: x, params)  # shallow-ish copy
     merged = {**out}
@@ -110,7 +115,19 @@ def merge_into_params(params: Params, lora: Params, scale: float) -> Params:
         for leaf, ab in leaves.items():
             w = new_group[leaf]
             delta = jnp.einsum("lir,lro->lio", ab["a"].astype(jnp.float32), ab["b"].astype(jnp.float32))
-            new_group[leaf] = (w.astype(jnp.float32) + scale * delta).astype(w.dtype)
+            if hasattr(w, "astype"):
+                new_group[leaf] = (w.astype(jnp.float32) + scale * delta).astype(w.dtype)
+            else:
+                from flux2_tpu.ops import quant
+
+                if not isinstance(w, quant.QTensor):
+                    raise TypeError(
+                        f"cannot merge LoRA into runtime-format leaf {group}/{leaf} "
+                        f"({type(w).__name__}); merge into the storage-format or "
+                        "bf16 params before converting to w8a8/w4a8"
+                    )
+                dense = quant.dequantize(w, jnp.float32) + scale * delta
+                new_group[leaf] = quant.quantize(dense, w.format, group_size=w.group_size)
         merged[group] = new_group
     return merged
 

@@ -126,10 +126,15 @@ def run_validation(
     scorer: Optional[VLMScorer] = None,
     reference_images: Sequence[np.ndarray] = (),
     output_dir: Optional[str] = None,
+    ref_cache: Optional[dict] = None,
 ) -> List[ValidationRecord]:
     """Generate validation images with the (distilled) pipeline and score
     them. Each prompt may be a plain string or a per-prompt config (size,
-    seed, trigger application, I2I reference — ValidationPrompt)."""
+    seed, trigger application, I2I reference — ValidationPrompt).
+
+    ``ref_cache``: pass a persistent dict to reuse per-prompt reference
+    encodes across validation passes (the image is constant; re-running the
+    VAE every pass just stalls training)."""
     records: List[ValidationRecord] = []
     for pi, raw in enumerate(config.prompts):
         vp = ValidationPrompt.normalize(raw)
@@ -138,11 +143,16 @@ def run_validation(
             prompt = f"{config.trigger_word} {prompt}"
         ref_kw = {}
         if vp.reference:
-            from PIL import Image
+            cached = ref_cache.get(vp.reference) if ref_cache is not None else None
+            if cached is None:
+                from PIL import Image
 
-            with Image.open(vp.reference) as im:
-                ref_img = np.asarray(im.convert("RGB"), np.float32) / 255.0
-            lat, ids = pipeline.encode_reference_images([ref_img])
+                with Image.open(vp.reference) as im:
+                    ref_img = np.asarray(im.convert("RGB"), np.float32) / 255.0
+                cached = pipeline.encode_reference_images([ref_img])
+                if ref_cache is not None:
+                    ref_cache[vp.reference] = cached
+            lat, ids = cached
             ref_kw = {"reference_latents": lat, "reference_ids": ids}
         for vi in range(config.images_per_prompt):
             res = pipeline.generate(

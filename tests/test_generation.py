@@ -201,3 +201,22 @@ def test_thinking_control_and_strip():
     assert g.strip_think_tags("<think>\n\n</think>\n\nanswer") == "answer"
     assert g.strip_think_tags("<think>reasoning\nhere</think>  final") == "final"
     assert g.strip_think_tags("plain") == "plain"
+
+
+def test_think_stream_filter():
+    from flux2_tpu.models.text_encoders.generation import ThinkStreamFilter
+
+    def run(pieces):
+        out = []
+        f = ThinkStreamFilter(out.append)
+        for p in pieces:
+            f(p)
+        return "".join(out)
+
+    # empty think block split across tokens (no-think mode's actual stream)
+    assert run(["<th", "ink>", "\n\n</th", "ink>", "\n\nhi", " there"]) == "hi there"
+    # full reasoning block suppressed
+    assert run(["<think>step 1", " step 2</think>  answer"]) == "answer"
+    # non-think reply passes through unchanged (incl. '<' that isn't think)
+    assert run(["hello ", "world"]) == "hello world"
+    assert run(["<b>bold</b>", " ok"]) == "<b>bold</b> ok"

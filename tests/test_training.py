@@ -381,3 +381,28 @@ def test_make_eval_loss_deterministic(base_params):
     l1 = float(ev(state.lora, b, jax.random.PRNGKey(7)))
     l2 = float(ev(state.lora, b, jax.random.PRNGKey(7)))
     assert l1 == l2 and np.isfinite(l1)
+
+
+def test_merge_into_params_quantized_base(base_params):
+    """QLoRA validation merge: QTensor leaves dequantize -> add -> requantize
+    (same format), staying quantized instead of crashing on .astype."""
+    from flux2_tpu.ops import quant
+
+    qbase = quant.quantize_params(
+        jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), base_params), "qint8"
+    )
+    lora = lora_mod.init_lora(jax.random.PRNGKey(0), qbase, lora_mod.LoRAConfig(rank=4))
+    lora["double_blocks"]["to_q"]["b"] = jnp.ones_like(lora["double_blocks"]["to_q"]["b"]) * 0.01
+    merged = lora_mod.merge_into_params(qbase, lora, scale=1.0)
+    w = merged["double_blocks"]["to_q"]
+    assert isinstance(w, quant.QTensor) and w.format == "qint8"
+    # the delta survived the requantize roundtrip
+    before = quant.dequantize(qbase["double_blocks"]["to_q"], jnp.float32)
+    after = quant.dequantize(w, jnp.float32)
+    delta = np.einsum(
+        "lir,lro->lio",
+        np.asarray(lora["double_blocks"]["to_q"]["a"]),
+        np.asarray(lora["double_blocks"]["to_q"]["b"]),
+    )
+    err = np.abs((np.asarray(after) - np.asarray(before)) - delta)
+    assert err.max() < 0.01  # within int8 quantization noise
