@@ -107,3 +107,34 @@ def test_run_validation_per_prompt_config(tmp_path):
     assert seen[0]["width"] == 64 and seen[0]["seed"] == 1000
     assert seen[1]["width"] == 32 and seen[1]["height"] == 32 and seen[1]["seed"] == 99
     assert records[0].prompt == "tpz a photo"
+
+
+def test_run_validation_reference_image_cached(tmp_path):
+    """A per-prompt reference routes through the I2I path ONCE: the encode
+    is reused from ref_cache on subsequent passes."""
+    from PIL import Image
+
+    pipe = tiny_pipeline()
+    ref_path = str(tmp_path / "ref.png")
+    rng = np.random.RandomState(1)
+    Image.fromarray((rng.rand(64, 64, 3) * 255).astype(np.uint8)).save(ref_path)
+
+    calls = []
+    orig = pipe.encode_reference_images
+
+    def spy(images, **kw):
+        calls.append(len(images))
+        return orig(images, **kw)
+
+    pipe.encode_reference_images = spy
+    cfg = val.ValidationConfig(
+        prompts=({"prompt": "p", "reference": ref_path},),
+        width=64, height=64, steps=1,
+    )
+    cache = {}
+    for step in (1, 2):
+        recs = val.run_validation(
+            pipe, cfg, step, embeddings_fn=lambda p: _emb(pipe, seed=1), ref_cache=cache
+        )
+        assert len(recs) == 1
+    assert calls == [1]  # encoded once, reused from the cache
