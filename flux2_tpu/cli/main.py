@@ -821,6 +821,12 @@ def _add_common(p, with_gen=True):
         "--memory-profile", choices=["auto", "performance", "balanced", "conservative"],
         help="memory/speed trade-off preset (VAE tiling threshold etc.)",
     )
+    p.add_argument("--models-dir", help="custom models directory (env FLUX2_MODELS_DIR)")
+    p.add_argument("--token", help="HF token for gated models (env HF_TOKEN)")
+    p.add_argument(
+        "--beacon", action="store_true",
+        help="write a runtime activity beacon manifest (env FLUX2_RUNTIME_BEACON=1)",
+    )
     if with_gen:
         p.add_argument("--prompt", default="")
         p.add_argument("--upsample", action="store_true", help="VLM prompt upsampling (BFL protocol)")
@@ -899,9 +905,13 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--model", default="klein-4b", choices=[m.value for m in _models()])
     p.add_argument("--quantization", default="bf16", choices=["bf16", "qint8", "w8a8", "int4", "nf4", "w4a8", "mxfp8", "mxfp4", "nvfp4"])
     p.add_argument("--token", help="HF token (or env HF_TOKEN)")
+    p.add_argument("--models-dir", help="custom models directory (env FLUX2_MODELS_DIR)")
     p.set_defaults(fn=cmd_download)
 
     p = sub.add_parser("info", help="models / device info")
+    p.add_argument("--models-dir", help="custom models directory (env FLUX2_MODELS_DIR)")
+    p.add_argument("--beacon", action="store_true",
+                   help="write a runtime activity beacon manifest")
     p.set_defaults(fn=cmd_info)
 
     p = sub.add_parser("export-quantized", help="export a prequantized checkpoint")
@@ -966,6 +976,14 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.set_defaults(fn=cmd_beacons)
 
     args = parser.parse_args(argv)
+    # flag counterparts of the env knobs (Flux2CLI.swift --models-dir /
+    # --token / BeaconOptions); env already set wins only if the flag is unset
+    if getattr(args, "models_dir", None):
+        os.environ["FLUX2_MODELS_DIR"] = args.models_dir
+    if getattr(args, "token", None):
+        os.environ["HF_TOKEN"] = args.token
+    if getattr(args, "beacon", False):
+        os.environ["FLUX2_RUNTIME_BEACON"] = "1"
     _enable_compile_cache()
     args.fn(args)
     return 0

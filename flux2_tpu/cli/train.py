@@ -553,8 +553,11 @@ def run_training(args) -> None:
     plateau_best, plateau_bad = float("inf"), 0
     gap_bad, best_val, val_bad = 0, float("inf"), 0
     bs = cfg.batch_size * max(1, cfg.grad_accumulation)
-    rng = np.random.RandomState(cfg.seed)
-    key = jax.random.PRNGKey(cfg.seed)
+    # Per-step RNG derivation (fold_in / step-seeded RandomState) instead of a
+    # start-seeded chain: a resumed run draws the SAME batch/noise sequence an
+    # uninterrupted run would, rather than replaying step 1's draws
+    # (TrainingState.swift persists rngSeed for the same reason).
+    base_key = jax.random.PRNGKey(cfg.seed)
     t_start = time.time()
     val_dir = os.path.join(cfg.output_dir, "validation")
     val_ref_cache: dict = {}  # per-prompt I2I reference encodes, reused across passes
@@ -577,7 +580,8 @@ def run_training(args) -> None:
                 break
             controller.wait_while_paused()
 
-            key, k_step = jax.random.split(key)
+            k_step = jax.random.fold_in(base_key, step)
+            rng = np.random.RandomState((cfg.seed * 1_000_003 + step) % (2**32))
             batch = sample_batch(rng, bs)
             lora, opt_state, metrics = step_fn(lora, opt_state, batch, k_step)
             if tcfg.use_ema:
@@ -630,7 +634,11 @@ def run_training(args) -> None:
                 stop_early = tracker.record(step, records)
                 mean = float(np.mean([r.combined for r in records])) if records else 0.0
                 flog.info(f"validation @ {step}: combined {mean:.2f} (best {tracker.best_score:.2f} @ {tracker.best_step})")
-                if tracker.best_step == step and saved_path:
+                if tracker.best_step == step:
+                    if saved_path is None:
+                        # validation improved at a non-save step: checkpoint
+                        # now so `best/` always holds the scored weights
+                        saved_path = _save(cfg, trainer, tstate, lora, opt_state, tcfg, step, ema=ema)
                     best_dir = os.path.join(cfg.output_dir, "best")
                     shutil.rmtree(best_dir, ignore_errors=True)
                     shutil.copytree(saved_path, best_dir)

@@ -32,6 +32,12 @@ program at a time; the compiled-fn cache makes repeat shapes fast.
                               \\x1e-separated JSON stats trailer, else JSON
                               {"reply", "tokens", "duration_s", "tok_per_s"};
                               503 when no encoder is attached
+  POST /embed              -> {"prompt", "format": "json"|"npy"} — FLUX
+                              conditioning embeddings through the attached
+                              encoder (the app's EmbeddingsView surface):
+                              json = shape/stats summary, npy = the raw
+                              [1, S, dim] array as a download; 503 when no
+                              encoder is attached
   GET  /models             -> model-manager inventory (the app's
                               ModelManager surface): registry repos with
                               download state + on-disk sizes, loaded
@@ -147,6 +153,7 @@ class Flux2Server:
         # and image batches (worker thread) take this lock around device work.
         self.chip_lock = threading.Lock()
         self.chats_served = 0
+        self.embeds_served = 0
         self.started = time.time()
         self.requests_served = 0
         self.batches_run = 0
@@ -364,6 +371,7 @@ class Flux2Server:
             "requests_served": self.requests_served,
             "batches_run": self.batches_run,
             "chats_served": self.chats_served,
+            "embeds_served": self.embeds_served,
             "max_batch": self.max_batch,
             "queue_depth": len(self._queue),
         }
@@ -419,6 +427,26 @@ class Flux2Server:
             self.chats_served += 1
         return {"reply": reply, "tokens": ntok[0], "duration_s": round(dur, 2),
                 "tok_per_s": round(ntok[0] / dur, 1)}
+
+    # -- embeddings (the app's EmbeddingsView surface) -------------------------
+
+    def embed(self, prompt: str):
+        """FLUX conditioning embeddings for a prompt through the attached
+        text encoder (the app's EmbeddingsView / `flux-encoders embed` over
+        HTTP). Returns the [1, S, dim] float array."""
+        if not isinstance(prompt, str) or not prompt.strip():
+            raise ValueError("prompt must be a non-empty string")
+        pipe = self.pipeline
+        if pipe.text_encoder is None:
+            raise ChatUnavailableError(
+                "no text encoder attached — start serve with real weights "
+                "(not --random-init / --no-text-encoder) to extract embeddings"
+            )
+        with self.chip_lock:  # encoder forward shares the chip with batches
+            emb = np.asarray(pipe.encode_prompt(prompt), np.float32)
+        with self.lock:
+            self.embeds_served += 1
+        return emb
 
     # -- model manager (the app's ModelManager surface) ------------------------
 
@@ -522,6 +550,7 @@ _DEMO_HTML = """<!doctype html>
 <nav>
  <button id="tab-gen" class="on" onclick="tab('gen')">Generate</button>
  <button id="tab-chat" onclick="tab('chat')">Chat</button>
+ <button id="tab-emb" onclick="tab('emb')">Embeddings</button>
  <button id="tab-models" onclick="tab('models')">Models</button>
 </nav>
 <div id="pane-gen" class="pane on">
@@ -554,9 +583,36 @@ _DEMO_HTML = """<!doctype html>
  </div>
  <div id="chatstats" style="color:#666;font-size:.85rem"></div>
 </div>
+<div id="pane-emb" class="pane">
+ <div class="row">
+  <input id="embprompt" placeholder="prompt to embed" style="flex:1;min-width:320px"
+   onkeydown="if(event.key==='Enter')inspectEmb()">
+  <button onclick="inspectEmb()">Inspect</button>
+  <button onclick="downloadEmb()">Download .npy</button>
+ </div>
+ <div id="embout" style="color:#666;font-size:.9rem"></div>
+</div>
 <div id="pane-models" class="pane"><div id="modelsout">loading…</div></div>
 <script>
-function tab(t){for(const x of ['gen','chat','models']){
+async function embReq(fmt){const p=document.getElementById('embprompt').value.trim();
+ if(!p)throw new Error('enter a prompt');
+ const r=await fetch('/embed',{method:'POST',headers:{'Content-Type':'application/json'},
+  body:JSON.stringify({prompt:p,format:fmt})});
+ if(!r.ok)throw new Error((await r.json()).error||r.statusText);return r;}
+async function inspectEmb(){const out=document.getElementById('embout');out.textContent='encoding…';
+ try{const j=await(await embReq('json')).json();
+  out.innerHTML=`<table><tr><th>shape</th><th>dtype</th><th>mean</th><th>std</th>`+
+   `<th>min</th><th>max</th><th>token ‖·‖ mean</th></tr>`+
+   `<tr><td>[${j.shape}]</td><td>${j.dtype}</td><td>${j.mean.toFixed(4)}</td>`+
+   `<td>${j.std.toFixed(4)}</td><td>${j.min.toFixed(3)}</td><td>${j.max.toFixed(3)}</td>`+
+   `<td>${j.token_norm_mean.toFixed(2)}</td></tr></table>`;
+ }catch(e){out.textContent='error: '+e.message;}}
+async function downloadEmb(){const out=document.getElementById('embout');
+ try{const blob=await(await embReq('npy')).blob();
+  const a=document.createElement('a');a.href=URL.createObjectURL(blob);
+  a.download='embeddings.npy';a.click();URL.revokeObjectURL(a.href);
+ }catch(e){out.textContent='error: '+e.message;}}
+function tab(t){for(const x of ['gen','chat','emb','models']){
  document.getElementById('tab-'+x).classList.toggle('on',x===t);
  document.getElementById('pane-'+x).classList.toggle('on',x===t);}
  if(t==='models')loadModels();}
@@ -712,6 +768,9 @@ def make_handler(server: Flux2Server):
             if self.path == "/chat":
                 self._do_chat()
                 return
+            if self.path == "/embed":
+                self._do_embed()
+                return
             if self.path != "/generate":
                 self._json(404, {"error": "not found"})
                 return
@@ -736,6 +795,49 @@ def make_handler(server: Flux2Server):
                 self.send_header("Content-Length", str(len(png)))
                 self.end_headers()
                 self.wfile.write(png)
+
+        def _do_embed(self):
+            """POST /embed: {"prompt", "format": "json"|"npy"}.
+
+            json (default) -> shape/stats summary for the embeddings panel;
+            npy -> the raw [1, S, dim] array as a downloadable .npy
+            (the app's EmbeddingsView export / `flux-encoders embed`)."""
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(length) or b"{}")
+                emb = server.embed(req.get("prompt", ""))
+                if req.get("format") == "npy":
+                    buf = io.BytesIO()
+                    np.save(buf, emb)
+                    body = buf.getvalue()
+                    self.send_response(200)
+                    self.send_header("Content-Type", "application/octet-stream")
+                    self.send_header(
+                        "Content-Disposition", 'attachment; filename="embeddings.npy"'
+                    )
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                    return
+                tok_norms = np.linalg.norm(emb[0], axis=-1)
+                self._json(200, {
+                    "shape": list(emb.shape),
+                    "dtype": str(emb.dtype),
+                    "seq_len": int(emb.shape[-2]),
+                    "dim": int(emb.shape[-1]),
+                    "mean": float(emb.mean()),
+                    "std": float(emb.std()),
+                    "min": float(emb.min()),
+                    "max": float(emb.max()),
+                    "token_norm_mean": float(tok_norms.mean()),
+                    "token_norm_max": float(tok_norms.max()),
+                })
+            except ChatUnavailableError as e:
+                self._json(503, {"error": str(e)})
+            except (ValueError, TypeError, KeyError) as e:
+                self._json(400, {"error": f"{type(e).__name__}: {e}"})
+            except Exception as e:
+                self._json(500, {"error": f"{type(e).__name__}: {e}"})
 
         def _do_chat(self):
             """POST /chat: {"messages": [{role, content}, ...], "max_tokens",

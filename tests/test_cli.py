@@ -25,6 +25,28 @@ def test_beacons_runs(capsys, monkeypatch, tmp_path):
     assert "0 active" in capsys.readouterr().out
 
 
+def test_models_dir_flag(capsys, monkeypatch, tmp_path):
+    """--models-dir is the CLI counterpart of FLUX2_MODELS_DIR
+    (Flux2CLI.swift --models-dir on t2i/i2i/download/info)."""
+    monkeypatch.delenv("FLUX2_MODELS_DIR", raising=False)
+    main(["info", "--models-dir", str(tmp_path / "custom")])
+    out = capsys.readouterr().out
+    assert str(tmp_path / "custom") in out
+    monkeypatch.delenv("FLUX2_MODELS_DIR", raising=False)
+
+
+def test_beacon_flag_enables_manifest(monkeypatch, tmp_path):
+    """--beacon opts into runtime beacon manifests like
+    FLUX2_RUNTIME_BEACON=1 (reference BeaconOptions)."""
+    import os as _os
+
+    monkeypatch.setenv("FLUX2_BEACON_DIR", str(tmp_path))
+    monkeypatch.delenv("FLUX2_RUNTIME_BEACON", raising=False)
+    main(["info", "--beacon"])
+    assert _os.environ.get("FLUX2_RUNTIME_BEACON") == "1"
+    monkeypatch.delenv("FLUX2_RUNTIME_BEACON", raising=False)
+
+
 def test_training_control_writes_sentinels(tmp_path, capsys):
     main(["training-control", "pause", "--output-dir", str(tmp_path)])
     assert os.path.exists(tmp_path / ".pause")
@@ -113,6 +135,50 @@ training:
     state = json.loads((ckpt / "training_state.json").read_text())
     assert state["step"] == 2
     assert len(state["loss_history"]) == 2
+
+
+@pytest.mark.slow
+def test_train_lora_resume_deterministic(tmp_path):
+    """A run interrupted at step 2 and resumed reproduces the loss history of
+    an uninterrupted run exactly: per-step RNG derivation (fold_in + step-
+    seeded data sampling) means resume continues the draw sequence instead of
+    replaying step 1's noise (TrainingState.swift rngSeed persistence)."""
+    cfg_path = tmp_path / "train.yaml"
+    cfg_path.write_text(
+        """
+model: klein-4b
+lora:
+  rank: 2
+training:
+  max_steps: 4
+  save_every: 2
+  resolution: 64
+  seed: 11
+"""
+    )
+    from flux2_tpu.models.flux2 import config as cfg_mod
+
+    tiny = cfg_mod.Flux2TransformerConfig(
+        num_layers=1, num_single_layers=1, num_attention_heads=2,
+        attention_head_dim=128, joint_attention_dim=96, guidance_embeds=False,
+    )
+    orig = cfg_mod.Flux2Model.transformer_config
+    try:
+        cfg_mod.Flux2Model.transformer_config = property(lambda self: tiny)
+        straight, resumed = tmp_path / "straight", tmp_path / "resumed"
+        main(["train-lora", "--config", str(cfg_path), "--output-dir", str(straight),
+              "--random-init"])
+        main(["train-lora", "--config", str(cfg_path), "--output-dir", str(resumed),
+              "--random-init", "--max-steps", "2"])
+        main(["train-lora", "--config", str(cfg_path), "--output-dir", str(resumed),
+              "--random-init", "--resume", str(resumed / "checkpoint_000002"),
+              "--max-steps", "4"])
+    finally:
+        cfg_mod.Flux2Model.transformer_config = orig
+    a = json.loads((straight / "checkpoint_000004" / "training_state.json").read_text())
+    b = json.loads((resumed / "checkpoint_000004" / "training_state.json").read_text())
+    assert len(a["loss_history"]) == len(b["loss_history"]) == 4
+    np.testing.assert_allclose(a["loss_history"], b["loss_history"], rtol=1e-6)
 
 
 def _run_shard_cli_subprocess(extra_args, out):

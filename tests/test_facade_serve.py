@@ -461,3 +461,65 @@ def test_serving_chat_and_models(encoders):
     finally:
         httpd.shutdown()
         server.shutdown()
+
+
+def test_serving_embed(encoders):
+    """POST /embed extracts conditioning embeddings over HTTP — the serve
+    counterpart of the app's EmbeddingsView (Sources/Flux2App) and
+    `flux-encoders embed`: JSON stats + downloadable .npy; 503 bare."""
+    import io as _io
+    import urllib.error
+    import urllib.request
+
+    from http.server import ThreadingHTTPServer
+
+    from flux2_tpu.serve import Flux2Server, make_handler
+    from tests.test_pipeline import tiny_pipeline
+
+    def post(port, payload):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/embed", data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"}, method="POST")
+        return urllib.request.urlopen(req)
+
+    # no encoder attached -> 503 (same contract as /chat)
+    bare = Flux2Server(tiny_pipeline(), None)
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(bare))
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        with pytest.raises(urllib.error.HTTPError) as e:
+            post(port, {"prompt": "a cat"})
+        assert e.value.code == 503
+    finally:
+        httpd.shutdown()
+        bare.shutdown()
+
+    pipe = tiny_pipeline()
+    pipe.text_encoder = encoders.get("tiny").extractor
+    server = Flux2Server(pipe, None)
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(server))
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        with post(port, {"prompt": "a tiny cat"}) as r:
+            stats = json.loads(r.read())
+        assert stats["shape"][0] == 1 and stats["dim"] == stats["shape"][-1]
+        assert np.isfinite(stats["mean"]) and stats["token_norm_mean"] > 0
+        # .npy download round-trips to the same array shape
+        with post(port, {"prompt": "a tiny cat", "format": "npy"}) as r:
+            assert r.headers["Content-Type"] == "application/octet-stream"
+            arr = np.load(_io.BytesIO(r.read()))
+        assert list(arr.shape) == stats["shape"] and np.isfinite(arr).all()
+        # empty prompt -> 400, server keeps serving
+        with pytest.raises(urllib.error.HTTPError) as e:
+            post(port, {"prompt": "  "})
+        assert e.value.code == 400
+        assert server.embeds_served == 2
+        # demo page carries the embeddings tab
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/") as r:
+            page = r.read().decode()
+        assert "/embed" in page and 'id="embprompt"' in page
+    finally:
+        httpd.shutdown()
+        server.shutdown()

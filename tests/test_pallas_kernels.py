@@ -174,27 +174,32 @@ def test_flash_attention_tiled_divisible_and_padded(monkeypatch):
 
 
 def test_flash_attention_const_anchor_and_killswitch(monkeypatch):
-    """bounded_logits unlocks the constant-anchor softmax on the tiled path;
-    results match XLA and the FLUX2_FLASH_EXACT_MAX running-max path."""
+    """bounded_logits unlocks the constant-anchor softmax on the multi-block
+    KV path; results match XLA and the FLUX2_FLASH_EXACT_MAX running-max path.
+
+    block_k=128 is EXPLICIT: adaptive _pick_block_k at S=384 would choose a
+    single KV block, where const_anchor is never engaged (an earlier version
+    of this test monkeypatched the MAX_* constants but still got the
+    single-block fallback — it validated the running-max path twice)."""
     from flux2_tpu.ops import flash_attention as fa
 
-    monkeypatch.setattr(fa, "MAX_SINGLE_BLOCK_K", 128)
-    monkeypatch.setattr(fa, "MAX_TILED_BLOCK_K", 256)
     ks = jax.random.split(jax.random.PRNGKey(11), 3)
     # qk-norm-like magnitudes: rows ~ unit RMS (the bounded_logits contract)
     q = jax.random.normal(ks[0], (1, 2, 384, 128))
     k = jax.random.normal(ks[1], (1, 2, 384, 128))
     v = jax.random.normal(ks[2], (1, 2, 384, 128))
-    anchored = fa._flash_impl(q, k, v, interpret=True, bounded_logits=True)
+    anchored = fa._flash_impl(q, k, v, interpret=True, bounded_logits=True, block_k=128)
     np.testing.assert_allclose(np.asarray(anchored), np.asarray(sdpa_xla(q, k, v)), atol=2e-5)
     monkeypatch.setattr(fa, "_EXACT_MAX", True)
-    exact = fa._flash_impl(q, k, v, interpret=True, bounded_logits=True)
+    exact = fa._flash_impl(q, k, v, interpret=True, bounded_logits=True, block_k=128)
     np.testing.assert_allclose(np.asarray(anchored), np.asarray(exact), atol=2e-5)
     # gradients through the const-anchor path (lse with anchor 0)
     monkeypatch.setattr(fa, "_EXACT_MAX", False)
 
     def loss(q, k, v):
-        return jnp.sum(fa.flash_attention(q, k, v, interpret=True, bounded_logits=True) ** 2)
+        return jnp.sum(
+            fa.flash_attention(q, k, v, interpret=True, bounded_logits=True, block_k=128) ** 2
+        )
 
     def loss_ref(q, k, v):
         return jnp.sum(sdpa_xla(q, k, v) ** 2)
@@ -203,3 +208,11 @@ def test_flash_attention_const_anchor_and_killswitch(monkeypatch):
     gx = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(gf, gx):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-4)
+    # contract violation breaks LOUDLY: |logits| >> 127 in the exp2 domain
+    # overflows to inf/inf = NaN instead of silently distorting
+    bad = fa._flash_impl(q * 60, k * 60, v, interpret=True, bounded_logits=True, block_k=128)
+    assert np.isnan(np.asarray(bad)).any()
+    # the running-max kill-switch path stays finite on the same inputs
+    monkeypatch.setattr(fa, "_EXACT_MAX", True)
+    safe = fa._flash_impl(q * 60, k * 60, v, interpret=True, bounded_logits=True, block_k=128)
+    assert np.isfinite(np.asarray(safe)).all()
