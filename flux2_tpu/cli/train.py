@@ -67,6 +67,11 @@ class YAMLTrainingConfig:
     caption_dropout: float = 0.0  # P(train on the empty caption) per sample
     seed: int = 42
     resolution: int = 512
+    # pipeline parallelism (GPipe over the stacked DiT blocks,
+    # parallel/pipeline.py): pp stages x (n_devices/pp) data; the DCN-friendly
+    # multi-slice training layout. 0/1 disables. pp_microbatches defaults to pp.
+    pp: int = 1
+    pp_microbatches: int = 0
     # multi-resolution bucketing: union of the ratio table scaled to each
     # listed resolution (LoRATrainingConfig.swift:235-239 bucketResolutions)
     bucket_resolutions: Sequence[int] = ()
@@ -414,6 +419,33 @@ def run_training(args) -> None:
         base_params = pipe.transformer_params
         tconfig = pipe.transformer_config
 
+    # --- pipeline parallelism (GPipe stages over the stacked DiT blocks) ---
+    pp_forward = None
+    if cfg.pp > 1:
+        from flux2_tpu.parallel import pipeline as pp_mod
+
+        if getattr(args, "shard", None):
+            raise SystemExit("pp and --shard are mutually exclusive (pp builds its own mesh)")
+        n_dev = len(jax.devices())
+        if n_dev % cfg.pp:
+            raise SystemExit(f"pp={cfg.pp} does not divide {n_dev} devices")
+        m_micro = cfg.pp_microbatches or cfg.pp
+        data_ax = n_dev // cfg.pp
+        if cfg.batch_size % m_micro or (cfg.batch_size // m_micro) % data_ax:
+            raise SystemExit(
+                f"batch_size {cfg.batch_size} must split into {m_micro} microbatches "
+                f"each divisible by the data axis {data_ax} (pp={cfg.pp}, {n_dev} devices)"
+            )
+        pp_mesh = pp_mod.make_pp_mesh(pp=cfg.pp, data=data_ax)
+        base_params = jax.device_put(base_params, pp_mod.pp_param_sharding(pp_mesh, base_params))
+        if pipe is not None:
+            pipe.transformer_params = base_params
+        pp_forward = pp_mod.make_pp_forward(pp_mesh, cfg.pp_microbatches or None)
+        flog.info(
+            f"pipeline parallelism: mesh {dict(pp_mesh.shape)}, {m_micro} microbatches "
+            f"(bubble {(cfg.pp - 1) / (m_micro + cfg.pp - 1):.0%})"
+        )
+
     # --- data prep (two-phase style; real encode path with real weights) ---
     if pipe is not None:
         if not (cfg.dataset_dir and os.path.isdir(cfg.dataset_dir)):
@@ -527,7 +559,7 @@ def run_training(args) -> None:
             cache_dir=os.path.join(cfg.output_dir, "val_latent_cache"),
         )
         val_sample, val_items = _prepare_real_data(pipe, vcfg, tconfig)
-        val_loss_fn = trainer.make_eval_loss(base_params, tconfig, tcfg)
+        val_loss_fn = trainer.make_eval_loss(base_params, tconfig, tcfg, forward_fn=pp_forward)
         vr = np.random.RandomState(cfg.validation_seed)
         n_val = min(4, max(1, len(val_items)))
         # FIXED batches + keys: the val-loss curve is comparable across steps
@@ -546,7 +578,7 @@ def run_training(args) -> None:
         state_t, _ = trainer.init_train_state(jax.random.PRNGKey(cfg.seed), base_params, tcfg)
         tstate = TrainingState(rng_seed=cfg.seed, config_hash=config_hash(tcfg))
     optimizer = trainer.make_optimizer(tcfg)
-    step_fn = trainer.make_train_step(base_params, tconfig, tcfg, optimizer)
+    step_fn = trainer.make_train_step(base_params, tconfig, tcfg, optimizer, forward_fn=pp_forward)
     lora_scale = lora_mod.LoRAConfig(tcfg.rank, tcfg.alpha).scale
 
     lora, opt_state, ema = state_t.lora, state_t.opt_state, state_t.ema

@@ -156,6 +156,7 @@ def flow_matching_loss(
     rope_sin: jnp.ndarray,
     guidance: Optional[jnp.ndarray] = None,
     control_seq: Optional[jnp.ndarray] = None,  # [B, S_ctl, 128] clean control tokens (I2I)
+    forward_fn: Optional[Callable] = None,  # tfm.forward-compatible (e.g. pp)
 ) -> jnp.ndarray:
     """MSE(model(noisy, t), noise - latents), optionally bell-weighted.
 
@@ -178,7 +179,8 @@ def flow_matching_loss(
     # + f32 LoRA masters); the loss math below stays f32. Without this cast
     # an f32 noisy input splits the img/txt stream dtypes mid-scan.
     stream_dtype = _stream_dtype(base_params)
-    pred = tfm.forward(
+    fwd = forward_fn if forward_fn is not None else tfm.forward
+    pred = fwd(
         base_params, config, x.astype(stream_dtype), embeddings, sigmas, rope_cos, rope_sin,
         guidance=guidance, remat=train_cfg.remat, lora=lora_params, lora_scale=scale,
     )[:, :s_out]
@@ -206,17 +208,19 @@ def dop_loss(
     rope_cos: jnp.ndarray,
     rope_sin: jnp.ndarray,
     guidance: Optional[jnp.ndarray] = None,
+    forward_fn: Optional[Callable] = None,
 ) -> jnp.ndarray:
     """Differential Output Preservation: MSE(LoRA out, stop_grad(base out))
     on preservation captions (SimpleLoRATrainer.swift:524-605)."""
     scale = lora_mod.LoRAConfig(train_cfg.rank, train_cfg.alpha).scale
+    fwd = forward_fn if forward_fn is not None else tfm.forward
     noisy = (1.0 - sigmas[:, None, None]) * latents_seq + sigmas[:, None, None] * noise_seq
     noisy = noisy.astype(_stream_dtype(base_params))
-    pred_lora = tfm.forward(
+    pred_lora = fwd(
         base_params, config, noisy, preservation_embeddings, sigmas, rope_cos, rope_sin,
         guidance=guidance, remat=train_cfg.remat, lora=lora_params, lora_scale=scale,
     )
-    pred_base = tfm.forward(
+    pred_base = fwd(
         base_params, config, noisy, preservation_embeddings, sigmas, rope_cos, rope_sin,
         guidance=guidance, remat=train_cfg.remat,
     )
@@ -310,6 +314,7 @@ def make_train_step(
     config: Flux2TransformerConfig,
     train_cfg: TrainConfig,
     optimizer: optax.GradientTransformation,
+    forward_fn: Optional[Callable] = None,
 ) -> Callable:
     """Build the jitted train step.
 
@@ -343,6 +348,7 @@ def make_train_step(
             batch["rope_cos"], batch["rope_sin"],
             guidance=batch.get("guidance"),
             control_seq=batch.get("control"),
+            forward_fn=forward_fn,
         )
         total = main
         dop = jnp.float32(0.0)
@@ -351,6 +357,7 @@ def make_train_step(
                 base_params, lora, config, train_cfg,
                 batch["latents"], batch["dop_embeddings"], noise, sigmas,
                 batch["rope_cos"], batch["rope_sin"], guidance=batch.get("guidance"),
+                forward_fn=forward_fn,
             )
             total = main + train_cfg.dop_weight * dop
         return total, {"loss": main, "dop_loss": dop}
@@ -395,6 +402,7 @@ def make_eval_loss(
     base_params: Params,
     config: Flux2TransformerConfig,
     train_cfg: TrainConfig,
+    forward_fn: Optional[Callable] = None,
 ) -> Callable:
     """Jitted VALIDATION loss: the training objective with no gradient or
     update — eval_loss(lora, batch, key) -> scalar. Deterministic per
@@ -421,6 +429,7 @@ def make_eval_loss(
             batch["rope_cos"], batch["rope_sin"],
             guidance=batch.get("guidance"),
             control_seq=batch.get("control"),
+            forward_fn=forward_fn,
         )
 
     jitted = jax.jit(impl)

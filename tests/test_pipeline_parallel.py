@@ -1,0 +1,169 @@
+"""Pipeline parallelism (GPipe over the stacked DiT blocks) on the 8-device
+virtual CPU mesh. Exactness against the dense ``transformer.forward`` is the
+contract: same block functions, same math, different schedule."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from flux2_tpu.models.flux2 import config as cfg
+from flux2_tpu.models.flux2 import transformer as tfm
+from flux2_tpu.ops import latents as lu
+from flux2_tpu.ops.rope import rope_embeddings
+from flux2_tpu.parallel import pipeline as pp
+from flux2_tpu.training import lora as lora_mod
+
+pytestmark = pytest.mark.slow  # heavy compiles; excluded from the fast tier
+
+CONFIG = cfg.Flux2TransformerConfig(
+    num_layers=2,
+    num_single_layers=4,
+    num_attention_heads=2,
+    attention_head_dim=128,
+    joint_attention_dim=96,
+    guidance_embeds=False,
+)
+
+
+def _inputs(batch, h=64, w=64, s_txt=8):
+    ks = jax.random.split(jax.random.PRNGKey(7), 3)
+    s_img = (h // 16) * (w // 16)
+    hidden = jax.random.normal(ks[0], (batch, s_img, 128), jnp.float32)
+    txt = jax.random.normal(ks[1], (batch, s_txt, CONFIG.joint_attention_dim), jnp.float32)
+    t = jax.random.uniform(ks[2], (batch,), jnp.float32, 0.1, 0.9)
+    ids = np.concatenate([lu.text_position_ids(s_txt), lu.image_position_ids(h, w)], axis=0)
+    cos, sin = rope_embeddings(jnp.asarray(ids))
+    return hidden, txt, t, cos, sin
+
+
+def test_make_pp_mesh_layouts():
+    m = pp.make_pp_mesh(pp=4, data=2)
+    assert m.shape == {"data": 2, "pp": 4}
+    # pp_over_dcn strides the stage axis across contiguous device groups:
+    # stage s of data-group g is device [s*data + g] instead of [g*pp + s],
+    # so each stage's devices sit inside one slice-major group.
+    m_dcn = pp.make_pp_mesh(pp=4, data=2, pp_over_dcn=True)
+    ids = np.vectorize(lambda d: d.id)(m_dcn.devices)
+    assert ids[0].tolist() == [0, 2, 4, 6]  # data row 0 walks across groups
+    with pytest.raises(ValueError):
+        pp.make_pp_mesh(pp=3, data=2)
+
+
+def test_pp_param_sharding_specs():
+    params = tfm.init_params(jax.random.PRNGKey(0), CONFIG, dtype=jnp.float32)
+    mesh = pp.make_pp_mesh(pp=4, data=2)
+    sh = pp.pp_param_sharding(mesh, params)
+    assert sh["double_blocks"]["to_q"].spec == P("pp")
+    assert sh["single_blocks"]["out_mlp"].spec == P("pp")
+    assert sh["x_embedder"]["kernel"].spec == P()
+
+
+def test_pipelined_forward_matches_dense():
+    params = tfm.init_params(jax.random.PRNGKey(0), CONFIG, dtype=jnp.float32)
+    hidden, txt, t, cos, sin = _inputs(batch=8)
+    dense = tfm.forward(params, CONFIG, hidden, txt, t, cos, sin)
+
+    mesh = pp.make_pp_mesh(pp=2, data=4)
+    params_pp = jax.device_put(params, pp.pp_param_sharding(mesh, params))
+    hidden_d = jax.device_put(hidden, NamedSharding(mesh, P("data")))
+
+    piped = jax.jit(
+        lambda p, h, tx, ts: pp.pipelined_forward(
+            p, CONFIG, h, tx, ts, cos, sin, mesh=mesh
+        )
+    )(params_pp, hidden_d, txt, t)
+    np.testing.assert_allclose(np.asarray(piped), np.asarray(dense), atol=2e-5)
+
+    # more microbatches than stages (the bubble-shrinking regime); smaller
+    # data axis so the microbatch size stays divisible
+    mesh4 = pp.make_pp_mesh(pp=2, data=2, devices=jax.devices()[:4])
+    piped4 = jax.jit(
+        lambda p, h, tx, ts: pp.pipelined_forward(
+            p, CONFIG, h, tx, ts, cos, sin, mesh=mesh4, num_microbatches=4
+        )
+    )(params, hidden, txt, t)
+    np.testing.assert_allclose(np.asarray(piped4), np.asarray(dense), atol=2e-5)
+
+
+def test_pipelined_forward_with_lora_and_grads():
+    """LoRA adapters ride the pipeline (stacked [L,...] leaves shard over pp
+    like the base weights) and jax.grad through the tick scan reproduces the
+    dense gradients — the property that makes pp usable for training."""
+    devices = jax.devices()[:4]
+    mesh = pp.make_pp_mesh(pp=2, data=2, devices=devices)
+    params = tfm.init_params(jax.random.PRNGKey(0), CONFIG, dtype=jnp.float32)
+    lcfg = lora_mod.LoRAConfig(
+        rank=2, alpha=4.0,
+        targets=(("double_blocks", "to_q"), ("single_blocks", "mlp_gate")),
+    )
+    lora = lora_mod.init_lora(jax.random.PRNGKey(1), params, lcfg)
+    # b inits to zeros (grad wrt a would vanish); randomize for a real check
+    lora = jax.tree.map(lambda x: jax.random.normal(jax.random.PRNGKey(2), x.shape) * 0.02, lora)
+    hidden, txt, t, cos, sin = _inputs(batch=4)
+
+    def dense_loss(lo):
+        out = tfm.forward(params, CONFIG, hidden, txt, t, cos, sin, lora=lo, lora_scale=lcfg.scale)
+        return jnp.sum(out**2)
+
+    def piped_loss(lo):
+        out = pp.pipelined_forward(
+            params, CONFIG, hidden, txt, t, cos, sin,
+            mesh=mesh, lora=lo, lora_scale=lcfg.scale, remat=True,
+        )
+        return jnp.sum(out**2)
+
+    l_dense, g_dense = jax.value_and_grad(dense_loss)(lora)
+    l_piped, g_piped = jax.jit(jax.value_and_grad(piped_loss))(lora)
+    np.testing.assert_allclose(float(l_piped), float(l_dense), rtol=1e-6)
+    for (pa, a), (pb, bz) in zip(
+        jax.tree_util.tree_leaves_with_path(g_dense),
+        jax.tree_util.tree_leaves_with_path(g_piped),
+    ):
+        assert pa == pb
+        np.testing.assert_allclose(np.asarray(bz), np.asarray(a), atol=3e-4, err_msg=str(pa))
+
+
+def test_train_step_with_pp_forward_matches_dense():
+    """trainer.make_train_step(forward_fn=make_pp_forward(mesh)) — the
+    composition cli/train.run_training uses for ``pp: N`` — produces the
+    same loss and updated LoRA as the dense step (same key => same
+    sigmas/noise draws)."""
+    from flux2_tpu.training import trainer
+
+    mesh = pp.make_pp_mesh(pp=2, data=2, devices=jax.devices()[:4])
+    params = tfm.init_params(jax.random.PRNGKey(0), CONFIG, dtype=jnp.float32)
+    tcfg = trainer.TrainConfig(rank=2, alpha=4.0, remat=True, grad_accumulation=1)
+    state, opt = trainer.init_train_state(jax.random.PRNGKey(1), params, tcfg)
+
+    hidden, txt, _, cos, sin = _inputs(batch=4)
+    batch = {"latents": hidden, "embeddings": txt, "rope_cos": cos, "rope_sin": sin}
+    key = jax.random.PRNGKey(5)
+
+    dense_step = trainer.make_train_step(params, CONFIG, tcfg, opt)
+    lora_d, _, met_d = dense_step(state.lora, state.opt_state, batch, key)
+
+    pp_params = jax.device_put(params, pp.pp_param_sharding(mesh, params))
+    pp_step = trainer.make_train_step(
+        pp_params, CONFIG, tcfg, opt, forward_fn=pp.make_pp_forward(mesh)
+    )
+    lora_p, _, met_p = pp_step(state.lora, state.opt_state, batch, key)
+
+    np.testing.assert_allclose(float(met_p["loss"]), float(met_d["loss"]), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(lora_d), jax.tree_util.tree_leaves(lora_p)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-5)
+
+
+def test_pipelined_forward_validation_errors():
+    mesh = pp.make_pp_mesh(pp=2, data=4)
+    params = tfm.init_params(jax.random.PRNGKey(0), CONFIG, dtype=jnp.float32)
+    hidden, txt, t, cos, sin = _inputs(batch=8)
+    with pytest.raises(ValueError, match="microbatches"):
+        pp.pipelined_forward(params, CONFIG, hidden, txt, t, cos, sin, mesh=mesh, num_microbatches=3)
+    odd = cfg.Flux2TransformerConfig(
+        num_layers=3, num_single_layers=4, num_attention_heads=2,
+        attention_head_dim=128, joint_attention_dim=96, guidance_embeds=False,
+    )
+    with pytest.raises(ValueError, match="divide"):
+        pp.pipelined_forward(params, odd, hidden, txt, t, cos, sin, mesh=mesh)

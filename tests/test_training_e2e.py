@@ -114,6 +114,47 @@ def test_train_lora_real_data_e2e(model_dirs, encoder_dir, dataset_dir, tmp_path
     assert all("[trigger]" not in it.caption and "tpz" in it.caption for it in items)
 
 
+def test_train_lora_pp_e2e(model_dirs, encoder_dir, dataset_dir, tmp_path, capsys):
+    """``pp: 2`` in the training YAML routes the real-data train step through
+    the GPipe pipelined forward on a (data=4, pp=2) mesh of the 8 virtual
+    devices — trainer composition, not just the library module."""
+    tdir, vdir = model_dirs
+    out = tmp_path / "run_pp"
+    cfg_path = _write_config(
+        tmp_path, dataset_dir,
+        training={
+            "max_steps": 1, "batch_size": 8, "learning_rate": 1e-3,
+            "save_every": 1, "seed": 7, "remat": False, "pp": 2,
+        },
+        validation={"prompts": []},
+    )
+    main([
+        "train-lora", "--config", cfg_path, "--output-dir", str(out),
+        "--transformer-dir", tdir, "--vae-dir", vdir, "--encoder-dir", encoder_dir,
+    ])
+    combined = capsys.readouterr()
+    assert "pipeline parallelism: mesh" in combined.out + combined.err
+    assert (out / "checkpoint_000001" / "lora.safetensors").exists()
+    # held-out val loss also ran through the pipelined eval forward
+    state = json.loads((out / "checkpoint_000001" / "training_state.json").read_text())
+    assert state["val_loss_history"] and np.isfinite(state["val_loss_history"][-1]["loss"])
+
+
+def test_train_lora_pp_batch_validation(model_dirs, encoder_dir, dataset_dir, tmp_path):
+    """An indivisible batch_size fails actionably before any compile."""
+    tdir, vdir = model_dirs
+    cfg_path = _write_config(
+        tmp_path, dataset_dir,
+        training={"max_steps": 1, "batch_size": 2, "pp": 2},
+        validation={"prompts": []},
+    )
+    with pytest.raises(SystemExit, match="microbatch"):
+        main([
+            "train-lora", "--config", cfg_path, "--output-dir", str(tmp_path / "x"),
+            "--transformer-dir", tdir, "--vae-dir", vdir, "--encoder-dir", encoder_dir,
+        ])
+
+
 def test_train_lora_resolves_base_variant(model_dirs, encoder_dir, dataset_dir, tmp_path, capsys):
     """Training klein-4b must resolve the non-distilled klein-4b-base
     variant (ModelRegistry.swift:238-250)."""
