@@ -72,6 +72,7 @@ class YAMLTrainingConfig:
     # multi-slice training layout. 0/1 disables. pp_microbatches defaults to pp.
     pp: int = 1
     pp_microbatches: int = 0
+    pp_over_dcn: bool = False  # stride the stage axis across slice groups
     # multi-resolution bucketing: union of the ratio table scaled to each
     # listed resolution (LoRATrainingConfig.swift:235-239 bucketResolutions)
     bucket_resolutions: Sequence[int] = ()
@@ -426,6 +427,12 @@ def run_training(args) -> None:
 
         if getattr(args, "shard", None):
             raise SystemExit("pp and --shard are mutually exclusive (pp builds its own mesh)")
+        if tconfig.num_layers % cfg.pp or tconfig.num_single_layers % cfg.pp:
+            raise SystemExit(
+                f"pp={cfg.pp} must divide both block stacks of {cfg.model} "
+                f"({tconfig.num_layers} double, {tconfig.num_single_layers} single): "
+                f"klein-4b (5/20) supports pp=5; klein-9b (8/24) and dev (8/48) pp=2/4/8"
+            )
         n_dev = len(jax.devices())
         if n_dev % cfg.pp:
             raise SystemExit(f"pp={cfg.pp} does not divide {n_dev} devices")
@@ -436,7 +443,7 @@ def run_training(args) -> None:
                 f"batch_size {cfg.batch_size} must split into {m_micro} microbatches "
                 f"each divisible by the data axis {data_ax} (pp={cfg.pp}, {n_dev} devices)"
             )
-        pp_mesh = pp_mod.make_pp_mesh(pp=cfg.pp, data=data_ax)
+        pp_mesh = pp_mod.make_pp_mesh(pp=cfg.pp, data=data_ax, pp_over_dcn=cfg.pp_over_dcn)
         base_params = jax.device_put(base_params, pp_mod.pp_param_sharding(pp_mesh, base_params))
         if pipe is not None:
             pipe.transformer_params = base_params

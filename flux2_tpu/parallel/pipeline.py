@@ -106,15 +106,21 @@ def pp_param_sharding(mesh: Mesh, params) -> "jax.tree_util.PyTreeDef":
     return jax.tree_util.tree_map_with_path(spec_for, params)
 
 
-def pipeline_scan(stage_fn, stacked, microbatches, consts, mesh: Mesh, axis: str = PP_AXIS):
+def pipeline_scan(stage_fn, stacked, microbatches, per_mb, consts, mesh: Mesh, axis: str = PP_AXIS):
     """Run ``stage_fn`` as a GPipe pipeline over the ``axis`` mesh dim.
 
-    - ``stage_fn(stacked_local, carry, consts) -> carry`` applies one
+    - ``stage_fn(stacked_local, carry, mbc, consts) -> carry`` applies one
       stage's local layers (leaves of ``stacked_local`` are ``[L/P, ...]``).
     - ``stacked``: pytree of stacked per-layer arrays, leading dim L with
       ``L % P == 0``; sharded over ``axis`` on dim 0.
     - ``microbatches``: pytree of ``[M, Bm, ...]`` activations; the batch
-      dim (axis 1) is sharded over ``data``.
+      dim (axis 1) is sharded over ``data``. ONLY this pytree rides the
+      ppermute chain and the final psum.
+    - ``per_mb``: pytree of ``[M, Bm, ...]`` per-microbatch conditioning
+      (e.g. AdaLN modulations) that stages READ but never transform. It is
+      pp-replicated, so every stage indexes the entry for the microbatch it
+      is processing at tick ``t`` (microbatch ``t - p``) locally instead of
+      shipping it stage-to-stage — no ppermute/psum traffic for it.
     - ``consts``: replicated pytree (e.g. RoPE tables) passed through.
 
     Returns the carry pytree ``[M, Bm, ...]`` after all L layers, with the
@@ -128,7 +134,7 @@ def pipeline_scan(stage_fn, stacked, microbatches, consts, mesh: Mesh, axis: str
     m = jax.tree_util.tree_leaves(microbatches)[0].shape[0]
     perm = [(i, i + 1) for i in range(n_stages - 1)]
 
-    def _stage(stacked_local, mb, consts_local):
+    def _stage(stacked_local, mb, mbc, consts_local):
         p = jax.lax.axis_index(axis)
         state = jax.tree.map(lambda x: jnp.zeros_like(x[0]), mb)
 
@@ -138,7 +144,11 @@ def pipeline_scan(stage_fn, stacked, microbatches, consts, mesh: Mesh, axis: str
             # previous stage ppermuted to them last tick.
             inj = jax.tree.map(lambda x: x[jnp.minimum(t, m - 1)], mb)
             cur = jax.tree.map(lambda a, b: jnp.where(p == 0, a, b), inj, state)
-            out = stage_fn(stacked_local, cur, consts_local)
+            # stage p processes microbatch t-p at tick t (clamped copies on
+            # fill/drain ticks are computed then discarded)
+            idx = jnp.clip(t - p, 0, m - 1)
+            mbc_t = jax.tree.map(lambda x: x[idx], mbc)
+            out = stage_fn(stacked_local, cur, mbc_t, consts_local)
             nxt = jax.tree.map(lambda x: jax.lax.ppermute(x, axis, perm), out)
             return nxt, out
 
@@ -157,11 +167,12 @@ def pipeline_scan(stage_fn, stacked, microbatches, consts, mesh: Mesh, axis: str
         in_specs=(
             jax.tree.map(lambda _: P(axis), stacked),
             mb_spec,
+            jax.tree.map(lambda _: P(None, DATA_AXIS), per_mb),
             jax.tree.map(lambda _: P(), consts),
         ),
         out_specs=mb_spec,
         check_vma=False,
-    )(stacked, microbatches, consts)
+    )(stacked, microbatches, per_mb, consts)
 
 
 def make_pp_forward(mesh: Mesh, num_microbatches: Optional[int] = None):
@@ -190,7 +201,8 @@ def pipelined_forward(
     rope_cos: jnp.ndarray,
     rope_sin: jnp.ndarray,
     guidance: Optional[jnp.ndarray] = None,
-    mesh: Optional[Mesh] = None,
+    *,
+    mesh: Mesh,
     num_microbatches: Optional[int] = None,
     remat: "bool | str" = False,
     lora=None,
@@ -235,7 +247,7 @@ def pipelined_forward(
     lora_d = lora.get("double_blocks") if lora is not None else None
     lora_s = lora.get("single_blocks") if lora is not None else None
 
-    def double_stage(stacked, carry, consts):
+    def double_stage(stacked, carry, mbc, consts):
         cos, sin = consts
 
         def body(c, xs):
@@ -244,25 +256,25 @@ def pipelined_forward(
                 functools.partial(tfm.double_block, num_heads=nh, lora_scale=lora_scale),
                 remat,
             )
-            i, t = fn(bp, c[0], c[1], carry["img_mod"], carry["txt_mod"], cos, sin, lp=lp)
+            i, t = fn(bp, c[0], c[1], mbc["img_mod"], mbc["txt_mod"], cos, sin, lp=lp)
             return (i, t), None
 
         (i, t), _ = jax.lax.scan(body, (carry["img"], carry["txt"]), stacked)
-        return {"img": i, "txt": t, "img_mod": carry["img_mod"], "txt_mod": carry["txt_mod"]}
+        return {"img": i, "txt": t}
 
     stacked_d = (params["double_blocks"], lora_d) if lora_d is not None else params["double_blocks"]
     out = pipeline_scan(
         double_stage,
         stacked_d,
-        {"img": mb_split(img), "txt": mb_split(txt),
-         "img_mod": mb_split(img_mod), "txt_mod": mb_split(txt_mod)},
+        {"img": mb_split(img), "txt": mb_split(txt)},
+        {"img_mod": mb_split(img_mod), "txt_mod": mb_split(txt_mod)},
         consts,
         mesh,
     )
 
     x = jnp.concatenate([out["txt"], out["img"]], axis=2)  # [M, Bm, S, D]
 
-    def single_stage(stacked, carry, consts):
+    def single_stage(stacked, carry, mbc, consts):
         cos, sin = consts
 
         def body(c, xs):
@@ -271,14 +283,14 @@ def pipelined_forward(
                 functools.partial(tfm.single_block, num_heads=nh, lora_scale=lora_scale),
                 remat,
             )
-            return fn(bp, c, carry["mod"], cos, sin, lp=lp), None
+            return fn(bp, c, mbc["mod"], cos, sin, lp=lp), None
 
         y, _ = jax.lax.scan(body, carry["x"], stacked)
-        return {"x": y, "mod": carry["mod"]}
+        return {"x": y}
 
     stacked_s = (params["single_blocks"], lora_s) if lora_s is not None else params["single_blocks"]
     out = pipeline_scan(
-        single_stage, stacked_s, {"x": x, "mod": mb_split(single_mod)}, consts, mesh
+        single_stage, stacked_s, {"x": x}, {"mod": mb_split(single_mod)}, consts, mesh
     )
 
     x = out["x"].reshape(b, *out["x"].shape[2:])

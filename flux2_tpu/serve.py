@@ -836,8 +836,13 @@ def make_handler(server: Flux2Server):
                 self._json(503, {"error": str(e)})
             except (ValueError, TypeError, KeyError) as e:
                 self._json(400, {"error": f"{type(e).__name__}: {e}"})
+            except BrokenPipeError:  # client went away mid-download
+                pass
             except Exception as e:
-                self._json(500, {"error": f"{type(e).__name__}: {e}"})
+                try:  # the response may already be started (npy path)
+                    self._json(500, {"error": f"{type(e).__name__}: {e}"})
+                except Exception:
+                    pass
 
         def _do_chat(self):
             """POST /chat: {"messages": [{role, content}, ...], "max_tokens",

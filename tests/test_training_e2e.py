@@ -140,6 +140,22 @@ def test_train_lora_pp_e2e(model_dirs, encoder_dir, dataset_dir, tmp_path, capsy
     assert state["val_loss_history"] and np.isfinite(state["val_loss_history"][-1]["loss"])
 
 
+def test_train_lora_pp_layer_validation(model_dirs, encoder_dir, dataset_dir, tmp_path):
+    """pp that does not divide the block stacks fails actionably before any
+    compile (klein-4b's 5 double blocks only support pp=5)."""
+    tdir, vdir = model_dirs
+    cfg_path = _write_config(
+        tmp_path, dataset_dir,
+        training={"max_steps": 1, "batch_size": 8, "pp": 4},
+        validation={"prompts": []},
+    )
+    with pytest.raises(SystemExit, match="block stacks"):
+        main([
+            "train-lora", "--config", cfg_path, "--output-dir", str(tmp_path / "x"),
+            "--transformer-dir", tdir, "--vae-dir", vdir, "--encoder-dir", encoder_dir,
+        ])
+
+
 def test_train_lora_pp_batch_validation(model_dirs, encoder_dir, dataset_dir, tmp_path):
     """An indivisible batch_size fails actionably before any compile."""
     tdir, vdir = model_dirs
