@@ -73,6 +73,7 @@ class YAMLTrainingConfig:
     pp: int = 1
     pp_microbatches: int = 0
     pp_over_dcn: bool = False  # stride the stage axis across slice groups
+    pp_tp: int = 1  # tensor parallelism INSIDE each stage (GSPMD-auto tp axis)
     # multi-resolution bucketing: union of the ratio table scaled to each
     # listed resolution (LoRATrainingConfig.swift:235-239 bucketResolutions)
     bucket_resolutions: Sequence[int] = ()
@@ -434,16 +435,39 @@ def run_training(args) -> None:
                 f"klein-4b (5/20) supports pp=5; klein-9b (8/24) and dev (8/48) pp=2/4/8"
             )
         n_dev = len(jax.devices())
-        if n_dev % cfg.pp:
-            raise SystemExit(f"pp={cfg.pp} does not divide {n_dev} devices")
+        tp = max(1, cfg.pp_tp)
+        if n_dev % (cfg.pp * tp):
+            raise SystemExit(f"pp*pp_tp={cfg.pp}*{tp} does not divide {n_dev} devices")
+        if tconfig.num_attention_heads % tp:
+            raise SystemExit(
+                f"pp_tp={tp} must divide the attention head count "
+                f"({tconfig.num_attention_heads} for {cfg.model})"
+            )
         m_micro = cfg.pp_microbatches or cfg.pp
-        data_ax = n_dev // cfg.pp
+        data_ax = n_dev // (cfg.pp * tp)
         if cfg.batch_size % m_micro or (cfg.batch_size // m_micro) % data_ax:
             raise SystemExit(
                 f"batch_size {cfg.batch_size} must split into {m_micro} microbatches "
-                f"each divisible by the data axis {data_ax} (pp={cfg.pp}, {n_dev} devices)"
+                f"each divisible by the data axis {data_ax} (pp={cfg.pp}, tp={tp}, "
+                f"{n_dev} devices)"
             )
-        pp_mesh = pp_mod.make_pp_mesh(pp=cfg.pp, data=data_ax, pp_over_dcn=cfg.pp_over_dcn)
+        if tp > 1 and jax.default_backend() == "cpu":
+            # XLA:CPU miscompiles bf16 under partial-auto shard_map ("Invalid
+            # binary instruction opcode copy", hlo_instruction.cc:1585 — repro
+            # in docs/knowledge/decisions/pipeline-parallelism.md); f32
+            # compiles fine and TPU is unaffected. Upcast on this backend only.
+            base_params = jax.tree.map(
+                lambda x: x.astype(jnp.float32)
+                if hasattr(x, "dtype") and x.dtype == jnp.bfloat16 else x,
+                base_params,
+            )
+            flog.warning(
+                "pp_tp on the CPU backend: bf16 base upcast to f32 "
+                "(XLA:CPU partial-auto bf16 miscompile workaround)"
+            )
+        pp_mesh = pp_mod.make_pp_mesh(
+            pp=cfg.pp, data=data_ax, tp=tp, pp_over_dcn=cfg.pp_over_dcn
+        )
         base_params = jax.device_put(base_params, pp_mod.pp_param_sharding(pp_mesh, base_params))
         if pipe is not None:
             pipe.transformer_params = base_params
@@ -451,6 +475,7 @@ def run_training(args) -> None:
         flog.info(
             f"pipeline parallelism: mesh {dict(pp_mesh.shape)}, {m_micro} microbatches "
             f"(bubble {(cfg.pp - 1) / (m_micro + cfg.pp - 1):.0%})"
+            + (f", tp={tp} inside each stage" if tp > 1 else "")
         )
 
     # --- data prep (two-phase style; real encode path with real weights) ---

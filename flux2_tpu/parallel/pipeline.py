@@ -63,31 +63,49 @@ from ..models.flux2 import transformer as tfm
 
 PP_AXIS = "pp"
 DATA_AXIS = "data"
+TP_AXIS = "tp"
 
 
 def make_pp_mesh(
     pp: int,
     data: int = 1,
+    tp: int = 1,
     devices: Optional[Sequence[jax.Device]] = None,
     pp_over_dcn: bool = False,
 ) -> Mesh:
-    """A (data, pp) mesh for pipelined training.
+    """A (data, pp[, tp]) mesh for pipelined training.
+
+    ``tp > 1`` adds a tensor-parallel axis INSIDE each pipeline stage: the
+    stage body stays GSPMD-*auto* over tp (``pipeline_scan`` marks only
+    pp/data as manual), so XLA shards the per-stage block matmuls over the
+    head/hidden dims and inserts the psums — the standard column/row layout
+    of ``sharding.DIT_RULES`` — while the GPipe tick schedule stays manual.
+    Use when one stage's parameters exceed a chip (e.g. Dev-32B bf16 at
+    pp=4 is ~16 GB/stage).
 
     ``pp_over_dcn=True`` lays stages across the slice boundary (stage axis
-    strides over slice-major device order) so each stage lives inside one
-    slice's ICI and only the microbatch hand-off crosses DCN — the layout
-    the module docstring argues for. Default (False) keeps stages
-    contiguous, correct for single-slice meshes.
+    strides over slice-major device order) so each stage — including its
+    tp group — lives inside one slice's ICI and only the microbatch
+    hand-off crosses DCN. Default (False) keeps stages contiguous, correct
+    for single-slice meshes.
     """
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
-    if pp * data != n:
-        raise ValueError(f"pp*data = {pp}*{data} != {n} devices")
+    if pp * data * tp != n:
+        raise ValueError(f"pp*data*tp = {pp}*{data}*{tp} != {n} devices")
+    if tp == 1:
+        if pp_over_dcn:
+            arr = np.asarray(devices).reshape(pp, data).T  # stage strides across groups
+        else:
+            arr = np.asarray(devices).reshape(data, pp)
+        return Mesh(arr, (DATA_AXIS, PP_AXIS))
     if pp_over_dcn:
-        arr = np.asarray(devices).reshape(pp, data).T  # stage strides across groups
+        # stage-major groups: stage s holds a contiguous (data*tp) block, so
+        # its tp collectives ride that block's ICI
+        arr = np.asarray(devices).reshape(pp, data, tp).transpose(1, 0, 2)
     else:
-        arr = np.asarray(devices).reshape(data, pp)
-    return Mesh(arr, (DATA_AXIS, PP_AXIS))
+        arr = np.asarray(devices).reshape(data, pp, tp)
+    return Mesh(arr, (DATA_AXIS, PP_AXIS, TP_AXIS))
 
 
 def pp_param_sharding(mesh: Mesh, params) -> "jax.tree_util.PyTreeDef":
@@ -95,13 +113,31 @@ def pp_param_sharding(mesh: Mesh, params) -> "jax.tree_util.PyTreeDef":
 
     Stacked leaves under double_blocks/single_blocks get ``P("pp", ...)``;
     everything else (embedders, modulation kernels, head) is replicated.
+    When the mesh has a ``tp`` axis (>1), stacked weight matrices also get
+    the column/row tensor-parallel placement from ``sharding.DIT_RULES``
+    on their feature dims (the stage body is GSPMD-auto over tp).
     Apply with ``jax.device_put(params, pp_param_sharding(mesh, params))``.
     """
+    tp = mesh.shape.get(TP_AXIS, 1)
+
     def spec_for(path, leaf):
         names = [getattr(p, "key", getattr(p, "name", None)) for p in path]
-        if "double_blocks" in names or "single_blocks" in names:
+        if "double_blocks" not in names and "single_blocks" not in names:
+            return NamedSharding(mesh, P())
+        if tp == 1:
             return NamedSharding(mesh, P(PP_AXIS))
-        return NamedSharding(mesh, P())
+        from . import sharding as sh
+
+        spec = sh.spec_for_path(sh._path_str(path), sh.DIT_RULES)
+        # rules are (layer, in, out): pin the layer axis to pp, keep tp
+        # placements, drop fsdp (absent from this mesh), honor divisibility
+        axes = [PP_AXIS]
+        for i, ax in enumerate(list(spec)[1:], start=1):
+            if ax == TP_AXIS and i < leaf.ndim and leaf.shape[i] % tp == 0:
+                axes.append(TP_AXIS)
+            else:
+                axes.append(None)
+        return NamedSharding(mesh, P(*axes[: max(1, leaf.ndim)]))
 
     return jax.tree_util.tree_map_with_path(spec_for, params)
 
@@ -171,6 +207,10 @@ def pipeline_scan(stage_fn, stacked, microbatches, per_mb, consts, mesh: Mesh, a
             jax.tree.map(lambda _: P(), consts),
         ),
         out_specs=mb_spec,
+        # Manual ONLY over the pipeline axes; any further mesh axis (tp)
+        # stays GSPMD-auto inside the stage body, so per-stage matmuls run
+        # tensor-parallel off the weights' shardings with XLA's psums.
+        axis_names={DATA_AXIS, axis},
         check_vma=False,
     )(stacked, microbatches, per_mb, consts)
 

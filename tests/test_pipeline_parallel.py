@@ -125,6 +125,42 @@ def test_pipelined_forward_with_lora_and_grads():
         np.testing.assert_allclose(np.asarray(bz), np.asarray(a), atol=3e-4, err_msg=str(pa))
 
 
+def test_pipelined_forward_pp_tp_matches_dense():
+    """Tensor parallelism INSIDE pipeline stages: the (data, pp, tp) mesh
+    keeps pp/data manual while the stage body stays GSPMD-auto over tp, so
+    the stacked weights' column/row shardings drive tensor-parallel stage
+    matmuls. Exact vs dense."""
+    mesh = pp.make_pp_mesh(pp=2, data=2, tp=2)
+    assert mesh.shape == {"data": 2, "pp": 2, "tp": 2}
+    params = tfm.init_params(jax.random.PRNGKey(0), CONFIG, dtype=jnp.float32)
+    hidden, txt, t, cos, sin = _inputs(batch=8)
+    dense = tfm.forward(params, CONFIG, hidden, txt, t, cos, sin)
+
+    params_pp = jax.device_put(params, pp.pp_param_sharding(mesh, params))
+    # layer axis on pp + feature dims on tp (column for QKV, row for out)
+    assert params_pp["double_blocks"]["to_q"].sharding.spec == P("pp", None, "tp")
+    assert params_pp["double_blocks"]["to_out"].sharding.spec == P("pp", "tp", None)
+    assert params_pp["single_blocks"]["out_mlp"].sharding.spec == P("pp", "tp", None)
+
+    piped = jax.jit(
+        lambda p, h, tx, ts: pp.pipelined_forward(
+            p, CONFIG, h, tx, ts, cos, sin, mesh=mesh
+        )
+    )(params_pp, hidden, txt, t)
+    np.testing.assert_allclose(np.asarray(piped), np.asarray(dense), atol=5e-5)
+
+
+def test_pp_tp_mesh_layouts():
+    m = pp.make_pp_mesh(pp=2, data=2, tp=2, pp_over_dcn=True)
+    ids = np.vectorize(lambda d: d.id)(m.devices)
+    # stage-major groups: stage s owns contiguous devices [s*4, s*4+4), so
+    # its tp collectives stay inside that group's ICI
+    assert sorted(ids[:, 0, :].ravel().tolist()) == [0, 1, 2, 3]
+    assert sorted(ids[:, 1, :].ravel().tolist()) == [4, 5, 6, 7]
+    with pytest.raises(ValueError):
+        pp.make_pp_mesh(pp=2, data=2, tp=3)
+
+
 def test_train_step_with_pp_forward_matches_dense():
     """trainer.make_train_step(forward_fn=make_pp_forward(mesh)) — the
     composition cli/train.run_training uses for ``pp: N`` — produces the

@@ -140,6 +140,28 @@ def test_train_lora_pp_e2e(model_dirs, encoder_dir, dataset_dir, tmp_path, capsy
     assert state["val_loss_history"] and np.isfinite(state["val_loss_history"][-1]["loss"])
 
 
+def test_train_lora_pp_tp_e2e(model_dirs, encoder_dir, dataset_dir, tmp_path, capsys):
+    """``pp: 2, pp_tp: 2``: tensor parallelism inside each pipeline stage
+    (GSPMD-auto tp axis) through the real CLI train step."""
+    tdir, vdir = model_dirs
+    out = tmp_path / "run_pp_tp"
+    cfg_path = _write_config(
+        tmp_path, dataset_dir,
+        training={
+            "max_steps": 1, "batch_size": 4, "learning_rate": 1e-3,
+            "save_every": 1, "seed": 7, "remat": False, "pp": 2, "pp_tp": 2,
+        },
+        validation={"prompts": []},
+    )
+    main([
+        "train-lora", "--config", cfg_path, "--output-dir", str(out),
+        "--transformer-dir", tdir, "--vae-dir", vdir, "--encoder-dir", encoder_dir,
+    ])
+    combined = capsys.readouterr()
+    assert "tp=2 inside each stage" in combined.out + combined.err
+    assert (out / "checkpoint_000001" / "lora.safetensors").exists()
+
+
 def test_train_lora_pp_layer_validation(model_dirs, encoder_dir, dataset_dir, tmp_path):
     """pp that does not divide the block stacks fails actionably before any
     compile (klein-4b's 5 double blocks only support pp=5)."""
