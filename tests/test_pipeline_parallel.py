@@ -161,6 +161,43 @@ def test_pp_tp_mesh_layouts():
         pp.make_pp_mesh(pp=2, data=2, tp=3)
 
 
+def test_dev32b_pp_tp_fit_proof():
+    """Dev-32B bf16 fits v5e-8 as pp=4 x tp=2: per-device parameter bytes
+    computed analytically from the pp_param_sharding specs (the XLA:CPU
+    bf16+partial-auto miscompile — see the knowledge note — rules out an
+    AOT compile here; argument bytes are a pure function of the specs).
+    The dense bf16 model (~64 GB) is 4x a 16 GB chip; pp=4 x tp=2 puts
+    ~1/8 of the stacked weights on each device."""
+    mesh = pp.make_pp_mesh(
+        pp=4, data=1, tp=2, devices=jax.devices()[:8]
+    )
+    dev_cfg = cfg.FLUX2_DEV
+    assert dev_cfg.num_layers % 4 == 0 and dev_cfg.num_single_layers % 4 == 0
+
+    shapes = jax.eval_shape(
+        lambda k: tfm.init_params(k, dev_cfg, dtype=jnp.bfloat16), jax.random.PRNGKey(0)
+    )
+    shardings = pp.pp_param_sharding(mesh, shapes)
+
+    def per_device_bytes(leaf, sharding):
+        n = int(np.prod(leaf.shape)) * leaf.dtype.itemsize
+        for ax in sharding.spec:
+            if ax is not None:
+                n //= mesh.shape[ax]
+        return n
+
+    total = sum(
+        per_device_bytes(l, s)
+        for l, s in zip(jax.tree_util.tree_leaves(shapes), jax.tree_util.tree_leaves(shardings))
+    )
+    dense = sum(
+        int(np.prod(l.shape)) * l.dtype.itemsize for l in jax.tree_util.tree_leaves(shapes)
+    )
+    assert dense / 1e9 > 50.0  # the dense model really is way over one chip
+    per_gb = total / 1e9
+    assert per_gb < 12.0, f"{per_gb:.2f} GB/device leaves no activation headroom"
+
+
 def test_train_step_with_pp_forward_matches_dense():
     """trainer.make_train_step(forward_fn=make_pp_forward(mesh)) — the
     composition cli/train.run_training uses for ``pp: N`` — produces the
