@@ -228,6 +228,36 @@ def test_train_step_with_pp_forward_matches_dense():
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-5)
 
 
+def test_qlora_train_step_through_pp():
+    """QLoRA composes with pp: a qint8 QTensor base shards its
+    codes/scales over the pp layer axis (QTensor children inherit the
+    stacked leaves' placement) and the unmerged LoRA trains through the
+    pipelined forward."""
+    from flux2_tpu.ops import quant
+    from flux2_tpu.training import trainer
+
+    mesh = pp.make_pp_mesh(pp=2, data=2, devices=jax.devices()[:4])
+    base = tfm.init_params(jax.random.PRNGKey(0), CONFIG, dtype=jnp.bfloat16)
+    qbase = quant.quantize_params(base, "qint8", min_size=1 << 10)
+    assert any(
+        isinstance(l, quant.QTensor)
+        for l in jax.tree_util.tree_leaves(
+            qbase, is_leaf=lambda l: isinstance(l, quant.QTensor)
+        )
+    )
+    qbase = jax.device_put(qbase, pp.pp_param_sharding(mesh, qbase))
+    tcfg = trainer.TrainConfig(rank=2, alpha=2.0, remat=True, grad_accumulation=1)
+    state, opt = trainer.init_train_state(jax.random.PRNGKey(1), qbase, tcfg)
+    step = trainer.make_train_step(qbase, CONFIG, tcfg, opt, forward_fn=pp.make_pp_forward(mesh))
+
+    hidden, txt, _, cos, sin = _inputs(batch=4)
+    batch = {"latents": hidden, "embeddings": txt, "rope_cos": cos, "rope_sin": sin}
+    lora, _, m = step(state.lora, state.opt_state, batch, jax.random.PRNGKey(4))
+    assert np.isfinite(float(m["loss"]))
+    # zero-initialized b leaves received real gradient updates
+    assert float(jnp.abs(lora["double_blocks"]["to_q"]["b"]).max()) > 0
+
+
 def test_pipelined_forward_validation_errors():
     mesh = pp.make_pp_mesh(pp=2, data=4)
     params = tfm.init_params(jax.random.PRNGKey(0), CONFIG, dtype=jnp.float32)
