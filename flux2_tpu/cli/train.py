@@ -21,6 +21,7 @@ Capability parity with ``Flux2CLI/TrainLoRACommand.swift`` +
 from __future__ import annotations
 
 import dataclasses
+import json
 import os
 import shutil
 import time
@@ -603,8 +604,28 @@ def run_training(args) -> None:
     # --- state / resume ---
     controller = TrainingController(cfg.output_dir)
     if args.resume:
+        state_path = os.path.join(args.resume, "training_state.json")
+        with open(state_path) as f:
+            ck_meta = json.load(f)
+        # structural compatibility: a changed rank/alpha/optimizer would
+        # silently corrupt the restored optimizer state (reshaped/skipped
+        # leaves) — refuse instead
+        for field, ours in (("rank", tcfg.rank), ("alpha", tcfg.alpha), ("optimizer", tcfg.optimizer)):
+            theirs = ck_meta.get(field)
+            if theirs is not None and theirs != ours:
+                raise SystemExit(
+                    f"resume: checkpoint was trained with {field}={theirs} but the "
+                    f"config says {ours} — restoring optimizer state across that "
+                    f"change corrupts it; match the config or start fresh"
+                )
         state_t = trainer.load_checkpoint(args.resume, base_params, tcfg)
-        tstate = TrainingState.load(os.path.join(args.resume, "training_state.json"))
+        tstate = TrainingState.load(state_path)
+        if tstate.config_hash and tstate.config_hash != config_hash(tcfg):
+            flog.warning(
+                "resume: training config differs from the checkpoint's "
+                "(non-structural change, e.g. max_steps/LR schedule) — continuing"
+            )
+            tstate.config_hash = config_hash(tcfg)
         flog.info(f"resumed from {args.resume} at step {state_t.step}")
     else:
         state_t, _ = trainer.init_train_state(jax.random.PRNGKey(cfg.seed), base_params, tcfg)
@@ -620,11 +641,25 @@ def run_training(args) -> None:
     # Per-step RNG derivation (fold_in / step-seeded RandomState) instead of a
     # start-seeded chain: a resumed run draws the SAME batch/noise sequence an
     # uninterrupted run would, rather than replaying step 1's draws
-    # (TrainingState.swift persists rngSeed for the same reason).
-    base_key = jax.random.PRNGKey(cfg.seed)
-    t_start = time.time()
+    # (TrainingState.swift persists rngSeed for the same reason) — so the
+    # PERSISTED seed wins over a changed YAML seed on resume.
+    rng_seed = tstate.rng_seed if args.resume else cfg.seed
+    if args.resume and rng_seed != cfg.seed:
+        flog.warning(f"resume: using the checkpoint's rng_seed={rng_seed} (YAML seed differs)")
+    base_key = jax.random.PRNGKey(rng_seed)
+    # accumulated wall time survives resume (ETA = elapsed/step extrapolation)
+    t_start = time.time() - (tstate.elapsed_s if args.resume else 0.0)
     val_dir = os.path.join(cfg.output_dir, "validation")
     val_ref_cache: dict = {}  # per-prompt I2I reference encodes, reused across passes
+    if args.resume and tstate.validation_scores:
+        # seed the best-checkpoint tracker from the persisted history so the
+        # first post-resume validation can't overwrite best/ with worse weights
+        per_step: dict = {}
+        for r in tstate.validation_scores:
+            per_step.setdefault(r["step"], []).append(r["scene"] + r["style"])
+        best = max(per_step, key=lambda s: float(np.mean(per_step[s])))
+        tracker.best_step = best
+        tracker.best_score = float(np.mean(per_step[best]))
 
     with RuntimeBeacon("train-lora", model=cfg.model) as beacon:
         if val_enabled and not args.resume:
@@ -645,7 +680,7 @@ def run_training(args) -> None:
             controller.wait_while_paused()
 
             k_step = jax.random.fold_in(base_key, step)
-            rng = np.random.RandomState((cfg.seed * 1_000_003 + step) % (2**32))
+            rng = np.random.RandomState((rng_seed * 1_000_003 + step) % (2**32))
             batch = sample_batch(rng, bs)
             lora, opt_state, metrics = step_fn(lora, opt_state, batch, k_step)
             if tcfg.use_ema:
@@ -675,11 +710,11 @@ def run_training(args) -> None:
                         break
 
             saved_path = None
-            if step % cfg.save_every == 0 or controller.consume_checkpoint_request():
+            if (cfg.save_every > 0 and step % cfg.save_every == 0) or controller.consume_checkpoint_request():
                 saved_path = _save(cfg, trainer, tstate, lora, opt_state, tcfg, step, ema=ema)
                 write_learning_curve_svg(tstate.loss_history, os.path.join(cfg.output_dir, "learning_curve.svg"))
 
-            if val_enabled and step % val_every == 0:
+            if val_enabled and val_every > 0 and step % val_every == 0:
                 # validate with the distilled sibling + current LoRA merged
                 # (SimpleLoRATrainer.swift:1746-2409); EMA weights are the
                 # evaluated ones when enabled
@@ -713,7 +748,7 @@ def run_training(args) -> None:
                     )
                     break
 
-            if val_loss_fn is not None and step % val_every == 0:
+            if val_loss_fn is not None and val_every > 0 and step % val_every == 0:
                 # held-out loss with the evaluated (EMA when enabled) weights
                 eval_lora = ema if (tcfg.use_ema and ema is not None) else lora
                 vloss = float(np.mean([
@@ -778,8 +813,10 @@ def _make_scorer(pipe):
 def _save(cfg, trainer_mod, tstate, lora, opt_state, tcfg, step, ema=None):
     path = os.path.join(cfg.output_dir, f"checkpoint_{step:06d}")
     st = trainer_mod.TrainState(lora=lora, opt_state=opt_state, step=step, ema=ema)
-    trainer_mod.save_checkpoint(path, st, tcfg)
-    tstate.save(os.path.join(path, "training_state.json"))
+    # ONE training_state.json: save_checkpoint writes its compat metadata
+    # (rank/alpha/optimizer/lr) and the TrainingState fields ride in `extra`
+    # — a second tstate.save() here used to clobber the metadata
+    trainer_mod.save_checkpoint(path, st, tcfg, extra=dataclasses.asdict(tstate))
     print(f"checkpoint -> {path}")
     _prune_checkpoints(cfg, keep=path)
     return path

@@ -161,7 +161,11 @@ class TrainingState:
     @classmethod
     def load(cls, path: str) -> "TrainingState":
         with open(path) as f:
-            return cls(**json.load(f))
+            raw = json.load(f)
+        # the checkpoint JSON also carries the trainer's compat metadata
+        # (rank/alpha/optimizer/...) in the same file — ignore unknown keys
+        known = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in raw.items() if k in known})
 
 
 def config_hash(config_obj) -> str:

@@ -67,9 +67,22 @@ def parse_caption(raw: str, trigger: Optional[str]) -> str:
 
 
 def assign_bucket(width: int, height: int, buckets: Sequence[Tuple[int, int]] = STANDARD_BUCKETS) -> Tuple[int, int]:
-    """Pick the bucket with the closest aspect ratio."""
+    """Pick the bucket with the closest aspect ratio; ties (the same ratio
+    set scaled to several resolutions — ``bucket_resolutions``) break toward
+    the closest area so multi-resolution lists actually spread images by
+    size instead of funneling everything into the first resolution, and a
+    bucket never upscales past ~2x the source pixels."""
     ratio = width / height
-    return min(buckets, key=lambda b: abs(b[0] / b[1] - ratio))
+    area = width * height
+
+    def key(b):
+        ratio_err = abs(b[0] / b[1] - ratio)
+        barea = b[0] * b[1]
+        # forbid heavy upscaling: a bucket >2x the image's pixels ranks last
+        upscale_penalty = 1 if barea > 2 * area else 0
+        return (round(ratio_err, 3), upscale_penalty, abs(barea - area))
+
+    return min(buckets, key=key)
 
 
 def load_dataset(
@@ -183,8 +196,8 @@ class LatentCache:
     def put(self, item: DatasetItem, latents: np.ndarray) -> None:
         path = os.path.join(self.cache_dir, self._key(item) + ".npy")
         tmp = path + ".tmp"
-        np.save(tmp, latents)
-        os.replace(tmp + ".npy" if os.path.exists(tmp + ".npy") else tmp, path)
+        np.save(tmp, latents)  # np.save always appends .npy to a bare name
+        os.replace(tmp + ".npy", path)
 
     def get_or_encode(self, item: DatasetItem, encode_fn) -> np.ndarray:
         cached = self.get(item)

@@ -216,6 +216,12 @@ def dop_loss(
     fwd = forward_fn if forward_fn is not None else tfm.forward
     noisy = (1.0 - sigmas[:, None, None]) * latents_seq + sigmas[:, None, None] * noise_seq
     noisy = noisy.astype(_stream_dtype(base_params))
+    # The batch rope may cover [txt ; img ; control] positions (I2I training);
+    # DOP forwards only [txt ; img], so slice the leading joint length — the
+    # control positions are appended LAST by rope_for/sample_batch.
+    joint = preservation_embeddings.shape[1] + latents_seq.shape[1]
+    rope_cos = rope_cos[:joint]
+    rope_sin = rope_sin[:joint]
     pred_lora = fwd(
         base_params, config, noisy, preservation_embeddings, sigmas, rope_cos, rope_sin,
         guidance=guidance, remat=train_cfg.remat, lora=lora_params, lora_scale=scale,

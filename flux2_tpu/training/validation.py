@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
+import re
 from typing import Callable, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -136,11 +137,16 @@ def run_validation(
     encodes across validation passes (the image is constant; re-running the
     VAE every pass just stalls training)."""
     records: List[ValidationRecord] = []
+    emb_cache: dict = {}
     for pi, raw in enumerate(config.prompts):
         vp = ValidationPrompt.normalize(raw)
         prompt = vp.prompt
-        if vp.apply_trigger and config.trigger_word and config.trigger_word not in prompt:
-            prompt = f"{config.trigger_word} {prompt}"
+        if vp.apply_trigger and config.trigger_word:
+            # word-boundary match: 'art' inside 'cartoon' must not count as
+            # the trigger being present
+            has = re.search(rf"(?<!\w){re.escape(config.trigger_word)}(?!\w)", prompt)
+            if not has:
+                prompt = f"{config.trigger_word} {prompt}"
         ref_kw = {}
         if vp.reference:
             cached = ref_cache.get(vp.reference) if ref_cache is not None else None
@@ -154,9 +160,12 @@ def run_validation(
                     ref_cache[vp.reference] = cached
             lat, ids = cached
             ref_kw = {"reference_latents": lat, "reference_ids": ids}
+        # one encoder forward per distinct prompt per pass (not per image)
+        if prompt not in emb_cache:
+            emb_cache[prompt] = embeddings_fn(prompt)
         for vi in range(config.images_per_prompt):
             res = pipeline.generate(
-                embeddings=embeddings_fn(prompt),
+                embeddings=emb_cache[prompt],
                 height=vp.height or config.height,
                 width=vp.width or config.width,
                 num_steps=config.steps,

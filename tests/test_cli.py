@@ -181,6 +181,57 @@ training:
     np.testing.assert_allclose(a["loss_history"], b["loss_history"], rtol=1e-6)
 
 
+def _tiny_transformer_config():
+    from flux2_tpu.models.flux2 import config as cfg_mod
+
+    return cfg_mod.Flux2TransformerConfig(
+        num_layers=1, num_single_layers=1, num_attention_heads=2,
+        attention_head_dim=128, joint_attention_dim=96, guidance_embeds=False,
+    )
+
+
+def test_train_lora_resume_rejects_changed_rank(tmp_path):
+    """Resuming with a different LoRA rank must fail actionably: restoring
+    the optimizer state across a rank change silently corrupts it."""
+    from flux2_tpu.models.flux2 import config as cfg_mod
+
+    (tmp_path / "a.yaml").write_text(
+        "model: klein-4b\nlora:\n  rank: 2\ntraining:\n  max_steps: 2\n  save_every: 2\n  resolution: 64\n"
+    )
+    (tmp_path / "b.yaml").write_text(
+        "model: klein-4b\nlora:\n  rank: 4\ntraining:\n  max_steps: 4\n  save_every: 2\n  resolution: 64\n"
+    )
+    orig = cfg_mod.Flux2Model.transformer_config
+    try:
+        cfg_mod.Flux2Model.transformer_config = property(lambda self: _tiny_transformer_config())
+        out = tmp_path / "run"
+        main(["train-lora", "--config", str(tmp_path / "a.yaml"), "--output-dir", str(out), "--random-init"])
+        with pytest.raises(SystemExit, match="rank"):
+            main(["train-lora", "--config", str(tmp_path / "b.yaml"), "--output-dir", str(out),
+                  "--random-init", "--resume", str(out / "checkpoint_000002")])
+    finally:
+        cfg_mod.Flux2Model.transformer_config = orig
+
+
+def test_train_lora_save_every_zero(tmp_path):
+    """save_every: 0 disables periodic checkpoints (no ZeroDivisionError);
+    the final checkpoint still lands."""
+    from flux2_tpu.models.flux2 import config as cfg_mod
+
+    (tmp_path / "t.yaml").write_text(
+        "model: klein-4b\nlora:\n  rank: 2\ntraining:\n  max_steps: 2\n  save_every: 0\n  resolution: 64\n"
+    )
+    orig = cfg_mod.Flux2Model.transformer_config
+    try:
+        cfg_mod.Flux2Model.transformer_config = property(lambda self: _tiny_transformer_config())
+        out = tmp_path / "run"
+        main(["train-lora", "--config", str(tmp_path / "t.yaml"), "--output-dir", str(out), "--random-init"])
+    finally:
+        cfg_mod.Flux2Model.transformer_config = orig
+    ckpts = sorted(d for d in os.listdir(out) if d.startswith("checkpoint_"))
+    assert ckpts == ["checkpoint_000002"]  # only the final save
+
+
 def _run_shard_cli_subprocess(extra_args, out):
     """Run a sharded t2i CLI invocation in a FRESH process.
 

@@ -354,6 +354,33 @@ def test_qlora_train_step_on_quantized_base():
     assert float(jnp.abs(b_leaf).max()) > 0
 
 
+def test_dop_with_control_rope(base_params):
+    """I2I control training + DOP together: the batch rope covers
+    [txt ; img ; control] positions but dop_loss forwards only [txt ; img]
+    — it must slice the rope instead of crashing on a shape mismatch."""
+    b, s_txt, h, w = 2, 4, 64, 64
+    s_img = (h // 16) * (w // 16)
+    ids = np.concatenate([
+        lu.text_position_ids(s_txt),
+        lu.image_position_ids(h, w),
+        lu.reference_image_position_ids([h // 16], [w // 16]),  # control LAST
+    ], axis=0)
+    cos, sin = rope_embeddings(jnp.asarray(ids))
+    batch = {
+        "latents": jax.random.normal(jax.random.PRNGKey(1), (b, s_img, 128)),
+        "embeddings": jax.random.normal(jax.random.PRNGKey(2), (b, s_txt, 96)),
+        "control": jax.random.normal(jax.random.PRNGKey(3), (b, s_img, 128)),
+        "dop_embeddings": jax.random.normal(jax.random.PRNGKey(4), (b, s_txt, 96)),
+        "rope_cos": cos,
+        "rope_sin": sin,
+    }
+    tcfg = trainer.TrainConfig(rank=2, alpha=2.0, remat=False, dop_weight=0.5)
+    state, opt = trainer.init_train_state(jax.random.PRNGKey(0), base_params, tcfg)
+    step = trainer.make_train_step(base_params, CONFIG, tcfg, opt)
+    _, _, m = step(state.lora, state.opt_state, batch, jax.random.PRNGKey(5))
+    assert np.isfinite(float(m["loss"])) and np.isfinite(float(m["dop_loss"]))
+
+
 def test_snr_weights():
     """Min-SNR-gamma (v-pred): high weight at low sigma, clamped; ->0 as
     sigma->1; implemented though the reference only CLI-surfaces "snr"."""

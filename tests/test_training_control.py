@@ -85,6 +85,22 @@ def test_bucket_assignment():
     assert td.assign_bucket(600, 1500) == (640, 1536)
 
 
+def test_bucket_assignment_multi_resolution():
+    """bucket_resolutions lists the SAME ratio set at several scales; ratio
+    ties must break by area so each image lands at its own resolution tier
+    (and small images never upscale past 2x into a larger tier)."""
+    buckets = list(td.scaled_buckets(512))
+    for b in td.scaled_buckets(1024):
+        if b not in buckets:
+            buckets.append(b)
+    assert td.assign_bucket(512, 512, buckets) == (512, 512)
+    assert td.assign_bucket(1024, 1024, buckets) == (1024, 1024)
+    assert td.assign_bucket(300, 300, buckets) == (512, 512)
+    # non-square too: a ~1MP 16:9 image picks the 1024-tier wide bucket
+    w1024 = td.assign_bucket(1344, 768, buckets)
+    assert w1024[0] * w1024[1] > 512 * 512
+
+
 def test_dataset_scan_and_batches(tmp_path):
     from PIL import Image
 

@@ -23,6 +23,27 @@ def test_tracker_best_and_early_stop():
 
 
 @pytest.mark.slow
+def test_run_validation_trigger_boundary_and_embed_cache():
+    """'art' inside 'cartoon' must NOT count as the trigger being present
+    (word-boundary check), and the prompt encodes ONCE per pass even with
+    several images per prompt."""
+    pipe = tiny_pipeline()
+    cfg = val.ValidationConfig(
+        prompts=("a cartoon dog",), width=64, height=64, steps=1,
+        trigger_word="art", images_per_prompt=2,
+    )
+    seen = []
+
+    def emb_fn(prompt):
+        seen.append(prompt)
+        return _emb(pipe, seed=3)
+
+    records = val.run_validation(pipe, cfg, step=1, embeddings_fn=emb_fn)
+    assert len(records) == 2
+    assert seen == ["art a cartoon dog"]  # prefixed AND encoded once
+
+
+@pytest.mark.slow
 def test_run_validation_generates_and_scores(tmp_path):
     import jax
 
