@@ -634,12 +634,27 @@ def cmd_download(args):
 
 
 def cmd_info(args):
-    import jax
+    import threading
 
     from flux2_tpu.io import registry
     from flux2_tpu.models.flux2.config import Flux2Model
 
-    print(f"flux2-tpu — backend: {jax.default_backend()}, devices: {len(jax.devices())}")
+    # Backend init under a watchdog: `info` must stay usable when the TPU
+    # tunnel is wedged (jax.devices() would hang forever).
+    probe: dict = {}
+
+    def _probe():
+        try:
+            import jax
+
+            probe["msg"] = f"{jax.default_backend()}, devices: {len(jax.devices())}"
+        except Exception as e:
+            probe["msg"] = f"unavailable ({e})"
+
+    t = threading.Thread(target=_probe, daemon=True)
+    t.start()
+    t.join(20.0)
+    print(f"flux2-tpu — backend: {probe.get('msg', 'unavailable (init timed out — tunnel down?)')}")
     print(f"models dir: {registry.models_dir()}")
     for model in Flux2Model:
         spec = registry.TRANSFORMER_REPOS[model]
@@ -962,7 +977,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--vae-dir")
     p.add_argument("--encoder-dir")
     p.add_argument("--encoder-tokenizer-dir")
-    p.add_argument("--quantization", default="bf16", choices=["bf16", "qint8", "w8a8", "int4", "w4a8"])
+    # nf4 included: the QLoRA storage format trains on a quantized base
+    p.add_argument("--quantization", default="bf16", choices=["bf16", "qint8", "w8a8", "int4", "nf4", "w4a8"])
     p.add_argument("--encoder-quantization", default="bf16", choices=["bf16", "qint8", "w8a8", "int4", "w4a8", "mxfp8"])
     p.add_argument("--shard", help="mesh spec 'data,fsdp,tp[,sp]' or 'auto'")
     p.set_defaults(fn=cmd_train_lora)
@@ -984,7 +1000,11 @@ def main(argv: Optional[List[str]] = None) -> int:
         os.environ["HF_TOKEN"] = args.token
     if getattr(args, "beacon", False):
         os.environ["FLUX2_RUNTIME_BEACON"] = "1"
-    _enable_compile_cache()
+    # Device-free commands must never touch the backend: on a TPU host with a
+    # wedged axon tunnel, jax.default_backend() hangs forever — and
+    # `training-control stop` is exactly the tool needed DURING such an outage.
+    if args.fn.__name__ not in {"cmd_training_control", "cmd_beacons", "cmd_download"}:
+        _enable_compile_cache()
     args.fn(args)
     return 0
 

@@ -230,9 +230,12 @@ def _prepare_real_data(pipe, cfg: YAMLTrainingConfig, tconfig):
                 import hashlib
 
                 # quantization changes the embedding VALUES at the same
-                # shape — a stale-cache hazard if left out of the key
+                # shape — a stale-cache hazard if left out of the key; the
+                # extraction recipe (mistral LEFT-pad vs klein RIGHT-pad+think)
+                # changes them too, so it versions the key as well
+                recipe = getattr(pipe.text_encoder, "recipe", "mistral")
                 tag = (
-                    f"{pipe.text_encoder_name or 'enc'}|"
+                    f"{pipe.text_encoder_name or 'enc'}|{recipe}|"
                     f"{getattr(pipe, 'text_encoder_quantization', 'bf16')}|{caption}"
                 )
                 path = os.path.join(
@@ -392,6 +395,14 @@ def run_training(args) -> None:
     train_model = registry.training_variant(requested)
     if train_model != requested:
         flog.info(f"resolved training variant: {requested.value} -> {train_model.value}")
+    if cfg.pp <= 1 and (cfg.pp_tp > 1 or cfg.pp_microbatches or cfg.pp_over_dcn):
+        # checked BEFORE any model build: these are pipeline-stage knobs and
+        # silently training dense would OOM/crawl with no hint at the cause
+        raise SystemExit(
+            "pp_tp/pp_microbatches/pp_over_dcn only take effect with pp > 1 — "
+            "set pp: N in the YAML (for tensor parallelism without pipeline "
+            "stages use --shard instead)"
+        )
     os.makedirs(cfg.output_dir, exist_ok=True)
 
     # --- base model ---
@@ -531,6 +542,16 @@ def run_training(args) -> None:
     # --- validation setup (distilled sibling previews; LoRA merged per pass) ---
     val_every = cfg.validation_every or cfg.save_every
     val_enabled = pipe is not None and bool(cfg.validation_prompts)
+    if val_every <= 0 and (val_enabled or cfg.validation_dataset_dir):
+        # save_every: 0 (final checkpoint only) would otherwise silently
+        # disable the configured validation passes AND the early stops that
+        # ride on them — say so loudly and skip the baseline pass too.
+        flog.warning(
+            "validation is configured but validation_every/save_every are 0 — "
+            "no validation passes (or validation-based early stops) will run; "
+            "set validation_every: N to re-enable them"
+        )
+        val_enabled = False
     val_pipe = None
     val_base = base_params
     tracker = ValidationTracker(patience=cfg.early_stop_patience)
@@ -651,15 +672,9 @@ def run_training(args) -> None:
     t_start = time.time() - (tstate.elapsed_s if args.resume else 0.0)
     val_dir = os.path.join(cfg.output_dir, "validation")
     val_ref_cache: dict = {}  # per-prompt I2I reference encodes, reused across passes
+    val_emb_cache: dict = {}  # per-prompt embeddings (prompt set is run-constant)
     if args.resume and tstate.validation_scores:
-        # seed the best-checkpoint tracker from the persisted history so the
-        # first post-resume validation can't overwrite best/ with worse weights
-        per_step: dict = {}
-        for r in tstate.validation_scores:
-            per_step.setdefault(r["step"], []).append(r["scene"] + r["style"])
-        best = max(per_step, key=lambda s: float(np.mean(per_step[s])))
-        tracker.best_step = best
-        tracker.best_score = float(np.mean(per_step[best]))
+        tracker.seed_from_history(tstate.validation_scores)
 
     with RuntimeBeacon("train-lora", model=cfg.model) as beacon:
         if val_enabled and not args.resume:
@@ -668,7 +683,7 @@ def run_training(args) -> None:
             baseline = run_validation(
                 val_pipe, val_cfg, 0, embeddings_fn=val_pipe.encode_prompt,
                 scorer=scorer, reference_images=ref_images, output_dir=val_dir,
-                ref_cache=val_ref_cache,
+                ref_cache=val_ref_cache, emb_cache=val_emb_cache,
             )
             for r in baseline:
                 tstate.record_validation(0, r.scene, r.style, r.prompt)
@@ -725,7 +740,7 @@ def run_training(args) -> None:
                 records = run_validation(
                     val_pipe, val_cfg, step, embeddings_fn=val_pipe.encode_prompt,
                     scorer=scorer, reference_images=ref_images, output_dir=val_dir,
-                    ref_cache=val_ref_cache,
+                    ref_cache=val_ref_cache, emb_cache=val_emb_cache,
                 )
                 val_pipe.transformer_params = val_base
                 for r in records:

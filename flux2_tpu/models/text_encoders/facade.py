@@ -134,23 +134,29 @@ class TextEncoders:
         quantization: str = "bf16",
     ) -> LoadedEncoder:
         cfg = tc.QWEN3_4B if size == "4b" else tc.QWEN3_8B
+        # Klein/Qwen3 conditioning uses the KLEIN recipe (no system message,
+        # enable_thinking=False think block, RIGHT padding —
+        # KleinEmbeddingExtractor.swift), NOT the Mistral/Dev protocol.
         return self._load(
             f"qwen3-{size}", weights_dir, tokenizer_dir, cfg, tc.QWEN3_HIDDEN_LAYERS,
-            qk_norm=True, quantization=quantization,
+            qk_norm=True, quantization=quantization, recipe="klein",
         )
 
-    def attach(self, name: str, params: dict, cfg: tc.DecoderConfig, tokenizer, hidden_layers) -> LoadedEncoder:
+    def attach(self, name: str, params: dict, cfg: tc.DecoderConfig, tokenizer, hidden_layers,
+               recipe: str = "mistral") -> LoadedEncoder:
         """Register an already-built encoder (tests, custom models)."""
         enc = LoadedEncoder(
             name=name, params=params, config=cfg, tokenizer=tokenizer,
-            extractor=extractor.EmbeddingExtractor(params, cfg, tokenizer, tuple(hidden_layers)),
+            extractor=extractor.EmbeddingExtractor(
+                params, cfg, tokenizer, tuple(hidden_layers), recipe=recipe
+            ),
         )
         self._encoders[name] = enc
         return enc
 
     def _load(
         self, name, weights_dir, tokenizer_dir, cfg, layers,
-        qk_norm=False, llama4=False, quantization="bf16",
+        qk_norm=False, llama4=False, quantization="bf16", recipe="mistral",
     ) -> LoadedEncoder:
         from flux2_tpu.io import checkpoints, weight_mapping
 
@@ -174,7 +180,7 @@ class TextEncoders:
             f"loaded text encoder {name} ({cfg.num_hidden_layers} layers, "
             f"{cfg.hidden_size} hidden{', ' + quantization if quantization != 'bf16' else ''})"
         )
-        return self.attach(name, params, cfg, tok, layers)
+        return self.attach(name, params, cfg, tok, layers, recipe=recipe)
 
     def load_mistral_vlm(self, weights_dir: str, tokenizer_dir: Optional[str] = None):
         """Mistral-Small-3.2 VLM: Pixtral vision tower + projector + LM from
@@ -234,8 +240,14 @@ class TextEncoders:
         from flux2_tpu.models.text_encoders import qwen35, qwen35_vision
         from flux2_tpu.models.text_encoders.vlm_service import Qwen35VLMService
 
-        if self._vlm is not None:
+        if isinstance(self._vlm, Qwen35VLMService):
             return self._vlm
+        if self._vlm is not None:
+            # a different-family VLM (e.g. Mistral/Pixtral) is resident —
+            # the caller explicitly asked for Qwen3.5, so replace it rather
+            # than silently handing back the wrong service
+            flog.info("replacing the loaded non-Qwen3.5 VLM with the requested Qwen3.5-VL")
+            self._vlm = None
         with open(os.path.join(weights_dir, "config.json")) as f:
             d = json.load(f)
         vis_d = d.get("vision_config")
@@ -323,8 +335,8 @@ class TextEncoders:
         ids = enc.tokenizer.apply_chat_template(messages, add_generation_prompt=True)
         eos = [enc.tokenizer.eos_token_id] if getattr(enc.tokenizer, "eos_token_id", None) is not None else []
         stream = None
+        emit = on_token
         if on_token is not None:
-            emit = on_token
             if not enable_thinking:
                 # keep the live stream consistent with the stripped reply
                 emit = generation.ThinkStreamFilter(on_token)
@@ -333,6 +345,8 @@ class TextEncoders:
             enc.params, enc.config, list(ids), params or generation.GenerateParameters(),
             eos_token_ids=eos, seed=seed, on_token=stream,
         )
+        if isinstance(emit, generation.ThinkStreamFilter):
+            emit.flush()  # don't swallow a reply cut mid-"<think>" prefix
         return generation.strip_think_tags(enc.tokenizer.decode(tokens))
 
     def generate_text(self, prompt: str, name: str, **kw) -> str:

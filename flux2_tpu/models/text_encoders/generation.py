@@ -352,7 +352,11 @@ class ThinkStreamFilter:
     """Wrap a streaming on_token(text) callback: suppress a LEADING
     <think>...</think> block from the streamed pieces so the live display
     matches the strip_think_tags'd final reply (Qwen3 no-think mode still
-    emits the empty block). Buffers only while a think block is possible."""
+    emits the empty block). Buffers only while a think block is possible;
+    call :meth:`flush` when the stream ends so a still-ambiguous buffered
+    prefix (e.g. the reply ends right after ``"<th"``) is not swallowed.
+    Contract is LEADING-block only: a mid-reply block streams verbatim
+    (no per-'<' holdback latency) while strip_think_tags removes all."""
 
     _OPEN = "<think>"
     _CLOSE = "</think>"
@@ -397,6 +401,15 @@ class ThinkStreamFilter:
                 else:
                     self._state = "trim"
 
+    def flush(self):
+        """End-of-stream: emit any text still buffered as an ambiguous
+        think-tag prefix (otherwise a reply like ``"<three words"`` cut at
+        ``"<th"`` would never reach the display)."""
+        if self._state == "maybe" and self._buf.strip():
+            out, self._buf = self._buf, ""
+            self._state = "passthrough"
+            self._emit(out)
+
 
 def strip_think_tags(text: str) -> str:
     """Drop ``<think>...</think>`` reasoning blocks (incl. the empty one the
@@ -404,7 +417,12 @@ def strip_think_tags(text: str) -> str:
     (Qwen3Generator.swift:144,269)."""
     import re
 
-    return re.sub(r"<think>.*?</think>\s*", "", text, flags=re.DOTALL).strip()
+    text = re.sub(r"<think>.*?</think>\s*", "", text, flags=re.DOTALL)
+    # a reply truncated by max_tokens mid-reasoning has an UNCLOSED <think>:
+    # the chain-of-thought must not leak through as the usable reply
+    # (upsample_prompt would feed it to the DiT as conditioning)
+    text = re.sub(r"<think>.*$", "", text, flags=re.DOTALL)
+    return text.strip()
 
 
 def upsample_prompt(

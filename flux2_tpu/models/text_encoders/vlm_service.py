@@ -210,7 +210,8 @@ class Qwen35VLMService:
         return ids_arr, merged
 
     def chat(self, system: str, user: str, image: Optional[np.ndarray] = None,
-             max_tokens: int = 128, seed: int = 0) -> str:
+             max_tokens: int = 128, seed: int = 0,
+             gen_params: Optional[generation.GenerateParameters] = None) -> str:
         """(system, user, image) -> reply; the VLMPromptBuilder callable.
 
         Streaming generation over the hybrid dual cache (conv + recurrent
@@ -243,8 +244,12 @@ class Qwen35VLMService:
             loop_key=("qwen35", cfg),
             step_fn=step_fn, carry_len=lambda carry: carry[1],
             max_len=max_len,
-            gen_params=generation.GenerateParameters(
-                max_tokens=max_tokens, temperature=0.0, repetition_penalty=1.0
+            gen_params=(
+                dataclasses.replace(gen_params, max_tokens=max_tokens)
+                if gen_params is not None
+                else generation.GenerateParameters(
+                    max_tokens=max_tokens, temperature=0.0, repetition_penalty=1.0
+                )
             ),
             eos_token_ids=[eos] if eos is not None else None,
             seed=seed,
@@ -263,7 +268,7 @@ class Qwen35VLMService:
         gp = gen_params or generation.GenerateParameters(max_tokens=128, temperature=0.2)
         return self.chat(
             "You are a precise visual analyst. Answer directly about the attached image.",
-            prompt, image=image, max_tokens=gp.max_tokens, seed=seed,
+            prompt, image=image, max_tokens=gp.max_tokens, seed=seed, gen_params=gp,
         )
 
     def compare_images_for_flux(

@@ -97,6 +97,42 @@ def init_lora(
     return lora
 
 
+def _merge_qtensor_slicewise(w, delta, scale: float):
+    """dequantize -> add -> requantize a stacked QTensor leaf ONE LAYER AT A
+    TIME (``lax.map`` over the stacked axis): the dense f32 transient is a
+    single [K, N] slice, never the whole [L, K, N] stack — a Dev-32B
+    whole-stack transient OOMs a 16 GB chip (same rationale as
+    ``ops.quant._requant_slicewise``)."""
+    from flux2_tpu.ops import quant
+
+    aux = (w.format, w.group_size, w.orig_in)
+    if w.q.ndim == 2:
+        dense = quant.dequantize(w, jnp.float32) + scale * delta
+        return quant.quantize(dense, w.format, group_size=w.group_size)
+
+    lead = w.q.shape[: w.q.ndim - 2]
+
+    def merge2d(children):
+        qs, ss, bs, d = children
+        dense = quant.dequantize(quant.QTensor(qs, ss, bs, *aux), jnp.float32)
+        nq = quant.quantize(dense + scale * d, w.format, group_size=w.group_size)
+        return nq.q, nq.scale, nq.bias
+
+    flat = (
+        w.q.reshape(-1, *w.q.shape[len(lead):]),
+        w.scale.reshape(-1, *w.scale.shape[len(lead):]),
+        None if w.bias is None else w.bias.reshape(-1, *w.bias.shape[len(lead):]),
+        delta.reshape(-1, *delta.shape[delta.ndim - 2:]),
+    )
+    q, s, b = jax.lax.map(merge2d, flat)
+    return quant.QTensor(
+        q.reshape(*lead, *q.shape[1:]),
+        s.reshape(*lead, *s.shape[1:]),
+        None if b is None else b.reshape(*lead, *b.shape[1:]),
+        *aux,
+    )
+
+
 def merge_into_params(params: Params, lora: Params, scale: float) -> Params:
     """Return params with W' = W + scale * (a @ b) on every adapted leaf.
 
@@ -126,8 +162,7 @@ def merge_into_params(params: Params, lora: Params, scale: float) -> Params:
                         f"({type(w).__name__}); merge into the storage-format or "
                         "bf16 params before converting to w8a8/w4a8"
                     )
-                dense = quant.dequantize(w, jnp.float32) + scale * delta
-                new_group[leaf] = quant.quantize(dense, w.format, group_size=w.group_size)
+                new_group[leaf] = _merge_qtensor_slicewise(w, delta, scale)
         merged[group] = new_group
     return merged
 

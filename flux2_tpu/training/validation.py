@@ -118,6 +118,23 @@ class ValidationTracker:
     def should_copy_best(self) -> bool:
         return self.best_step is not None
 
+    def seed_from_history(self, validation_scores: Sequence[dict]) -> None:
+        """Resume support: restore best-so-far from persisted score records
+        (``TrainingState.validation_scores``), so the first post-resume
+        validation can't overwrite ``best/`` with worse weights.
+
+        Step-0 records are the no-LoRA BASELINE pass, which a fresh run never
+        feeds to the tracker — including them would make 'best' a bar the
+        LoRA may never clear (and step 0 has no checkpoint dir to copy)."""
+        per_step: dict = {}
+        for r in validation_scores:
+            if r["step"] > 0:
+                per_step.setdefault(r["step"], []).append(r["scene"] + r["style"])
+        if per_step:
+            best = max(per_step, key=lambda s: float(np.mean(per_step[s])))
+            self.best_step = best
+            self.best_score = float(np.mean(per_step[best]))
+
 
 def run_validation(
     pipeline,
@@ -128,6 +145,7 @@ def run_validation(
     reference_images: Sequence[np.ndarray] = (),
     output_dir: Optional[str] = None,
     ref_cache: Optional[dict] = None,
+    emb_cache: Optional[dict] = None,
 ) -> List[ValidationRecord]:
     """Generate validation images with the (distilled) pipeline and score
     them. Each prompt may be a plain string or a per-prompt config (size,
@@ -135,9 +153,13 @@ def run_validation(
 
     ``ref_cache``: pass a persistent dict to reuse per-prompt reference
     encodes across validation passes (the image is constant; re-running the
-    VAE every pass just stalls training)."""
+    VAE every pass just stalls training). ``emb_cache`` is the same pattern
+    for prompt embeddings — the prompt set is fixed for the whole run and
+    the encoder is unaffected by the LoRA, so embeddings are reusable across
+    passes too."""
     records: List[ValidationRecord] = []
-    emb_cache: dict = {}
+    if emb_cache is None:
+        emb_cache = {}
     for pi, raw in enumerate(config.prompts):
         vp = ValidationPrompt.normalize(raw)
         prompt = vp.prompt

@@ -360,3 +360,45 @@ def test_train_yaml_round3_fields(tmp_path):
     assert cfg.timestep_sampling == "flux_shift" and cfg.flux_shift == 3.0
     assert list(cfg.bucket_resolutions) == [512, 768]
     assert cfg.validation_dataset_dir == "/tmp/val" and cfg.early_stop_on_overfit
+
+
+def test_train_lora_pp_tp_without_pp_exits(tmp_path):
+    """pp_tp/pp_microbatches/pp_over_dcn are pipeline-stage knobs: setting
+    them without pp > 1 must fail loudly instead of silently training dense
+    (a Dev-32B run would otherwise OOM with no hint at the ignored knob)."""
+    cfg_path = tmp_path / "t.yaml"
+    cfg_path.write_text("model: klein-4b\ntraining:\n  pp_tp: 2\n  max_steps: 1\n")
+    with pytest.raises(SystemExit, match="pp_tp"):
+        main([
+            "train-lora", "--config", str(cfg_path),
+            "--output-dir", str(tmp_path / "out"), "--random-init",
+        ])
+
+
+def test_train_lora_save_every_zero_warns_validation_off(tmp_path, capsys):
+    """save_every: 0 (final checkpoint only) with validation configured but
+    validation_every unset: training must run, and the silently-disabled
+    validation must be called out (previously a silent no-op)."""
+    from flux2_tpu.models.flux2 import config as cfg_mod
+
+    cfg_path = tmp_path / "t.yaml"
+    cfg_path.write_text(
+        "model: klein-4b\n"
+        "training:\n  max_steps: 1\n  save_every: 0\n  resolution: 64\n"
+        "validation_dataset_dir: /nonexistent-val\n"
+    )
+    tiny = cfg_mod.Flux2TransformerConfig(
+        num_layers=1, num_single_layers=1, num_attention_heads=2,
+        attention_head_dim=128, joint_attention_dim=96, guidance_embeds=False,
+    )
+    orig = cfg_mod.Flux2Model.transformer_config
+    try:
+        cfg_mod.Flux2Model.transformer_config = property(lambda self: tiny)
+        main([
+            "train-lora", "--config", str(cfg_path),
+            "--output-dir", str(tmp_path / "out"), "--random-init",
+        ])
+    finally:
+        cfg_mod.Flux2Model.transformer_config = orig
+    err = capsys.readouterr().err
+    assert "validation_every" in err  # the loud warning

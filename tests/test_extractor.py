@@ -113,3 +113,22 @@ def test_qwen3_extractor_uses_klein_recipe():
     assert q.recipe == "klein"
     m = ex.mistral_extractor(params, tc.TINY_DECODER, _Tok())
     assert m.recipe == "mistral"
+
+
+def test_facade_load_qwen3_wires_klein_recipe():
+    """The PRODUCT path must use the Klein recipe for Qwen3 encoders: the
+    facade's attach() threads recipe through to the extractor, and
+    load_qwen3 requests 'klein' (KleinEmbeddingExtractor.swift protocol —
+    previously only the uncalled qwen3_extractor helper used it)."""
+    import inspect
+
+    from flux2_tpu.models.text_encoders import config as tc
+    from flux2_tpu.models.text_encoders import facade
+
+    te = facade.TextEncoders()
+    enc = te.attach("k", {}, tc.TINY_DECODER, _Tok(), (1,), recipe="klein")
+    assert enc.extractor.recipe == "klein"
+    assert te.attach("m", {}, tc.TINY_DECODER, _Tok(), (1,)).extractor.recipe == "mistral"
+    # load_qwen3 passes recipe="klein" into _load (checkpoint-free check)
+    src = inspect.getsource(facade.TextEncoders.load_qwen3)
+    assert 'recipe="klein"' in src

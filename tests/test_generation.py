@@ -220,3 +220,35 @@ def test_think_stream_filter():
     # non-think reply passes through unchanged (incl. '<' that isn't think)
     assert run(["hello ", "world"]) == "hello world"
     assert run(["<b>bold</b>", " ok"]) == "<b>bold</b> ok"
+
+
+def test_think_stream_filter_flush_ambiguous_tail():
+    """A stream that ENDS while the buffer is still an ambiguous think-tag
+    prefix must flush it — otherwise the whole reply is swallowed."""
+    from flux2_tpu.models.text_encoders.generation import ThinkStreamFilter
+
+    out = []
+    f = ThinkStreamFilter(out.append)
+    f("<th")  # ambiguous: could become <think>
+    assert out == []  # buffered, not emitted
+    f.flush()
+    assert "".join(out) == "<th"
+
+    # flush after normal passthrough is a no-op
+    out2 = []
+    f2 = ThinkStreamFilter(out2.append)
+    f2("hello")
+    f2.flush()
+    assert "".join(out2) == "hello"
+
+
+def test_strip_think_tags_unclosed_block():
+    """A reply truncated by max_tokens mid-reasoning (no </think>) must not
+    leak the chain-of-thought as the usable reply — upsample_prompt would
+    otherwise feed it to the DiT as conditioning."""
+    from flux2_tpu.models.text_encoders import generation as g
+
+    assert g.strip_think_tags("<think> the user wants a cat picture, so") == ""
+    assert g.strip_think_tags("preamble <think>cut off") == "preamble"
+    # closed blocks still strip normally and keep the reply
+    assert g.strip_think_tags("<think>x</think>ok <think>y") == "ok"

@@ -159,3 +159,42 @@ def test_run_validation_reference_image_cached(tmp_path):
         )
         assert len(recs) == 1
     assert calls == [1]  # encoded once, reused from the cache
+
+
+def test_tracker_seed_from_history_excludes_baseline():
+    """Resume must NOT seed 'best' from the step-0 no-LoRA baseline pass: a
+    high baseline would be a bar the LoRA may never clear (spurious early
+    stop) and step 0 has no checkpoint dir to copy."""
+    t = val.ValidationTracker(patience=3)
+    t.seed_from_history([
+        {"step": 0, "scene": 6.0, "style": 6.0},   # baseline — ignored
+        {"step": 250, "scene": 4.0, "style": 4.0},
+        {"step": 500, "scene": 5.0, "style": 4.5},
+    ])
+    assert t.best_step == 500
+    assert t.best_score == pytest.approx(9.5)
+
+    # only-baseline history leaves the tracker untouched
+    t2 = val.ValidationTracker(patience=3)
+    t2.seed_from_history([{"step": 0, "scene": 9.0, "style": 9.0}])
+    assert t2.best_step is None
+    assert t2.best_score == float("-inf")
+
+
+@pytest.mark.slow
+def test_run_validation_emb_cache_persists_across_passes():
+    """A persistent emb_cache encodes each fixed prompt ONCE for the whole
+    run, not once per validation pass (the prompt set is run-constant and
+    the encoder is unaffected by the LoRA)."""
+    pipe = tiny_pipeline()
+    cfg = val.ValidationConfig(prompts=("a dog", "a cat"), width=64, height=64, steps=1)
+    calls = []
+
+    def emb_fn(prompt):
+        calls.append(prompt)
+        return _emb(pipe, seed=5)
+
+    cache: dict = {}
+    val.run_validation(pipe, cfg, step=1, embeddings_fn=emb_fn, emb_cache=cache)
+    val.run_validation(pipe, cfg, step=2, embeddings_fn=emb_fn, emb_cache=cache)
+    assert sorted(calls) == ["a cat", "a dog"]  # once per prompt across BOTH passes

@@ -158,3 +158,19 @@ def test_vision_cli_autodetects_qwen35(qwen35_vl_dir, tmp_path, capsys):
         assert "scene_score" in parsed and "style_score" in parsed
     finally:
         facade.shared.unload_vlm()
+
+
+def test_load_qwen35_vlm_replaces_wrong_family_vlm(tmp_path):
+    """A resident non-Qwen3.5 VLM (e.g. Mistral/Pixtral) must NOT be handed
+    back from load_qwen35_vlm: the caller asked for Qwen3.5 by name, so the
+    loader proceeds to load (and here fails on the bogus dir) instead of
+    returning the wrong-family service."""
+    from flux2_tpu.models.text_encoders import facade
+
+    facade.shared.unload_vlm()
+    facade.shared._vlm = object()  # stand-in for a loaded Mistral VLM
+    try:
+        with pytest.raises((FileNotFoundError, OSError)):
+            facade.shared.load_qwen35_vlm(str(tmp_path / "nope"))
+    finally:
+        facade.shared.unload_vlm()
