@@ -554,6 +554,7 @@ def run_training(args) -> None:
         val_enabled = False
     val_pipe = None
     val_base = base_params
+    val_tconfig = tconfig  # replaced by the sibling's own config when it loads
     tracker = ValidationTracker(patience=cfg.early_stop_patience)
     val_cfg = ValidationConfig(
         prompts=tuple(cfg.validation_prompts),
@@ -584,6 +585,10 @@ def run_training(args) -> None:
                     weight_mapping.map_transformer_weights(sraw, sconfig, dtype=np.float32)
                 )
                 val_model = sib
+                # the sibling's on-disk config may differ from the training
+                # variant's (it is re-read for exactly that reason) — the
+                # val pipeline must run the weights under THEIR config
+                val_tconfig = sconfig
                 flog.info(f"validation previews use the distilled sibling {sib.value}")
             else:
                 flog.warning(
@@ -593,7 +598,7 @@ def run_training(args) -> None:
         val_pipe = Flux2Pipeline(
             model=val_model,
             transformer_params=val_base,
-            transformer_config=tconfig,
+            transformer_config=val_tconfig,
             vae_params=pipe.vae_params,
             vae_config=pipe.vae_config,
             text_encoder=pipe.text_encoder,

@@ -146,10 +146,13 @@ def _sample_device(key, logits, recent, p: GenerateParameters):
     logits = logits.astype(jnp.float32)
     if p.repetition_penalty != 1.0:
         valid = recent >= 0
-        idx = jnp.where(valid, recent, 0)
-        vals = logits[idx]
+        vals = logits[jnp.where(valid, recent, 0)]
         pen = jnp.where(vals > 0, vals / p.repetition_penalty, vals * p.repetition_penalty)
-        logits = logits.at[idx].set(jnp.where(valid, pen, vals))
+        # empty ring slots scatter OUT OF BOUNDS (dropped by XLA) instead of
+        # aliasing index 0: a dummy slot and a genuinely-recent token 0 would
+        # otherwise race as duplicate scatter indices with conflicting values
+        idx = jnp.where(valid, recent, logits.shape[0])
+        logits = logits.at[idx].set(pen)
     if p.temperature <= 0:
         return jnp.argmax(logits).astype(jnp.int32)
     probs = jax.nn.softmax(logits / p.temperature)

@@ -41,37 +41,65 @@ def _ring_attention_local(q, k, v, *, axis: str, scale: float, use_flash: bool =
     flash kernel (returning the block LSE) and merges blocks with the exact
     log-sum-exp formula — the MXU path inside the ring instead of einsum.
     """
+    if use_flash:
+        return _ring_flash(q, k, v, axis, scale, interpret, bounded_logits)
+    return _ring_einsum(q, k, v, axis=axis, scale=scale)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _ring_flash(q, k, v, axis, scale, interpret, bounded_logits):
+    """Flash-kernel ring forward. Differentiable via custom VJP: pallas_call
+    has no transpose rule, so the backward RECOMPUTES the ring with the
+    einsum formulation (remat-style) and differentiates that — the flash
+    forward stays on the MXU path, gradients stay exact."""
+    from flux2_tpu.ops.flash_attention import _flash_impl
+
     n = jax.lax.psum(1, axis)
     perm = [(i, (i + 1) % n) for i in range(n)]
-
     b, h, s_loc, d = q.shape
 
-    if use_flash:
-        from flux2_tpu.ops.flash_attention import _flash_impl
+    def step(carry, _):
+        k_cur, v_cur, lse, out = carry
+        o_i, lse_i = _flash_impl(
+            q, k_cur, v_cur, scale=scale, interpret=interpret, return_lse=True,
+            bounded_logits=bounded_logits,
+        )  # o_i [B,H,S,D], lse_i [B,H,S] (LSE is anchor-invariant)
+        lse_new = jnp.logaddexp(lse, lse_i)
+        w_old = jnp.exp(lse - lse_new)[..., None]
+        w_new = jnp.exp(lse_i - lse_new)[..., None]
+        out_new = out * w_old + o_i.astype(jnp.float32) * w_new
+        k_next = jax.lax.ppermute(k_cur, axis, perm)
+        v_next = jax.lax.ppermute(v_cur, axis, perm)
+        return (k_next, v_next, lse_new, out_new), None
 
-        def step(carry, _):
-            k_cur, v_cur, lse, out = carry
-            o_i, lse_i = _flash_impl(
-                q, k_cur, v_cur, scale=scale, interpret=interpret, return_lse=True,
-                bounded_logits=bounded_logits,
-            )  # o_i [B,H,S,D], lse_i [B,H,S] (LSE is anchor-invariant)
-            lse_new = jnp.logaddexp(lse, lse_i)
-            w_old = jnp.exp(lse - lse_new)[..., None]
-            w_new = jnp.exp(lse_i - lse_new)[..., None]
-            out_new = out * w_old + o_i.astype(jnp.float32) * w_new
-            k_next = jax.lax.ppermute(k_cur, axis, perm)
-            v_next = jax.lax.ppermute(v_cur, axis, perm)
-            return (k_next, v_next, lse_new, out_new), None
+    init = (
+        k,
+        v,
+        jnp.full((b, h, s_loc), NEG_INF, jnp.float32),
+        jnp.zeros((b, h, s_loc, d), jnp.float32),
+    )
+    (k, v, lse, out), _ = jax.lax.scan(step, init, None, length=n)
+    return out.astype(q.dtype)
 
-        init = (
-            k,
-            v,
-            jnp.full((b, h, s_loc), NEG_INF, jnp.float32),
-            jnp.zeros((b, h, s_loc, d), jnp.float32),
-        )
-        (k, v, lse, out), _ = jax.lax.scan(step, init, None, length=n)
-        return out.astype(q.dtype)
 
+def _ring_flash_fwd(q, k, v, axis, scale, interpret, bounded_logits):
+    return _ring_flash(q, k, v, axis, scale, interpret, bounded_logits), (q, k, v)
+
+
+def _ring_flash_bwd(axis, scale, interpret, bounded_logits, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(lambda q_, k_, v_: _ring_einsum(q_, k_, v_, axis=axis, scale=scale), q, k, v)
+    return vjp(g.astype(q.dtype))
+
+
+_ring_flash.defvjp(_ring_flash_fwd, _ring_flash_bwd)
+
+
+def _ring_einsum(q, k, v, *, axis: str, scale: float):
+    """Einsum online-softmax ring (f32 accumulators); fully differentiable."""
+    n = jax.lax.psum(1, axis)
+    perm = [(i, (i + 1) % n) for i in range(n)]
+    b, h, s_loc, d = q.shape
     qf = q.astype(jnp.float32)
 
     def step(carry, _):

@@ -170,10 +170,16 @@ class Flux2Pipeline:
         # the same process keep the plain kernel path.
         from flux2_tpu.ops import quant as _quant
 
-        stack = contextlib.ExitStack()
-        stack.enter_context(self.mesh)
-        stack.enter_context(_quant.partitioned_runtime(True))
-        return stack
+        # LAZY: contexts must activate at ``with``-entry, not at call time —
+        # an eagerly-entered ExitStack would leak the mesh + the process-
+        # global partitioned-runtime flag if anything raised before the
+        # ``with`` statement was reached.
+        @contextlib.contextmanager
+        def ctx():
+            with self.mesh, _quant.partitioned_runtime(True):
+                yield
+
+        return ctx()
 
     # ------------------------------------------------------------------
     # Phase 1: text encoding
@@ -182,7 +188,11 @@ class Flux2Pipeline:
     def encode_prompt(self, prompt: str) -> jnp.ndarray:
         if self.text_encoder is None:
             raise ValueError("no text encoder attached; pass `embeddings=` to generate()")
-        return self.text_encoder(prompt)
+        # under the mesh context so a sharded W8A8/W4A8 encoder keeps the
+        # custom_partitioning kernel routing (GSPMD would otherwise
+        # all-gather the int8 codes around each opaque pallas call)
+        with self._mesh_ctx():
+            return self.text_encoder(prompt)
 
     # -- VLM prompt services (interpret / upsample) ----------------------
 

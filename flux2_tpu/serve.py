@@ -162,6 +162,7 @@ class Flux2Server:
         self.max_queue = max_queue
         self.max_wait_s = max_wait_s
         self._queue: list = []
+        self._running_batch: Optional[list] = None  # in-flight batch (cancel_all)
         self._previews: dict = {}  # preview_id -> {"step", "total", "png", "t"}
         self._previews_lock = threading.Lock()
         self._watch_state = ([], 0, 0, 0)  # (watchers, h, w, total) for _preview_dispatch
@@ -212,6 +213,7 @@ class Flux2Server:
         batch = groups[key][: self.max_batch]
         for p in batch:
             self._queue.remove(p)
+        self._running_batch = batch  # visible to cancel_all during the run
         return batch
 
     def _serve_loop(self):
@@ -225,7 +227,10 @@ class Flux2Server:
                 self._queue_cv.wait(self.batch_window_s)
                 batch = self._pick_batch()
             if batch:
-                self._run_batch(batch)
+                try:
+                    self._run_batch(batch)
+                finally:
+                    self._running_batch = None
 
     def _run_batch(self, batch):
         import jax
@@ -343,18 +348,26 @@ class Flux2Server:
         now = time.time()
         with self._previews_lock:
             self._previews[str(pid)[:64]] = {"step": step, "total": total, "png": png, "t": now}
-            if len(self._previews) > 256:  # prune stale watchers
+            if len(self._previews) > 256:
+                # prune stale watchers, then HARD-cap by evicting oldest:
+                # age alone never shrinks the dict under sustained fresh
+                # preview ids (each entry holds a PNG blob — a slow leak)
                 for k in [k for k, v in self._previews.items() if now - v["t"] > 300]:
                     del self._previews[k]
+                while len(self._previews) > 256:
+                    del self._previews[min(self._previews, key=lambda k: self._previews[k]["t"])]
 
     def get_preview(self, pid: str):
         with self._previews_lock:
             return self._previews.get(pid)
 
     def cancel_all(self) -> int:
-        """Abandon every pending/running request (graceful drain)."""
+        """Abandon every pending/running request (graceful drain). The
+        RUNNING batch was already removed from the queue by _pick_batch, so
+        it is tracked separately — cancelling it trips the in-scan
+        _BatchCancel predicate instead of letting the denoise run out."""
         with self._queue_cv:
-            pending = list(self._queue)
+            pending = list(self._queue) + list(getattr(self, "_running_batch", ()) or ())
         for p in pending:
             p.cancelled.set()
         return len(pending)
@@ -718,6 +731,12 @@ def _decode_references(req: dict):
 
 def make_handler(server: Flux2Server):
     class Handler(BaseHTTPRequestHandler):
+        # chunked transfer coding (the streaming /chat response) is only
+        # valid for HTTP/1.1 — browsers do NOT de-chunk an HTTP/1.0 body, so
+        # the demo page would render raw hex chunk framing. Every non-chunked
+        # response sets Content-Length, which HTTP/1.1 keep-alive requires.
+        protocol_version = "HTTP/1.1"
+
         def log_message(self, fmt, *args):  # quiet
             pass
 
@@ -851,6 +870,7 @@ def make_handler(server: Flux2Server):
             stream=false -> JSON {"reply", "tokens", "duration_s", "tok_per_s"}.
             stream=true  -> chunked text/plain token pieces as they decode
             (the web counterpart of ChatViewModel's streaming tokens)."""
+            streaming = False  # True once the chunked response headers are out
             try:
                 length = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(length) or b"{}")
@@ -880,6 +900,7 @@ def make_handler(server: Flux2Server):
                         self.wfile.write(f"{len(data):x}\r\n".encode() + data + b"\r\n")
                         self.wfile.flush()
 
+                streaming = True
                 stats = server.chat(req.get("messages"), on_token=emit, **kwargs)
                 # final chunk carries the stats as a JSON trailer line the
                 # demo page strips from the visible text
@@ -895,7 +916,14 @@ def make_handler(server: Flux2Server):
                 pass
             except Exception as e:
                 try:
-                    self._json(500, {"error": f"{type(e).__name__}: {e}"})
+                    if streaming:
+                        # headers already sent: a second status line would
+                        # corrupt the chunk stream — emit the error in-band
+                        # and terminate the chunked body instead
+                        emit("\n\x1e" + json.dumps({"error": f"{type(e).__name__}: {e}"}))
+                        self.wfile.write(b"0\r\n\r\n")
+                    else:
+                        self._json(500, {"error": f"{type(e).__name__}: {e}"})
                 except Exception:
                     pass
 

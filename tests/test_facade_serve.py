@@ -523,3 +523,35 @@ def test_serving_embed(encoders):
     finally:
         httpd.shutdown()
         server.shutdown()
+
+
+def test_cancel_all_covers_running_batch():
+    """cancel_all must cancel the IN-FLIGHT batch too: _pick_batch removes a
+    batch from the queue before running it, so a queue-only sweep would let
+    a mid-denoise batch run to completion during graceful drain."""
+    import threading
+    import time as _time
+
+    from flux2_tpu.serve import Flux2Server, make_handler
+    from tests.test_pipeline import tiny_pipeline
+
+    # handler protocol: chunked /chat streaming requires HTTP/1.1 framing
+    class _P:  # minimal stand-in so make_handler doesn't build a pipeline
+        pass
+
+    assert make_handler(Flux2Server.__new__(Flux2Server)).protocol_version == "HTTP/1.1"
+
+    pipe = tiny_pipeline()
+    server = Flux2Server(pipe, embeddings_fn=lambda p: None, max_batch=2)
+    try:
+        class _FakePending:
+            def __init__(self):
+                self.cancelled = threading.Event()
+
+        running = [_FakePending(), _FakePending()]
+        server._running_batch = running  # as _pick_batch would set mid-run
+        n = server.cancel_all()
+        assert n >= 2
+        assert all(p.cancelled.is_set() for p in running)
+    finally:
+        server.shutdown()

@@ -252,3 +252,28 @@ def test_strip_think_tags_unclosed_block():
     assert g.strip_think_tags("preamble <think>cut off") == "preamble"
     # closed blocks still strip normally and keep the reply
     assert g.strip_think_tags("<think>x</think>ok <think>y") == "ok"
+
+
+def test_device_repetition_penalty_token_zero_in_ring():
+    """Empty ring slots (-1) must not alias token id 0 in the penalty
+    scatter: with token 0 genuinely recent, duplicate scatter indices with
+    conflicting values are order-undefined in XLA and could drop the
+    penalty. Empty slots now scatter out of bounds (dropped)."""
+    import jax
+    import jax.numpy as jnp
+
+    from flux2_tpu.models.text_encoders.generation import (
+        GenerateParameters,
+        _sample_device,
+    )
+
+    logits = jnp.array([3.0, 1.0, -2.0, 0.5])
+    recent = jnp.array([-1, -1, 0, 2], jnp.int32)  # ring not full; 0 IS recent
+    # penalty 2: [1.5, 1.0, -4.0, 0.25] -> argmax 0 (penalty applied, still top)
+    tok = _sample_device(jax.random.PRNGKey(0), logits, recent,
+                         GenerateParameters(repetition_penalty=2.0, temperature=0.0))
+    assert int(tok) == 0
+    # penalty 4: [0.75, 1.0, -8.0, 0.125] -> argmax 1 (penalty flips the order)
+    tok = _sample_device(jax.random.PRNGKey(0), logits, recent,
+                         GenerateParameters(repetition_penalty=4.0, temperature=0.0))
+    assert int(tok) == 1

@@ -669,3 +669,31 @@ def test_dev32b_plus_mistral24b_w8a8_coexist_aot():
         total = dit_gb + enc_gb
         print(f"coexistence: DiT {dit_gb:.2f} + encoder {enc_gb:.2f} = {total:.2f} GB/device")
         assert total < 16.0, f"{total:.1f} GB/device won't fit a v5e chip"
+
+
+@pytest.mark.slow
+def test_ring_attention_flash_path_differentiable():
+    """jax.grad through the flash-in-ring path must work (sequence-parallel
+    training): the forward runs the Pallas kernel, the custom-VJP backward
+    recomputes through the differentiable einsum ring — gradients match the
+    dense attention gradients exactly."""
+    from flux2_tpu.parallel import ring_attention as ra
+
+    mesh = mesh_mod.make_mesh(data=2, fsdp=1, tp=4)
+    B, H, S, D = 1, 2, 32, 128
+    q, k, v = (jax.random.normal(jax.random.PRNGKey(i), (B, H, S, D)) for i in range(3))
+
+    def dense(q, k, v):
+        s = jnp.einsum("bhqd,bhkd->bhqk", q, k) * D**-0.5
+        return jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(s, -1), v)
+
+    def loss_ring(q, k, v, flash):
+        with mesh:
+            o = ra.ring_attention(q, k, v, mesh=mesh, axis="tp", use_flash=flash, interpret=flash)
+        return jnp.sum(o * o)
+
+    gd = jax.grad(lambda a, b, c: jnp.sum(dense(a, b, c) ** 2), argnums=(0, 1, 2))(q, k, v)
+    for flash in (False, True):
+        gr = jax.grad(lambda a, b, c: loss_ring(a, b, c, flash), argnums=(0, 1, 2))(q, k, v)
+        for got, want in zip(gr, gd):
+            assert float(jnp.max(jnp.abs(got - want))) < 2e-4
