@@ -16,8 +16,15 @@ Capability parity with ``Sources/Flux2Chains/Flux2MaskedInpaintingChain.swift``:
   - Two mask conventions: grayscale (white = inpaint) and alpha
     (transparent = inpaint).
 
-TPU shape: the hook is a jittable closure folded into the pipeline's
-compiled denoise scan; all mask geometry is host-side numpy.
+TPU shape: the hook is a STRUCTURED (fn, state) pair — the module-level
+``repaint_step_hook`` plus a traced state pytree (mask/source/noise) — so
+every call at the same shapes reuses ONE compiled denoise scan (different
+masks/images are jit operands, not per-closure recompiles); all mask
+geometry is host-side numpy. Opt-in VLM prompt enrichment
+(``enrich_prompt_with_vlm`` + ``intent``) mirrors
+Flux2MaskedInpaintingChain.swift:472-514: strictly optional, warns and
+falls back to the verbatim prompt when no VLM is loaded, wins over
+``upsample_prompt`` when both are set.
 """
 
 from __future__ import annotations
@@ -34,6 +41,21 @@ from flux2_tpu.pipeline.pipeline import Flux2Pipeline, GenerationResult
 
 GRAYSCALE_WHITE_INPAINT = "grayscale_white_inpaint"
 ALPHA_TRANSPARENT_INPAINT = "alpha_transparent_inpaint"
+
+
+def repaint_step_hook(state, latents, sigma, sigma_next, step_idx):
+    """RePaint latent blend, as a STRUCTURED step hook (module-level fn +
+    traced state) so every inpaint/outpaint call at the same shapes reuses
+    ONE compiled denoise scan — the mask/source/noise arrays ride as jit
+    operands, not per-closure HLO constants.
+
+    state: {"image": [B,S,128] clean source latents, "mask": [B,S,1]
+    (1 = inpaint), "noise": [B,S,128] fixed blend noise}. Forces
+    outside-mask latents back onto the source's diffusion trajectory
+    (Flux2MaskedInpaintingChain.swift:380-400); at the final step
+    sigma_next == 0, so kept latents land exactly on the clean source."""
+    renoised = (1.0 - sigma_next) * state["image"] + sigma_next * state["noise"]
+    return (1.0 - state["mask"]) * renoised + state["mask"] * latents
 
 
 def resolve_chain_dimensions(width: int, height: int, max_pixels: int = 4 * 1024 * 1024) -> Tuple[int, int]:
@@ -147,6 +169,35 @@ def _resize_rgb(img: np.ndarray, h: int, w: int) -> np.ndarray:
         return img[ys][:, xs]
 
 
+def _vlm_builder_from_pipeline(pipe):
+    """Wrap the pipeline's ALREADY-LOADED vision service as a VLMPromptBuilder.
+
+    Never auto-loads (``vlm_loader`` is deliberately not consulted): the
+    caller owns the VLM lifecycle, matching the reference's strictly-optional
+    semantics (Flux2MaskedInpaintingChain.swift:491-494 guards on
+    isQwen35VLMLoaded and warns instead of loading)."""
+    from flux2_tpu.chains.vlm_prompt import VLMPromptBuilder
+
+    vlm = getattr(pipe, "vlm", None)
+    if vlm is None:
+        return None
+    if hasattr(vlm, "chat"):  # Qwen35VLMService.chat(system, user, image=)
+        return VLMPromptBuilder(vlm_chat=lambda s, u, img: vlm.chat(s, u, image=np.asarray(img)))
+    if hasattr(vlm, "analyze_image"):  # MistralVLMService
+        return VLMPromptBuilder(
+            vlm_chat=lambda s, u, img: vlm.analyze_image(np.asarray(img), f"{s}\n\n{u}")
+        )
+    return None
+
+
+def _normalize_intent(intent):
+    from flux2_tpu.chains.vlm_prompt import InpaintIntent
+
+    if isinstance(intent, InpaintIntent):
+        return intent
+    return InpaintIntent(str(intent).replace("-", "_"))
+
+
 @dataclasses.dataclass
 class MaskedInpaintingChain:
     """RePaint inpainting over a Flux2Pipeline."""
@@ -166,8 +217,49 @@ class MaskedInpaintingChain:
     composite_on_original: bool = False
     max_pixels: int = 4 * 1024 * 1024
     embeddings: Optional[jnp.ndarray] = None  # precomputed conditioning
+    # Text-encoder-only prompt rewriting (does NOT look at the image); loses
+    # to enrich_prompt_with_vlm when both are set.
+    upsample_prompt: bool = False
+    # Opt-in image-aware prompt rewriting via an attached VLM. Strictly
+    # optional: falls back to the verbatim prompt with a warning when no VLM
+    # is loaded (Flux2MaskedInpaintingChain.swift:472-514).
+    enrich_prompt_with_vlm: bool = False
+    intent: object = "replace"  # InpaintIntent or its string value
+    vlm_builder: Optional[object] = None  # explicit VLMPromptBuilder override
+
+    def _resolve_final_prompt_and_upsample(self):
+        """(final prompt, downstream upsample flag) with the reference's
+        precedence: VLM enrichment wins over upsampling; missing/failing VLM
+        falls back to the caller's prompt + caller's upsample flag
+        (Flux2MaskedInpaintingChain.swift:486-514)."""
+        from flux2_tpu.utils import logging as flog
+
+        if not self.enrich_prompt_with_vlm:
+            return self.prompt, self.upsample_prompt
+        builder = self.vlm_builder or _vlm_builder_from_pipeline(self.pipeline)
+        if builder is None or not builder.is_loaded:
+            flog.warning(
+                "enrich_prompt_with_vlm=True but no VLM is loaded — falling "
+                "back to the caller's prompt (attach one to the pipeline or "
+                "pass vlm_builder= before run())"
+            )
+            return self.prompt, self.upsample_prompt
+        if self.upsample_prompt:
+            flog.warning(
+                "both enrich_prompt_with_vlm and upsample_prompt are set — "
+                "VLM wins (image-aware enrichment supersedes text-only upsampling)"
+            )
+        built = builder.build_inpaint_prompt(
+            _normalize_intent(self.intent), self.prompt, self.image
+        )
+        if not built:
+            flog.warning("VLM returned no prompt — falling back to the caller's prompt")
+            return self.prompt, self.upsample_prompt
+        flog.info(f"VLM-enriched inpaint prompt: {built}")
+        return built, False  # prompt already finalised; never double-process
 
     def run(self) -> GenerationResult:
+        final_prompt, use_upsample = self._resolve_final_prompt_and_upsample()
         work_image, work_mask = self.image, self.mask
         crop_rect = None
         if self.mask_crop_padding is not None:
@@ -201,12 +293,16 @@ class MaskedInpaintingChain:
         blend_key = jax.random.PRNGKey(self.seed)
         blend_noise = jax.random.normal(blend_key, image_latents.shape, jnp.float32)
 
-        img_lat = image_latents.astype(jnp.float32)
-        m = mask_latents.astype(jnp.float32)
-
-        def repaint_hook(latents, sigma, sigma_next, step_idx):
-            renoised = (1.0 - sigma_next) * img_lat + sigma_next * blend_noise
-            return (1.0 - m) * renoised + m * latents
+        # Structured hook: (module-level fn, traced state) — repeat calls at
+        # the same shape (different masks/images) reuse the compiled scan.
+        hook = (
+            repaint_step_hook,
+            {
+                "image": image_latents.astype(jnp.float32),
+                "mask": mask_latents.astype(jnp.float32),
+                "noise": blend_noise,
+            },
+        )
 
         ref_latents = ref_ids = None
         if self.reference_images:
@@ -215,7 +311,8 @@ class MaskedInpaintingChain:
             ref_latents, ref_ids = self.pipeline.encode_reference_images([work_image])
 
         result = self.pipeline.generate(
-            prompt=self.prompt,
+            prompt=final_prompt,
+            upsample=use_upsample and self.embeddings is None,
             embeddings=self.embeddings,
             height=target_h,
             width=target_w,
@@ -226,7 +323,7 @@ class MaskedInpaintingChain:
             reference_ids=ref_ids,
             strength=self.strength,
             init_latents=image_latents if self.strength < 1.0 else None,
-            step_hook=repaint_hook,
+            step_hook=hook,
         )
 
         if crop_rect is not None or self.composite_on_original:

@@ -86,6 +86,48 @@ class OutpaintingChain:
     transition_pixels: int = 32
     max_pixels: int = 4 * 1024 * 1024
     embeddings: Optional[object] = None
+    # Text-encoder-only rewriting (loses to enrich_prompt_with_vlm).
+    upsample_prompt: bool = False
+    # Opt-in image-aware rewriting: the VLM sees the ORIGINAL image and the
+    # extension sides, then writes a prompt continuing its materials/
+    # perspective/lighting into the strips. Strictly optional — warns and
+    # falls back when no VLM is loaded (Flux2OutpaintingChain.swift:238-264;
+    # enrichment resolves HERE, on the original image, and the inner inpaint
+    # chain runs with enrichment off so it is never double-processed).
+    enrich_prompt_with_vlm: bool = False
+    vlm_builder: Optional[object] = None
+
+    def _resolve_final_prompt_and_upsample(self):
+        from flux2_tpu.chains.inpaint import _vlm_builder_from_pipeline
+        from flux2_tpu.utils import logging as flog
+
+        if not self.enrich_prompt_with_vlm:
+            return self.prompt, self.upsample_prompt
+        builder = self.vlm_builder or _vlm_builder_from_pipeline(self.pipeline)
+        if builder is None or not builder.is_loaded:
+            flog.warning(
+                "enrich_prompt_with_vlm=True but no VLM is loaded — falling "
+                "back to the caller's prompt"
+            )
+            return self.prompt, self.upsample_prompt
+        if self.upsample_prompt:
+            flog.warning(
+                "both enrich_prompt_with_vlm and upsample_prompt are set — VLM wins"
+            )
+        sides = [
+            name
+            for name, pad in (
+                ("top", self.top), ("bottom", self.bottom),
+                ("left", self.left), ("right", self.right),
+            )
+            if pad > 0
+        ]
+        built = builder.build_outpaint_prompt(self.prompt, self.image, sides)
+        if not built:
+            flog.warning("VLM returned no prompt — falling back to the caller's prompt")
+            return self.prompt, self.upsample_prompt
+        flog.info(f"VLM-enriched outpaint prompt: {built}")
+        return built, False
 
     def run(self) -> GenerationResult:
         if min(self.top, self.bottom, self.left, self.right) < 0:
@@ -108,9 +150,12 @@ class OutpaintingChain:
         canvas = build_outpaint_canvas(self.image, t, b, l, r, self.seed)
         mask = build_smart_mask(canvas_h, canvas_w, l, t, w, h, self.transition_pixels)
 
+        final_prompt, use_upsample = self._resolve_final_prompt_and_upsample()
         inpaint = MaskedInpaintingChain(
             pipeline=self.pipeline,
-            prompt=self.prompt,
+            prompt=final_prompt,
+            upsample_prompt=use_upsample,
+            enrich_prompt_with_vlm=False,  # resolved above on the ORIGINAL image
             image=canvas,
             mask=mask,
             mask_convention=GRAYSCALE_WHITE_INPAINT,

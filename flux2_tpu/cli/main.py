@@ -469,6 +469,9 @@ def cmd_inpaint(args):
         use_image_as_reference=args.use_image_as_reference,
         max_pixels=args.max_pixels,
         embeddings=_embeddings_for(pipe, args),
+        upsample_prompt=getattr(args, "upsample_prompt", False),
+        enrich_prompt_with_vlm=getattr(args, "enrich_prompt_with_vlm", False),
+        intent=getattr(args, "intent", "replace"),
     )
     res = chain.run()
     _save_image(res.image, args.output)
@@ -491,6 +494,8 @@ def cmd_outpaint(args):
         seed=args.seed,
         max_pixels=args.max_pixels,
         embeddings=_embeddings_for(pipe, args),
+        upsample_prompt=getattr(args, "upsample_prompt", False),
+        enrich_prompt_with_vlm=getattr(args, "enrich_prompt_with_vlm", False),
     )
     res = chain.run()
     _save_image(res.image, args.output)
@@ -901,6 +906,27 @@ def main(argv: Optional[List[str]] = None) -> int:
         help="working-resolution cap in total pixels (inputs above it are "
         "Lanczos-downscaled to multiples of 32)",
     )
+    p.add_argument(
+        "--upsample-prompt", action="store_true",
+        help="text-encoder-only prompt rewriting (does NOT look at the image; "
+        "for image-aware rewriting use --enrich-prompt-with-vlm)",
+    )
+    p.add_argument(
+        "--enrich-prompt-with-vlm", action="store_true",
+        help="image-aware prompt rewriting via the attached VLM: rewrites "
+        "--prompt into a 30-80 word BFL-style prompt inheriting the source's "
+        "photographic identity. Strictly optional — falls back to --prompt "
+        "verbatim with a warning when no VLM is loaded; when both this and "
+        "--upsample-prompt are set, the VLM wins (InpaintCommand.swift:89-98)",
+    )
+    p.add_argument(
+        "--intent", default="replace",
+        choices=["replace", "remove", "modify", "change-scene"],
+        help="drives --enrich-prompt-with-vlm (ignored otherwise): replace = "
+        "swap object X for Y; remove = clear X, surface continues; modify = "
+        "keep X but change its look; change-scene = keep the subject, change "
+        "the scene around it (inverted mask)",
+    )
     p.set_defaults(fn=cmd_inpaint)
 
     p = sub.add_parser("outpaint", help="BFL-style outpainting")
@@ -913,6 +939,17 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument(
         "--max-pixels", type=int, default=4 * 1024 * 1024,
         help="canvas working-pixel cap (the canvas itself is never cropped)",
+    )
+    p.add_argument(
+        "--upsample-prompt", action="store_true",
+        help="text-encoder-only prompt rewriting (loses to --enrich-prompt-with-vlm)",
+    )
+    p.add_argument(
+        "--enrich-prompt-with-vlm", action="store_true",
+        help="image-aware prompt rewriting: the VLM sees --image and the "
+        "extension sides, then writes a prompt continuing its materials/"
+        "perspective/lighting into the new strips; warns and falls back to "
+        "--prompt when no VLM is loaded (OutpaintCommand.swift:56-60)",
     )
     p.set_defaults(fn=cmd_outpaint)
 

@@ -596,12 +596,21 @@ def forward_kv_cached(
     double_kv: Tuple[jnp.ndarray, jnp.ndarray],  # [L, B, H, S_ref, hd] x2
     single_kv: Tuple[jnp.ndarray, jnp.ndarray],
     guidance: Optional[jnp.ndarray] = None,
+    ring: Optional[tuple] = None,
 ) -> jnp.ndarray:
     """Steps 1+ of KV-cached denoising (Flux2Transformer.swift:459-546).
 
     Only [txt ; img] tokens run through the network; each attention inserts
     the cached post-RoPE reference K/V between the txt and img segments
     (Flux2Attention.swift:390-404) — ~2.66x faster multi-reference I2I.
+
+    ``ring=(mesh, axis)``: sequence-parallel ring attention. Unlike the
+    extract pass (whose blocked-span mask the ring cannot express), the
+    cached steps are unmasked, so context parallelism composes with the KV
+    cache: queries shard over the [txt;img] axis and the concatenated
+    [txt ; cached-ref ; img] K/V rotate on the ICI ring. Requires both the
+    query token count and query+S_ref to divide the axis size (per-shape
+    dense fallback otherwise, see ops.attention.sdpa).
     """
     nh = config.num_attention_heads
     s_txt = encoder_hidden_states.shape[1]
@@ -609,6 +618,8 @@ def forward_kv_cached(
     img, txt, temb, img_mod, txt_mod, single_mod = _prelude(
         params, config, hidden_states, encoder_hidden_states, timestep, guidance
     )
+    img = _seq_shard(img, ring)
+    txt = _seq_shard(txt, ring)
     rope_cos = rope_cos.astype(jnp.float32)
     rope_sin = rope_sin.astype(jnp.float32)
 
@@ -616,23 +627,24 @@ def forward_kv_cached(
         i, t = carry
         bp, ck, cv = inp
         i, t = double_block(
-            bp, i, t, img_mod, txt_mod, rope_cos, rope_sin, nh, extra_kv=(ck, cv)
+            bp, i, t, img_mod, txt_mod, rope_cos, rope_sin, nh, extra_kv=(ck, cv),
+            ring=ring,
         )
-        return (i, t), None
+        return (_seq_shard(i, ring), _seq_shard(t, ring)), None
 
     (img, txt), _ = jax.lax.scan(
         double_body, (img, txt), (params["double_blocks"], double_kv[0], double_kv[1])
     )
 
-    x = jnp.concatenate([txt, img], axis=1)
+    x = _seq_shard(jnp.concatenate([txt, img], axis=1), ring)
 
     def single_body(carry, inp):
         bp, ck, cv = inp
         out = single_block(
             bp, carry, single_mod, rope_cos, rope_sin, nh,
-            extra_kv=(ck, cv), txt_len=s_txt,
+            extra_kv=(ck, cv), txt_len=s_txt, ring=ring,
         )
-        return out, None
+        return _seq_shard(out, ring), None
 
     x, _ = jax.lax.scan(single_body, x, (params["single_blocks"], single_kv[0], single_kv[1]))
 

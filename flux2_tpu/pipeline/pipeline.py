@@ -41,9 +41,36 @@ from flux2_tpu.ops import latents as lu
 from flux2_tpu.ops import scheduler as sch
 from flux2_tpu.ops.rope import rope_embeddings
 
-# A step hook mutates the latent sequence inside the compiled scan:
-#   hook(latents_seq [B,S,128], sigma, sigma_next, step_index) -> latents_seq
+# A step hook mutates the latent sequence inside the compiled scan — the
+# functional form of the reference's Flux2StepHook (Flux2Pipeline.swift:42-64).
+# Two accepted shapes:
+#   - STRUCTURED (compile-once): a ``(fn, state)`` pair where ``fn`` is a
+#     module-level function ``fn(state, latents_seq, sigma, sigma_next,
+#     step_index) -> latents_seq`` and ``state`` is a pytree of arrays. The
+#     state rides as a TRACED jit operand, so calling with different state
+#     (e.g. a new inpaint mask at the same shape) reuses the compiled scan —
+#     and the arrays are real jit inputs, not multi-MB HLO constants.
+#   - LEGACY: a bare callable ``hook(latents_seq, sigma, sigma_next,
+#     step_index)``; its identity is a jit static arg, so each new closure
+#     recompiles (kept for ad-hoc experimentation only).
 StepHook = Callable[[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray], jnp.ndarray]
+
+
+def _normalize_hook(step_hook):
+    """Split the public ``step_hook`` arg into (static fn, traced state)."""
+    if step_hook is None:
+        return None, None
+    if isinstance(step_hook, tuple):
+        if len(step_hook) != 2 or not callable(step_hook[0]):
+            raise TypeError("structured step_hook must be (fn, state_pytree)")
+        return step_hook
+    return step_hook, None
+
+
+def _apply_hook(hook, hook_state, lat, sigma, sigma_next, step_idx):
+    if hook_state is not None:
+        return hook(hook_state, lat, sigma, sigma_next, step_idx)
+    return hook(lat, sigma, sigma_next, step_idx)
 
 
 class GenerationCancelled(RuntimeError):
@@ -413,6 +440,7 @@ class Flux2Pipeline:
             self._cancel_cell = cell
         cell.current = cancel
         progress_cb = _make_progress_cb(on_progress, schedule.num_steps, cell, on_latents)
+        hook_fn, hook_state = _normalize_hook(step_hook)
         try:
           with mesh_ctx:
             if reference_latents is not None and self.model.supports_kv_cache:
@@ -439,9 +467,11 @@ class Flux2Pipeline:
                   sin_c,
                   reference_latents,
                   self.model.uses_guidance_embeds,
-                  step_hook,
+                  hook_fn,
+                  hook_state,
                   progress_cb,
                   checkpoint_interval if collect else None,
+                  self.ring,
               )
               if collect:
                   final_seq, intermediates = final_seq
@@ -461,7 +491,8 @@ class Flux2Pipeline:
                   cos,
                   sin,
                   reference_latents,
-                  step_hook,
+                  hook_fn,
+                  hook_state,
                   self.model.uses_guidance_embeds,
                   self.model.uses_classical_cfg,
                   progress_cb,
@@ -615,8 +646,9 @@ def _denoise(
     rope_sin: jnp.ndarray,
     reference_latents: Optional[jnp.ndarray],  # [B, S_ref, 128] or None
     hook: Optional[StepHook],
-    use_guidance_embeds: bool,
-    use_cfg: bool,
+    hook_state=None,  # TRACED pytree for structured hooks (compile-once)
+    use_guidance_embeds: bool = False,
+    use_cfg: bool = False,
     progress_cb=None,
     collect_every: Optional[int] = None,
     ring=None,  # (Mesh, axis) -> sequence-parallel ring attention in every block
@@ -666,7 +698,7 @@ def _denoise(
         v = model_fn(lat, sigma)
         lat = sch.euler_step(lat, v, sigma, sigma_next)
         if hook is not None:
-            lat = hook(lat, sigma, sigma_next, step_idx)
+            lat = _apply_hook(hook, hook_state, lat, sigma, sigma_next, step_idx)
         if progress_cb is not None:
             if getattr(progress_cb, "wants_latents", False):
                 # live previews: ship the step's packed latents to the host
@@ -690,7 +722,9 @@ def _denoise(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("config", "use_guidance_embeds", "hook", "progress_cb", "collect_every"),
+    static_argnames=(
+        "config", "use_guidance_embeds", "hook", "progress_cb", "collect_every", "ring",
+    ),
 )
 def _denoise_kv_cached(
     params,
@@ -706,16 +740,22 @@ def _denoise_kv_cached(
     reference_latents: jnp.ndarray,
     use_guidance_embeds: bool,
     hook=None,
+    hook_state=None,  # TRACED pytree for structured hooks (compile-once)
     progress_cb=None,
     collect_every: Optional[int] = None,
+    ring=None,  # (Mesh, axis): sequence-parallel ring attention for steps 1+
 ):
     """klein-9b-kv denoising: extract at step 0, reuse the cache for 1+.
 
     Feature parity with the standard scan: per-step hook, progress callback,
     every-Nth checkpoint-latent collection. Classical CFG is structurally
-    N/A (klein-9b-kv is a distilled variant — Flux2Config.swift:169-204) and
-    ring attention falls back to dense (the extract pass needs the
-    blocked-span mask, which the ring path cannot express)."""
+    N/A (klein-9b-kv is a distilled variant — Flux2Config.swift:169-204).
+    ``ring`` composes context parallelism with the KV cache: the EXTRACT
+    step runs dense (its blocked-span mask is incompatible with the ring),
+    but steps 1+ are unmasked, so the cached path shards the [txt;img]
+    token axis and rotates [txt;cached-ref;img] K/V around the ICI ring —
+    the two long-sequence mechanisms stack exactly where sequences are
+    longest (multi-reference I2I)."""
     from flux2_tpu.models.flux2 import transformer as _tfm
 
     b = latents_seq.shape[0]
@@ -756,7 +796,7 @@ def _denoise_kv_cached(
     )
     lat = sch.euler_step(latents_seq, v0.astype(jnp.float32), sigma0, sigma0_next)
     if hook is not None:
-        lat = hook(lat, sigma0, sigma0_next, jnp.int32(0))
+        lat = _apply_hook(hook, hook_state, lat, sigma0, sigma0_next, jnp.int32(0))
     if progress_cb is not None:
         if getattr(progress_cb, "wants_latents", False):
             jax.experimental.io_callback(progress_cb, None, jnp.int32(0), lat, ordered=True)
@@ -771,10 +811,11 @@ def _denoise_kv_cached(
         v = _tfm.forward_kv_cached(
             params, config, lat.astype(dtype), embeddings, t,
             rope_cos_cached, rope_sin_cached, dkv, skv, guidance=g_of(sigma),
+            ring=ring,
         )
         lat = sch.euler_step(lat, v.astype(jnp.float32), sigma, sigma_next)
         if hook is not None:
-            lat = hook(lat, sigma, sigma_next, step_idx)
+            lat = _apply_hook(hook, hook_state, lat, sigma, sigma_next, step_idx)
         if progress_cb is not None:
             if getattr(progress_cb, "wants_latents", False):
                 jax.experimental.io_callback(progress_cb, None, step_idx, lat, ordered=True)

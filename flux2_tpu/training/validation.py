@@ -51,8 +51,11 @@ class ValidationPrompt:
             return cls(prompt=p)
         if isinstance(p, dict):
             size = p.get("size")
-            is512 = p.get("is512")
-            is1024 = p.get("is1024")
+            # the reference YAML spells these is_512/is_1024
+            # (TrainingConfigYAML.swift YAMLValidationPrompt CodingKeys);
+            # both spellings are accepted here
+            is512 = p.get("is_512", p.get("is512"))
+            is1024 = p.get("is_1024", p.get("is1024"))
             if size is None and (is512 or is1024):
                 size = 1024 if is1024 else 512
             return cls(
@@ -62,7 +65,7 @@ class ValidationPrompt:
                 seed=p.get("seed"),
                 apply_trigger=bool(p.get("apply_trigger", True)),
                 reference=p.get("reference") or p.get("reference_image"),
-                vlm_generated=bool(p.get("vlm_generated", False)),
+                vlm_generated=bool(p.get("is_vlm_generated", p.get("vlm_generated", False))),
             )
         raise TypeError(f"validation prompt must be str|dict, got {type(p)}")
 
@@ -77,6 +80,7 @@ class ValidationConfig:
     height: int = 512
     steps: int = 4
     seed: int = 1234
+    guidance: Optional[float] = None  # None -> model default
     trigger_word: Optional[str] = None  # applied when prompt.apply_trigger
 
 
@@ -93,25 +97,56 @@ class ValidationRecord:
 
 
 class ValidationTracker:
-    """Best-checkpoint tracking + early stopping over validation scores."""
+    """Best-checkpoint tracking + early stopping over validation scores.
 
-    def __init__(self, patience: int = 3):
+    ``patience <= 0`` disables early stopping (best tracking continues).
+    ``scene_weight`` weights the combined score 2*(w*scene + (1-w)*style)
+    (YAMLVLMScoringConfig.sceneWeight; w=0.5 == scene+style).
+    ``min_delta``: a pass only counts as improving when it beats the best by
+    this much. ``degradation_threshold`` > 0: stop immediately when the mean
+    falls that far below the best (catastrophic-forgetting guard)."""
+
+    def __init__(
+        self,
+        patience: int = 3,
+        scene_weight: float = 0.5,
+        min_delta: float = 0.0,
+        degradation_threshold: float = 0.0,
+    ):
         self.patience = patience
+        self.scene_weight = scene_weight
+        self.min_delta = min_delta
+        self.degradation_threshold = degradation_threshold
         self.records: List[ValidationRecord] = []
         self.best_step: Optional[int] = None
         self.best_score: float = float("-inf")
         self._non_improving = 0
 
+    def combined(self, r: ValidationRecord) -> float:
+        w = self.scene_weight
+        return 2.0 * (w * r.scene + (1.0 - w) * r.style)
+
+    def mean_combined(self, scores: Sequence[ValidationRecord]) -> float:
+        return float(np.mean([self.combined(r) for r in scores])) if scores else 0.0
+
     def record(self, step: int, scores: Sequence[ValidationRecord]) -> bool:
         """Returns True when training should early-stop."""
         self.records.extend(scores)
-        mean = float(np.mean([r.combined for r in scores])) if scores else 0.0
-        if mean > self.best_score:
+        mean = self.mean_combined(scores)
+        if mean > self.best_score + (self.min_delta if self.best_step is not None else 0.0):
             self.best_score = mean
             self.best_step = step
             self._non_improving = 0
         else:
             self._non_improving += 1
+        if self.patience <= 0:
+            return False
+        if (
+            self.degradation_threshold > 0.0
+            and self.best_step is not None
+            and self.best_score - mean > self.degradation_threshold
+        ):
+            return True
         return self._non_improving >= self.patience
 
     @property
@@ -127,9 +162,12 @@ class ValidationTracker:
         feeds to the tracker — including them would make 'best' a bar the
         LoRA may never clear (and step 0 has no checkpoint dir to copy)."""
         per_step: dict = {}
+        w = self.scene_weight
         for r in validation_scores:
             if r["step"] > 0:
-                per_step.setdefault(r["step"], []).append(r["scene"] + r["style"])
+                per_step.setdefault(r["step"], []).append(
+                    2.0 * (w * r["scene"] + (1.0 - w) * r["style"])
+                )
         if per_step:
             best = max(per_step, key=lambda s: float(np.mean(per_step[s])))
             self.best_step = best
@@ -191,6 +229,7 @@ def run_validation(
                 height=vp.height or config.height,
                 width=vp.width or config.width,
                 num_steps=config.steps,
+                guidance=config.guidance,
                 seed=(vp.seed if vp.seed is not None else config.seed + pi * 100) + vi,
                 **ref_kw,
             )

