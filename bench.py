@@ -165,6 +165,205 @@ def _device_watchdog(timeout_s: float = 180.0):
         os._exit(2)
 
 
+def _section_gc():
+    """Hard section boundary: drop caches AND cycles so a failed section's
+    device buffers are actually freed before the next allocates (an OOM'd
+    16 GiB tree kept alive by a traceback poisons every later row)."""
+    import gc
+
+    jax.clear_caches()
+    gc.collect()
+
+
+def _bench_dev32b(rows, cfg, tfm):
+    """Dev-32B W4A8 per-step (VERDICT r4: measure Dev on the chip that
+    exists). W4A8 weights are ~15.5 GiB — right at one v5e's 16 GiB HBM, so
+    the full-depth model is attempted first and, if it doesn't fit, a
+    quarter-depth Dev slice (2 double + 12 single, same 6144 width / 48
+    heads / 15360 joint dim) is MEASURED and the full-depth step
+    extrapolated as 4x the sliced per-layer cost. Reference: ~63 s/step
+    (1758.6 s / 28, quantization-benchmark/README.md:39)."""
+    ref_step = 1758.6 / 28
+    try:
+        params_dev = _random_w4a8_params(cfg.FLUX2_DEV)
+        sec_dev = _steps_per_sec(cfg.FLUX2_DEV, params_dev, n=2)
+        rows["dev32b_step_w4a8"] = {
+            "value": round(sec_dev, 4),
+            "unit": "s/step",
+            "vs_baseline": round(ref_step / sec_dev, 2),
+        }
+        return
+    except Exception as e:  # pragma: no cover - HBM-dependent
+        rows["dev32b_step_w4a8"] = {"error": str(e)[:120]}
+    _section_gc()  # free the failed full-depth tree before the slice
+    try:
+        import dataclasses as _dc
+
+        dev_slice = _dc.replace(cfg.FLUX2_DEV, num_layers=2, num_single_layers=12)
+        params_ds = _random_w4a8_params(dev_slice)
+        sec_ds = _steps_per_sec(dev_slice, params_ds, n=2)
+        sec_full = sec_ds * 4  # block cost dominates; embedders amortize
+        rows["dev32b_step_w4a8_quarter_depth"] = {
+            "value": round(sec_ds, 4),
+            "unit": "s/step",
+            "vs_baseline": None,
+            "note": "2/8 double + 12/48 single blocks at full Dev width (measured)",
+            "extrapolated_full_depth_s": round(sec_full, 4),
+            "extrapolated_vs_baseline": round(ref_step / sec_full, 2),
+        }
+    except Exception as e2:  # pragma: no cover
+        rows["dev32b_step_w4a8_quarter_depth"] = {"error": str(e2)[:120]}
+
+
+def _bench_mistral24b_encode(rows):
+    """Mistral-24B-shape conditioning encoder (Dev's encoder: 40 x 5120,
+    MistralModel.swift:13): jitted hidden-state extraction over LEFT-pad 512
+    tokens, W8A8 runtime. The reference has no encoder-only row (its Dev e2e
+    folds it in), so vs_baseline is null — this pins the other half of the
+    Dev e2e sum."""
+    try:
+        from flux2_tpu.models.text_encoders import config as tenc_cfg
+        from flux2_tpu.models.text_encoders import decoder as dec
+
+        mparams = _random_w8a8_decoder(tenc_cfg.MISTRAL_SMALL_3_2)
+        toks = jnp.ones((1, 512), jnp.int32)
+        mask = jnp.ones((1, 512), jnp.int32)
+        # the REAL conditioning path (extract_hidden_layers is jitted with
+        # static cfg/layers — one program, one dispatch)
+        dec.extract_hidden_layers(
+            mparams, tenc_cfg.MISTRAL_SMALL_3_2, toks, mask, (10, 20, 30)
+        ).block_until_ready()
+        t0 = time.perf_counter()
+        for _ in range(4):
+            out_e = dec.extract_hidden_layers(
+                mparams, tenc_cfg.MISTRAL_SMALL_3_2, toks, mask, (10, 20, 30)
+            )
+        out_e.block_until_ready()
+        rows["mistral24b_encode_512tok_w8a8"] = {
+            "value": round((time.perf_counter() - t0) / 4, 4),
+            "unit": "s",
+            "vs_baseline": None,
+        }
+    except Exception as e:  # pragma: no cover - HBM-dependent
+        rows["mistral24b_encode_512tok_w8a8"] = {"error": str(e)[:120]}
+
+
+def _bench_klein9b_kv(rows, cfg, tfm):
+    """klein-9b-kv: cached vs standard multi-reference I2I per-step (VERDICT
+    r4: quantify the KV path on TPU; reference documents ~2.66x,
+    Flux2Pipeline.swift:1559). 1024^2 output + 1024^2 reference: standard
+    re-runs all [txt; ref; img] tokens every step; cached runs [txt; img]
+    queries against cached post-RoPE reference K/V."""
+    try:
+        from flux2_tpu.ops import latents as lu
+        from flux2_tpu.ops.rope import rope_embeddings
+
+        params9kv = _random_w8a8_params(cfg.KLEIN_9B)
+        h = w = 1024
+        s_img, s_txt = (h // 16) * (w // 16), 512
+        hidden = jax.random.normal(jax.random.PRNGKey(1), (1, s_img, 128), jnp.bfloat16)
+        ref_lat = jax.random.normal(jax.random.PRNGKey(2), (1, s_img, 128), jnp.bfloat16)
+        txt = jax.random.normal(
+            jax.random.PRNGKey(3), (1, s_txt, cfg.KLEIN_9B.joint_attention_dim), jnp.bfloat16
+        )
+        t_in = jnp.array([0.5], jnp.float32)
+        ids_full = np.concatenate(
+            [lu.text_position_ids(s_txt),
+             lu.reference_image_position_ids([h // 16], [w // 16]),
+             lu.image_position_ids(h, w)], axis=0)
+        cos_f, sin_f = rope_embeddings(jnp.asarray(ids_full))
+        ids_qo = np.concatenate([lu.text_position_ids(s_txt), lu.image_position_ids(h, w)], axis=0)
+        cos_q, sin_q = rope_embeddings(jnp.asarray(ids_qo))
+
+        @jax.jit
+        def std_step(p, hid, ref, t):
+            full = jnp.concatenate([ref, hid], axis=1)
+            out = tfm.forward(p, cfg.KLEIN_9B, full, txt, t, cos_f, sin_f)
+            return out[:, ref.shape[1]:]
+
+        @jax.jit
+        def extract(p, hid, ref, t):
+            return tfm.forward_kv_extract(p, cfg.KLEIN_9B, hid, ref, txt, t, cos_f, sin_f)
+
+        @jax.jit
+        def cached_step(p, hid, t, dkv, skv):
+            return tfm.forward_kv_cached(p, cfg.KLEIN_9B, hid, txt, t, cos_q, sin_q, dkv, skv)
+
+        std_step(params9kv, hidden, ref_lat, t_in).block_until_ready()
+        t0 = time.perf_counter()
+        out_s = hidden
+        for _ in range(3):
+            out_s = std_step(params9kv, out_s, ref_lat, t_in)
+        out_s.block_until_ready()
+        sec_std = (time.perf_counter() - t0) / 3
+
+        _, dkv, skv = extract(params9kv, hidden, ref_lat, t_in)
+        jax.block_until_ready(dkv)
+        cached_step(params9kv, hidden, t_in, dkv, skv).block_until_ready()
+        t0 = time.perf_counter()
+        out_c = hidden
+        for _ in range(3):
+            out_c = cached_step(params9kv, out_c, t_in, dkv, skv)
+        out_c.block_until_ready()
+        sec_cached = (time.perf_counter() - t0) / 3
+
+        rows["klein9bkv_i2i_step_cached_vs_std"] = {
+            "value": round(sec_cached, 4),
+            "unit": "s/step",
+            "std_step_s": round(sec_std, 4),
+            "speedup": round(sec_std / sec_cached, 2),
+            "vs_baseline": round((sec_std / sec_cached) / 2.66, 2),
+        }
+    except Exception as e:  # pragma: no cover - HBM-dependent
+        rows["klein9bkv_i2i_step_cached_vs_std"] = {"error": str(e)[:120]}
+
+
+def _bench_lora_train(rows, cfg, tfm):
+    """Klein-4B LoRA train step (rank 32, 512px, bs=1, remat). Reference:
+    lion-vs-adamw AdamW run = 2h36m45s / 500 = 18.8 s/step
+    (docs/examples/lora-training lion-vs-adamw). The unmerged-LoRA step
+    compiles in minutes (base params are operands, not HLO constants)."""
+    try:
+        from flux2_tpu.ops import latents as lu
+        from flux2_tpu.ops.rope import rope_embeddings
+        from flux2_tpu.training import trainer
+
+        base4 = tfm.init_params(jax.random.PRNGKey(0), cfg.KLEIN_4B, dtype=jnp.bfloat16)
+        tc = trainer.TrainConfig(
+            rank=32, alpha=32.0, optimizer="adamw", timestep_sampling="balanced",
+            loss_weighting="bell", remat=True,
+        )
+        state, opt = trainer.init_train_state(jax.random.PRNGKey(1), base4, tc)
+        step_fn = trainer.make_train_step(base4, cfg.KLEIN_4B, tc, opt)
+        h = w = 512
+        s_img, s_txt = (h // 16) * (w // 16), 512
+        ids = np.concatenate([lu.text_position_ids(s_txt), lu.image_position_ids(h, w)], axis=0)
+        cos, sin = rope_embeddings(jnp.asarray(ids))
+        batch = {
+            "latents": jax.random.normal(jax.random.PRNGKey(2), (1, s_img, 128)),
+            "embeddings": jax.random.normal(
+                jax.random.PRNGKey(3), (1, s_txt, cfg.KLEIN_4B.joint_attention_dim)
+            ),
+            "rope_cos": cos, "rope_sin": sin,
+        }
+        key = jax.random.PRNGKey(5)
+        lora, ost, m = step_fn(state.lora, state.opt_state, batch, key)
+        jax.block_until_ready(m["loss"])  # compile + first step
+        t0 = time.perf_counter()
+        for _ in range(5):
+            key, k = jax.random.split(key)
+            lora, ost, m = step_fn(lora, ost, batch, k)
+        jax.block_until_ready(m["loss"])
+        sec_train = (time.perf_counter() - t0) / 5
+        rows["klein4b_lora_train_step_512px"] = {
+            "value": round(sec_train, 4),
+            "unit": "s/step",
+            "vs_baseline": round(18.8 / sec_train, 2),
+        }
+    except Exception as e:  # pragma: no cover - HBM-dependent
+        rows["klein4b_lora_train_step_512px"] = {"error": str(e)[:120]}
+
+
 def main():
     from flux2_tpu.cli.main import _enable_compile_cache
 
@@ -305,194 +504,15 @@ def main():
         rows["klein9b_step_w8a8"] = {"error": str(e)[:120]}
     jax.clear_caches()
 
-    # --- Dev-32B W4A8 per-step (VERDICT r4: measure Dev on the chip that
-    # exists). W4A8 weights are ~15.5 GiB — right at one v5e's 16 GiB HBM,
-    # so the full-depth model is attempted first and, if it doesn't fit, a
-    # quarter-depth Dev slice (2 double + 12 single, same 6144 width / 48
-    # heads / 15360 joint dim) is MEASURED and the full-depth step
-    # extrapolated as 4x the sliced per-layer cost. Reference: ~63 s/step
-    # (1758.6 s / 28, quantization-benchmark/README.md:39). ---
-    REF_DEV32B_STEP = 1758.6 / 28
-    try:
-        params_dev = _random_w4a8_params(cfg.FLUX2_DEV)
-        sec_dev = _steps_per_sec(cfg.FLUX2_DEV, params_dev, n=2)
-        rows["dev32b_step_w4a8"] = {
-            "value": round(sec_dev, 4),
-            "unit": "s/step",
-            "vs_baseline": round(REF_DEV32B_STEP / sec_dev, 2),
-        }
-        del params_dev
-    except Exception as e:  # pragma: no cover - HBM-dependent
-        rows["dev32b_step_w4a8"] = {"error": str(e)[:120]}
-        try:
-            import dataclasses as _dc
-
-            dev_slice = _dc.replace(cfg.FLUX2_DEV, num_layers=2, num_single_layers=12)
-            params_ds = _random_w4a8_params(dev_slice)
-            sec_ds = _steps_per_sec(dev_slice, params_ds, n=2)
-            sec_full = sec_ds * 4  # block cost dominates; embedders amortize
-            rows["dev32b_step_w4a8_quarter_depth"] = {
-                "value": round(sec_ds, 4),
-                "unit": "s/step",
-                "vs_baseline": None,
-                "note": "2/8 double + 12/48 single blocks at full Dev width (measured)",
-                "extrapolated_full_depth_s": round(sec_full, 4),
-                "extrapolated_vs_baseline": round(REF_DEV32B_STEP / sec_full, 2),
-            }
-            del params_ds
-        except Exception as e2:  # pragma: no cover
-            rows["dev32b_step_w4a8_quarter_depth"] = {"error": str(e2)[:120]}
-    jax.clear_caches()
-
-    # --- Mistral-24B-shape conditioning encoder (Dev's encoder: 40 x 5120,
-    # MistralModel.swift:13): hidden-state extraction forward over LEFT-pad
-    # 512 tokens, W8A8 runtime. The reference has no encoder-only row (its
-    # Dev e2e folds it in), so vs_baseline is null — this pins the other
-    # half of the Dev e2e sum. ---
-    try:
-        from flux2_tpu.models.text_encoders import config as tenc_cfg
-        from flux2_tpu.models.text_encoders import decoder as dec
-
-        mparams = _random_w8a8_decoder(tenc_cfg.MISTRAL_SMALL_3_2)
-        toks = jnp.ones((1, 512), jnp.int32)
-        mask = jnp.ones((1, 512), jnp.int32)
-
-        @jax.jit
-        def encode(p, t, m):
-            hs = dec.forward_hidden_states(p, tenc_cfg.MISTRAL_SMALL_3_2, t, m)
-            # BFL conditioning concatenates hidden layers [10, 20, 30]
-            # (extractor.py) — index them so the scan output is consumed
-            return jnp.concatenate([hs[10], hs[20], hs[30]], axis=-1)
-
-        encode(mparams, toks, mask).block_until_ready()
-        t0 = time.perf_counter()
-        for _ in range(4):
-            out_e = encode(mparams, toks, mask)
-        out_e.block_until_ready()
-        rows["mistral24b_encode_512tok_w8a8"] = {
-            "value": round((time.perf_counter() - t0) / 4, 4),
-            "unit": "s",
-            "vs_baseline": None,
-        }
-        del mparams
-    except Exception as e:  # pragma: no cover - HBM-dependent
-        rows["mistral24b_encode_512tok_w8a8"] = {"error": str(e)[:120]}
-    jax.clear_caches()
-
-    # --- klein-9b-kv: cached vs standard multi-reference I2I per-step
-    # (VERDICT r4: quantify the KV path on TPU; reference documents ~2.66x,
-    # Flux2Pipeline.swift:1559). 1024^2 output + 1024^2 reference: standard
-    # re-runs all [txt; ref; img] tokens every step; cached runs [txt; img]
-    # queries against cached post-RoPE reference K/V. ---
-    try:
-        from flux2_tpu.ops import latents as lu
-        from flux2_tpu.ops.rope import rope_embeddings
-
-        params9kv = _random_w8a8_params(cfg.KLEIN_9B)
-        h = w = 1024
-        s_img, s_txt = (h // 16) * (w // 16), 512
-        hidden = jax.random.normal(jax.random.PRNGKey(1), (1, s_img, 128), jnp.bfloat16)
-        ref_lat = jax.random.normal(jax.random.PRNGKey(2), (1, s_img, 128), jnp.bfloat16)
-        txt = jax.random.normal(
-            jax.random.PRNGKey(3), (1, s_txt, cfg.KLEIN_9B.joint_attention_dim), jnp.bfloat16
-        )
-        t_in = jnp.array([0.5], jnp.float32)
-        ids_full = np.concatenate(
-            [lu.text_position_ids(s_txt),
-             lu.reference_image_position_ids([h // 16], [w // 16]),
-             lu.image_position_ids(h, w)], axis=0)
-        cos_f, sin_f = rope_embeddings(jnp.asarray(ids_full))
-        ids_qo = np.concatenate([lu.text_position_ids(s_txt), lu.image_position_ids(h, w)], axis=0)
-        cos_q, sin_q = rope_embeddings(jnp.asarray(ids_qo))
-
-        @jax.jit
-        def std_step(p, hid, ref, t):
-            full = jnp.concatenate([ref, hid], axis=1)
-            out = tfm.forward(p, cfg.KLEIN_9B, full, txt, t, cos_f, sin_f)
-            return out[:, ref.shape[1]:]
-
-        @jax.jit
-        def extract(p, hid, ref, t):
-            return tfm.forward_kv_extract(p, cfg.KLEIN_9B, hid, ref, txt, t, cos_f, sin_f)
-
-        @jax.jit
-        def cached_step(p, hid, t, dkv, skv):
-            return tfm.forward_kv_cached(p, cfg.KLEIN_9B, hid, txt, t, cos_q, sin_q, dkv, skv)
-
-        std_step(params9kv, hidden, ref_lat, t_in).block_until_ready()
-        t0 = time.perf_counter()
-        out_s = hidden
-        for _ in range(3):
-            out_s = std_step(params9kv, out_s, ref_lat, t_in)
-        out_s.block_until_ready()
-        sec_std = (time.perf_counter() - t0) / 3
-
-        _, dkv, skv = extract(params9kv, hidden, ref_lat, t_in)
-        jax.block_until_ready(dkv)
-        cached_step(params9kv, hidden, t_in, dkv, skv).block_until_ready()
-        t0 = time.perf_counter()
-        out_c = hidden
-        for _ in range(3):
-            out_c = cached_step(params9kv, out_c, t_in, dkv, skv)
-        out_c.block_until_ready()
-        sec_cached = (time.perf_counter() - t0) / 3
-
-        rows["klein9bkv_i2i_step_cached_vs_std"] = {
-            "value": round(sec_cached, 4),
-            "unit": "s/step",
-            "std_step_s": round(sec_std, 4),
-            "speedup": round(sec_std / sec_cached, 2),
-            "vs_baseline": round(2.66 / (sec_std / sec_cached), 2),
-        }
-        del params9kv, dkv, skv
-    except Exception as e:  # pragma: no cover - HBM-dependent
-        rows["klein9bkv_i2i_step_cached_vs_std"] = {"error": str(e)[:120]}
-    jax.clear_caches()
-
-    # --- Klein-4B LoRA train step (rank 32, 512px, bs=1, remat) ---
-    # Reference: lion-vs-adamw AdamW run = 2h36m45s / 500 = 18.8 s/step
-    # (docs/examples/lora-training lion-vs-adamw). The unmerged-LoRA step
-    # compiles in minutes (base params are operands, not HLO constants).
-    try:
-        from flux2_tpu.ops import latents as lu
-        from flux2_tpu.ops.rope import rope_embeddings
-        from flux2_tpu.training import trainer
-
-        base4 = tfm.init_params(jax.random.PRNGKey(0), cfg.KLEIN_4B, dtype=jnp.bfloat16)
-        tc = trainer.TrainConfig(
-            rank=32, alpha=32.0, optimizer="adamw", timestep_sampling="balanced",
-            loss_weighting="bell", remat=True,
-        )
-        state, opt = trainer.init_train_state(jax.random.PRNGKey(1), base4, tc)
-        step_fn = trainer.make_train_step(base4, cfg.KLEIN_4B, tc, opt)
-        h = w = 512
-        s_img, s_txt = (h // 16) * (w // 16), 512
-        ids = np.concatenate([lu.text_position_ids(s_txt), lu.image_position_ids(h, w)], axis=0)
-        cos, sin = rope_embeddings(jnp.asarray(ids))
-        batch = {
-            "latents": jax.random.normal(jax.random.PRNGKey(2), (1, s_img, 128)),
-            "embeddings": jax.random.normal(
-                jax.random.PRNGKey(3), (1, s_txt, cfg.KLEIN_4B.joint_attention_dim)
-            ),
-            "rope_cos": cos, "rope_sin": sin,
-        }
-        key = jax.random.PRNGKey(5)
-        lora, ost, m = step_fn(state.lora, state.opt_state, batch, key)
-        jax.block_until_ready(m["loss"])  # compile + first step
-        t0 = time.perf_counter()
-        for _ in range(5):
-            key, k = jax.random.split(key)
-            lora, ost, m = step_fn(lora, ost, batch, k)
-        jax.block_until_ready(m["loss"])
-        sec_train = (time.perf_counter() - t0) / 5
-        rows["klein4b_lora_train_step_512px"] = {
-            "value": round(sec_train, 4),
-            "unit": "s/step",
-            "vs_baseline": round(18.8 / sec_train, 2),
-        }
-        del base4, state, lora, ost
-    except Exception as e:  # pragma: no cover - HBM-dependent
-        rows["klein4b_lora_train_step_512px"] = {"error": str(e)[:120]}
+    _bench_mistral24b_encode(rows)
+    _section_gc()
+    _bench_klein9b_kv(rows, cfg, tfm)
+    _section_gc()
+    _bench_lora_train(rows, cfg, tfm)
+    _section_gc()
+    # Dev-32B runs LAST: its W4A8 weights (~15.5 GiB) sit exactly at one
+    # v5e's HBM, so an OOM here must not be able to poison any other row.
+    _bench_dev32b(rows, cfg, tfm)
 
     print(
         json.dumps(

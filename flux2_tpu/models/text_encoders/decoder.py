@@ -25,6 +25,8 @@ from __future__ import annotations
 
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -222,6 +224,7 @@ def forward_hidden_states(
     return jnp.concatenate([x[None], ys], axis=0)  # [L+1, B, S, H]
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "layer_indices"))
 def extract_hidden_layers(
     params: Params,
     cfg: DecoderConfig,
@@ -232,6 +235,12 @@ def extract_hidden_layers(
     """Concatenate the given hidden-state layers along the feature axis.
 
     [B, S, len(layers) * H] — the FLUX.2 DiT conditioning tensor.
+
+    Jitted as ONE program (cfg/layer_indices static): the conditioning
+    encode is a per-`generate` hot path, and tracing it eagerly paid a
+    host->device dispatch per op through the tunneled runtime — measured
+    1.98 s for a 512-token Qwen3-4B W8A8 encode in BENCH_r03 vs ~0.07 s
+    compiled (the 36-layer forward itself is roofline ~10 ms).
     """
     hs = forward_hidden_states(params, cfg, input_ids, attention_mask)
     return jnp.concatenate([hs[i] for i in layer_indices], axis=-1)

@@ -18,6 +18,7 @@ the interleaved apply from ``flux2_tpu.ops.rope``.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -174,6 +175,9 @@ def _vl_layer(lp, cfg, x, cos, sin, mask, half_split: bool = False):
     return x + (jax.nn.silu(h2 @ lp["gate_proj"]) * (h2 @ lp["up_proj"])) @ lp["down_proj"]
 
 
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "layer_indices", "section", "hf_canonical")
+)
 def extract_klein_vl_embeddings(
     params: dict,
     cfg: DecoderConfig,
@@ -185,7 +189,11 @@ def extract_klein_vl_embeddings(
 ) -> jnp.ndarray:
     """Klein-VL conditioning: the same [9, 18, 27] concat recipe over the
     MRoPE tower (KleinVLEmbeddingExtractor.swift). ``hf_canonical`` selects
-    the HF/training-time MRoPE convention (see forward_hidden_states)."""
+    the HF/training-time MRoPE convention (see forward_hidden_states).
+
+    Jitted as one program (like decoder.extract_hidden_layers): the encode
+    is per-generate hot, and eager tracing pays a device dispatch per op
+    through the tunneled runtime."""
     hs = forward_hidden_states(
         params, cfg, input_ids, attention_mask, section=section, hf_canonical=hf_canonical
     )
