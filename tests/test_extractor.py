@@ -132,3 +132,23 @@ def test_facade_load_qwen3_wires_klein_recipe():
     # load_qwen3 passes recipe="klein" into _load (checkpoint-free check)
     src = inspect.getsource(facade.TextEncoders.load_qwen3)
     assert 'recipe="klein"' in src
+
+
+def test_conditioning_encode_is_one_compiled_program():
+    """The conditioning encode is a per-generate hot path: it must run as ONE
+    jitted program (eager tracing paid a device dispatch per op through the
+    tunneled TPU runtime — seconds per call) and must NOT recompile across
+    prompts at the same shape."""
+    params = dec.init_params(jax.random.PRNGKey(0), tc.TINY_DECODER, dtype=jnp.float32)
+    tok = _Tok(n_tokens=8)
+    # max_length=12 is unique to this test: a fresh shape forces a fresh
+    # compile even when earlier tests already populated the jit cache
+    e = ex.EmbeddingExtractor(params, tc.TINY_DECODER, tok, (1, 2, 3), max_length=12)
+    n0 = dec.extract_hidden_layers._cache_size()
+    a = e("a red fox")
+    n1 = dec.extract_hidden_layers._cache_size()
+    b = e("an entirely different prompt about boats")
+    n2 = dec.extract_hidden_layers._cache_size()
+    assert n1 == n0 + 1, "first call should compile exactly one program"
+    assert n2 == n1, "second prompt at the same shape must reuse the compile"
+    assert a.shape == b.shape
