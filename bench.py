@@ -226,6 +226,9 @@ def _bench_mistral24b_encode(rows):
         from flux2_tpu.models.text_encoders import decoder as dec
 
         mparams = _random_w8a8_decoder(tenc_cfg.MISTRAL_SMALL_3_2)
+        # the conditioning extract never touches the vocabulary head; on a
+        # 16 GiB chip the untied 131k x 5120 lm_head is 1.3 GiB of dead HBM
+        mparams.pop("lm_head", None)
         toks = jnp.ones((1, 512), jnp.int32)
         mask = jnp.ones((1, 512), jnp.int32)
         # the REAL conditioning path (extract_hidden_layers is jitted with
@@ -362,6 +365,52 @@ def _bench_lora_train(rows, cfg, tfm):
         }
     except Exception as e:  # pragma: no cover - HBM-dependent
         rows["klein4b_lora_train_step_512px"] = {"error": str(e)[:120]}
+
+
+_SECTIONS = {}
+
+
+def _run_section(name):
+    """Child-process entry: run ONE section and print its rows as JSON."""
+    from flux2_tpu.cli.main import _enable_compile_cache
+
+    _device_watchdog()
+    _enable_compile_cache()
+    from flux2_tpu.models.flux2 import config as cfg
+    from flux2_tpu.models.flux2 import transformer as tfm
+
+    rows = {}
+    if name == "mistral24b_encode":
+        _bench_mistral24b_encode(rows)
+    elif name == "klein9b_kv":
+        _bench_klein9b_kv(rows, cfg, tfm)
+    elif name == "lora_train":
+        _bench_lora_train(rows, cfg, tfm)
+    elif name == "dev32b":
+        _bench_dev32b(rows, cfg, tfm)
+    else:
+        raise SystemExit(f"unknown bench section {name}")
+    print("BENCH_SECTION " + json.dumps(rows), flush=True)
+
+
+def _run_isolated(name, timeout_s=2400.0):
+    """Run one section in a fresh process (clean HBM) and collect its rows."""
+    import os
+    import subprocess
+    import sys
+
+    try:
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--section", name],
+            capture_output=True, text=True, timeout=timeout_s,
+        )
+        for line in reversed(p.stdout.splitlines()):
+            if line.startswith("BENCH_SECTION "):
+                return json.loads(line[len("BENCH_SECTION "):])
+        tail = (p.stdout + p.stderr)[-160:].replace("\n", " ")
+        return {name: {"error": f"section produced no result (rc={p.returncode}): {tail}"}}
+    except subprocess.TimeoutExpired:
+        return {name: {"error": f"section timed out after {timeout_s:.0f}s"}}
 
 
 def main():
@@ -504,15 +553,13 @@ def main():
         rows["klein9b_step_w8a8"] = {"error": str(e)[:120]}
     jax.clear_caches()
 
-    _bench_mistral24b_encode(rows)
-    _section_gc()
-    _bench_klein9b_kv(rows, cfg, tfm)
-    _section_gc()
-    _bench_lora_train(rows, cfg, tfm)
-    _section_gc()
-    # Dev-32B runs LAST: its W4A8 weights (~15.5 GiB) sit exactly at one
-    # v5e's HBM, so an OOM here must not be able to poison any other row.
-    _bench_dev32b(rows, cfg, tfm)
+    # The remaining sections run in SUBPROCESSES: an OOM'd program leaves
+    # the TPU allocator poisoned for the rest of the process (measured in
+    # r4 — after one RESOURCE_EXHAUSTED even previously-green sections
+    # failed), and a fresh process is the only clean slate. The compile
+    # cache is on, so each child pays backend init (~20 s), not recompiles.
+    for section in ("mistral24b_encode", "klein9b_kv", "lora_train", "dev32b"):
+        rows.update(_run_isolated(section))
 
     print(
         json.dumps(
@@ -528,4 +575,9 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import sys as _sys
+
+    if len(_sys.argv) >= 3 and _sys.argv[1] == "--section":
+        _run_section(_sys.argv[2])
+    else:
+        main()

@@ -590,13 +590,14 @@ class Flux2Pipeline:
         """Image [H, W, 3] in [0,1] -> packed normalized latents [1, S, 128].
 
         The chain-helper surface (Flux2Pipeline+ChainHelpers.swift:75-101).
+        Runs as ONE jitted program per image shape: the encode is per-call
+        hot for I2I/inpaint/outpaint and training data prep, and eager
+        tracing pays a device dispatch per op through the tunneled runtime.
         """
-        x = jnp.asarray(image, jnp.float32)[None].transpose(0, 3, 1, 2) * 2.0 - 1.0
-        z = vae_mod.encode(self.vae_params, x, self.vae_config, sample_posterior=sample_posterior, key=key)
-        patched = lu.patchify_latents(z)
-        mean, var = vae_mod.get_batchnorm_stats(self.vae_params)
-        normed = lu.normalize_with_batchnorm(patched, mean, var)
-        return lu.pack_patchified_to_sequence(normed)
+        if key is None and sample_posterior:
+            key = jax.random.PRNGKey(0)
+        x = jnp.asarray(image, jnp.float32)
+        return _encode_image_jit(self.vae_params, self.vae_config, x, sample_posterior, key)
 
     def encode_reference_images(
         self,
@@ -828,6 +829,18 @@ def _denoise_kv_cached(
     if n_ck:
         return lat, ck[:n_ck]
     return lat
+
+
+@functools.partial(jax.jit, static_argnames=("vae_config", "sample_posterior"))
+def _encode_image_jit(vae_params, vae_config, image, sample_posterior: bool = False, key=None):
+    """[H, W, 3] in [0,1] -> packed normalized latents [1, S, 128], as one
+    compiled program (see Flux2Pipeline.encode_image_to_packed_sequence)."""
+    x = image[None].transpose(0, 3, 1, 2) * 2.0 - 1.0
+    z = vae_mod.encode(vae_params, x, vae_config, sample_posterior=sample_posterior, key=key)
+    patched = lu.patchify_latents(z)
+    mean, var = vae_mod.get_batchnorm_stats(vae_params)
+    normed = lu.normalize_with_batchnorm(patched, mean, var)
+    return lu.pack_patchified_to_sequence(normed)
 
 
 @functools.partial(
