@@ -20,6 +20,7 @@ used for image analysis / vision-aware prompt upsampling.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Dict, Tuple
 
 import jax
@@ -175,6 +176,7 @@ def project_to_text_space(
     return x @ proj["linear_2"]
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
 def encode_and_project(params: Params, cfg: PixtralVisionConfig, pixels: jnp.ndarray) -> jnp.ndarray:
     b, h, w, _ = pixels.shape
     gh, gw = h // cfg.patch_size, w // cfg.patch_size

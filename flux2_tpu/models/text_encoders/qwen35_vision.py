@@ -21,6 +21,7 @@ Qwen35ImageProcessor.swift``:
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Dict, List, Optional, Tuple
 
 import jax
@@ -226,6 +227,7 @@ def _dense(x, p):
     return x @ p["kernel"] + p["bias"]
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
 def encode_image(params: Params, cfg: Qwen35VisionConfig, pixels: jnp.ndarray) -> jnp.ndarray:
     """[B, H, W, 3] normalized pixels -> [B, numMergedPatches, out_hidden]."""
     b, h, w, _ = pixels.shape
