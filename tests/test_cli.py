@@ -489,3 +489,21 @@ def test_train_lora_save_every_zero_warns_validation_off(tmp_path, capsys):
         cfg_mod.Flux2Model.transformer_config = orig
     err = capsys.readouterr().err
     assert "validation_every" in err  # the loud warning
+
+
+def test_shipped_example_yamls_parse_clean(capsys):
+    """The repo's own examples/cat-toy configs must parse with every value
+    applied and zero unknown-key warnings."""
+    import glob
+
+    files = sorted(glob.glob(os.path.join(os.path.dirname(__file__), "..", "examples", "cat-toy", "*.yaml")))
+    assert len(files) >= 3
+    for f in files:
+        cfg = YAMLTrainingConfig.from_yaml(f)
+        assert cfg.rank == 32 and cfg.trigger_word == "statue_cat_toy"
+        out = capsys.readouterr()
+        assert "unknown" not in (out.out + out.err), f
+    dev = YAMLTrainingConfig.from_yaml([f for f in files if "dev" in f][0])
+    assert dev.model == "dev" and dev.pp == 4 and dev.pp_tp == 2 and dev.dop_every_n_steps == 8
+    vlm = YAMLTrainingConfig.from_yaml([f for f in files if "vlm" in f][0])
+    assert vlm.vlm_scoring and vlm.vlm_early_stopping and vlm.vlm_early_stopping_min_delta == 0.5
