@@ -184,6 +184,7 @@ def _bench_dev32b(rows, cfg, tfm):
     extrapolated as 4x the sliced per-layer cost. Reference: ~63 s/step
     (1758.6 s / 28, quantization-benchmark/README.md:39)."""
     ref_step = 1758.6 / 28
+    params_dev = None
     try:
         params_dev = _random_w4a8_params(cfg.FLUX2_DEV)
         sec_dev = _steps_per_sec(cfg.FLUX2_DEV, params_dev, n=2)
@@ -195,7 +196,8 @@ def _bench_dev32b(rows, cfg, tfm):
         return
     except Exception as e:  # pragma: no cover - HBM-dependent
         rows["dev32b_step_w4a8"] = {"error": str(e)[:120]}
-    _section_gc()  # free the failed full-depth tree before the slice
+    params_dev = None  # drop the (possibly ~15.5 GiB) failed tree reference
+    _section_gc()  # ...so the collect can actually free it before the slice
     try:
         import dataclasses as _dc
 

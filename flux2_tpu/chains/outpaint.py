@@ -103,6 +103,13 @@ class OutpaintingChain:
 
         if not self.enrich_prompt_with_vlm:
             return self.prompt, self.upsample_prompt
+        if self.embeddings is not None:
+            flog.warning(
+                "enrich_prompt_with_vlm ignored: precomputed embeddings were "
+                "passed, so the prompt never reaches the encoder — drop "
+                "embeddings= to let the VLM-enriched prompt take effect"
+            )
+            return self.prompt, self.upsample_prompt
         builder = self.vlm_builder or _vlm_builder_from_pipeline(self.pipeline)
         if builder is None or not builder.is_loaded:
             flog.warning(

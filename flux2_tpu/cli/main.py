@@ -873,7 +873,7 @@ def _models():
     return list(Flux2Model)
 
 
-def main(argv: Optional[List[str]] = None) -> int:
+def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(prog="flux2", description="FLUX.2 on TPU (JAX/XLA/Pallas)")
     sub = parser.add_subparsers(dest="command", required=True)
 
@@ -1016,7 +1016,15 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--encoder-tokenizer-dir")
     # nf4 included: the QLoRA storage format trains on a quantized base
     p.add_argument("--quantization", default="bf16", choices=["bf16", "qint8", "w8a8", "int4", "nf4", "w4a8"])
-    p.add_argument("--encoder-quantization", default="bf16", choices=["bf16", "qint8", "w8a8", "int4", "w4a8", "mxfp8"])
+    # default=None so the YAML's model.quantization (encoder quantization,
+    # TrainingConfigYAML.swift:33-35) applies when the flag isn't given —
+    # an explicit flag still wins
+    p.add_argument("--encoder-quantization", default=None,
+                   choices=["bf16", "qint8", "w8a8", "int4", "w4a8", "mxfp8"])
+    p.add_argument("--allow-partial-resume", action="store_true",
+                   help="resume even when the saved optimizer state doesn't "
+                   "match (unmatched leaves restart fresh); without this the "
+                   "strict path-keyed restore refuses on any mismatch")
     p.add_argument("--shard", help="mesh spec 'data,fsdp,tp[,sp]' or 'auto'")
     p.set_defaults(fn=cmd_train_lora)
 
@@ -1028,7 +1036,11 @@ def main(argv: Optional[List[str]] = None) -> int:
     p = sub.add_parser("beacons", help="list/GC runtime activity beacons")
     p.set_defaults(fn=cmd_beacons)
 
-    args = parser.parse_args(argv)
+    return parser
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    args = build_parser().parse_args(argv)
     # flag counterparts of the env knobs (Flux2CLI.swift --models-dir /
     # --token / BeaconOptions); env already set wins only if the flag is unset
     if getattr(args, "models_dir", None):

@@ -537,6 +537,19 @@ def _prepare_synthetic_data(cfg: YAMLTrainingConfig, tconfig):
 # ---------------------------------------------------------------------------
 
 
+def resolve_encoder_quantization(flag_value, yaml_value) -> str:
+    """model.quantization in the YAML is TEXT-ENCODER quantization only
+    (TrainingConfigYAML.swift:33-35); an explicit CLI flag wins (the
+    train-lora flag defaults to None exactly so the YAML applies).
+    Reference spellings int8/qint8 map to the weight-only qint8 runtime."""
+    if flag_value:
+        return flag_value
+    return {
+        "int8": "qint8", "qint8": "qint8", "int4": "int4", "nf4": "nf4",
+        "bf16": "bf16", "w8a8": "w8a8", "w4a8": "w4a8", "mxfp8": "mxfp8",
+    }.get((yaml_value or "bf16").lower(), "bf16")
+
+
 def run_training(args) -> None:
     import argparse
 
@@ -585,13 +598,9 @@ def run_training(args) -> None:
     else:
         from flux2_tpu.cli.main import build_pipeline
 
-        # model.quantization in the YAML is TEXT-ENCODER quantization only
-        # (TrainingConfigYAML.swift:33-35); CLI flag wins. Reference
-        # spellings int8/qint8 map to the weight-only qint8 runtime.
-        enc_quant = getattr(args, "encoder_quantization", None) or {
-            "int8": "qint8", "qint8": "qint8", "int4": "int4", "nf4": "nf4",
-            "bf16": "bf16", "w8a8": "w8a8", "w4a8": "w4a8",
-        }.get((cfg.encoder_quantization or "bf16").lower(), "bf16")
+        enc_quant = resolve_encoder_quantization(
+            getattr(args, "encoder_quantization", None), cfg.encoder_quantization
+        )
         build_args = argparse.Namespace(
             model=train_model.value,
             quantization=getattr(args, "quantization", "bf16") or "bf16",
@@ -1098,10 +1107,16 @@ def write_learning_curve_svg(
     lo, hi = min(losses), max(losses)
     rng = (hi - lo) or 1.0
 
-    def poly(vals):
-        xs = np.linspace(pad, width - pad, len(vals))
+    def x_of(step_idx: float) -> float:
+        """Step index (0..len-1) -> plot x, shared by both polylines."""
+        span = max(1, len(losses) - 1)
+        return pad + step_idx / span * (width - 2 * pad)
+
+    def poly(vals, first_step: float = 0.0):
         ys = [height - pad - (v - lo) / rng * (height - 2 * pad) for v in vals]
-        return " ".join(f"{x:.1f},{y:.1f}" for x, y in zip(xs, ys))
+        return " ".join(
+            f"{x_of(first_step + i):.1f},{y:.1f}" for i, y in enumerate(ys)
+        )
 
     lines = [
         f'<polyline points="{poly(losses)}" fill="none" stroke="#58a6ff" '
@@ -1111,9 +1126,11 @@ def write_learning_curve_svg(
     if w > 1 and len(losses) > w:
         kernel = np.ones(w) / w
         smoothed = np.convolve(np.asarray(losses, np.float64), kernel, mode="valid")
+        # mode="valid" point i averages steps [i, i+w) -> plot it at the
+        # window CENTER so features line up with the raw curve underneath
         lines.append(
-            f'<polyline points="{poly(list(smoothed))}" fill="none" '
-            f'stroke="#58a6ff" stroke-width="1.8"/>'
+            f'<polyline points="{poly(list(smoothed), first_step=(w - 1) / 2)}" '
+            f'fill="none" stroke="#58a6ff" stroke-width="1.8"/>'
         )
     svg = (
         f'<svg xmlns="http://www.w3.org/2000/svg" width="{width}" height="{height}">'

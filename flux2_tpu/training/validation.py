@@ -139,14 +139,18 @@ class ValidationTracker:
             self._non_improving = 0
         else:
             self._non_improving += 1
-        if self.patience <= 0:
-            return False
+        # the catastrophic-forgetting guard is independent of patience-based
+        # early stopping (separate keys in YAMLVLMScoringConfig): check it
+        # BEFORE the patience gate so degradation_threshold fires even with
+        # early stopping disabled (patience <= 0)
         if (
             self.degradation_threshold > 0.0
             and self.best_step is not None
             and self.best_score - mean > self.degradation_threshold
         ):
             return True
+        if self.patience <= 0:
+            return False
         return self._non_improving >= self.patience
 
     @property

@@ -507,3 +507,40 @@ def test_shipped_example_yamls_parse_clean(capsys):
     assert dev.model == "dev" and dev.pp == 4 and dev.pp_tp == 2 and dev.dop_every_n_steps == 8
     vlm = YAMLTrainingConfig.from_yaml([f for f in files if "vlm" in f][0])
     assert vlm.vlm_scoring and vlm.vlm_early_stopping and vlm.vlm_early_stopping_min_delta == 0.5
+
+
+def test_encoder_quantization_yaml_applies_when_flag_absent():
+    """The train-lora --encoder-quantization flag defaults to None so the
+    YAML's model.quantization (encoder-only, TrainingConfigYAML.swift:33-35)
+    actually takes effect; an explicit flag still wins (r4 review fix)."""
+    from flux2_tpu.cli.main import main as cli_main  # noqa: F401 (parser import path)
+    from flux2_tpu.cli.train import resolve_encoder_quantization
+
+    assert resolve_encoder_quantization(None, "int8") == "qint8"
+    assert resolve_encoder_quantization(None, "nf4") == "nf4"
+    assert resolve_encoder_quantization(None, None) == "bf16"
+    assert resolve_encoder_quantization("w8a8", "int8") == "w8a8"  # flag wins
+
+
+def test_train_lora_parser_accepts_allow_partial_resume():
+    """--allow-partial-resume is the documented escape hatch of the strict
+    optimizer restore; it must actually parse (r4 review fix)."""
+    from flux2_tpu.cli.main import build_parser
+
+    args = build_parser().parse_args(
+        ["train-lora", "--config", "x.yaml", "--allow-partial-resume", "--resume", "ckpt"]
+    )
+    assert args.allow_partial_resume is True
+    assert build_parser().parse_args(["train-lora", "--config", "x.yaml"]).encoder_quantization is None
+
+
+def test_degradation_threshold_fires_without_early_stopping():
+    """The catastrophic-forgetting guard is independent of patience-based
+    early stopping: with patience=0 (vlm early stopping off) a score
+    collapse below best-threshold must still stop (r4 review fix)."""
+    from flux2_tpu.training.validation import ValidationRecord, ValidationTracker
+
+    t = ValidationTracker(patience=0, degradation_threshold=5.0)  # combined-score units
+    assert not t.record(10, [ValidationRecord(step=10, prompt="p", scene=90, style=90)])
+    assert not t.record(20, [ValidationRecord(step=20, prompt="p", scene=89, style=89)])
+    assert t.record(30, [ValidationRecord(step=30, prompt="p", scene=10, style=10)])  # collapse
