@@ -58,7 +58,22 @@ def _steps_per_sec(config, params, h=1024, w=1024, n=8):
     for _ in range(n):
         out = step(params, out, txt, t_in)
     out.block_until_ready()
-    return (time.perf_counter() - t0) / n
+    dt = (time.perf_counter() - t0) / n
+    # The axon runtime surfaces execution failures LAZILY: a failed program's
+    # block_until_ready returns instantly with no error and only a value
+    # readback raises (measured r4: an OOM'd row printed 0.0001 s). Every
+    # timing must therefore be validated by reading a value back.
+    _assert_finite_readback(out)
+    return dt
+
+
+def _assert_finite_readback(x):
+    """Force a real device->host readback so lazily-parked execution errors
+    (RESOURCE_EXHAUSTED etc.) surface here instead of yielding a bogus-fast
+    timing; also rejects NaN."""
+    v = float(jnp.sum(x.astype(jnp.float32)))
+    if not np.isfinite(v):
+        raise RuntimeError(f"non-finite output (sum={v})")
 
 
 def _random_w8a8_params(config):
@@ -175,29 +190,30 @@ def _section_gc():
     gc.collect()
 
 
-def _bench_dev32b(rows, cfg, tfm):
-    """Dev-32B W4A8 per-step (VERDICT r4: measure Dev on the chip that
-    exists). W4A8 weights are ~15.5 GiB — right at one v5e's 16 GiB HBM, so
-    the full-depth model is attempted first and, if it doesn't fit, a
-    quarter-depth Dev slice (2 double + 12 single, same 6144 width / 48
-    heads / 15360 joint dim) is MEASURED and the full-depth step
-    extrapolated as 4x the sliced per-layer cost. Reference: ~63 s/step
-    (1758.6 s / 28, quantization-benchmark/README.md:39)."""
-    ref_step = 1758.6 / 28
-    params_dev = None
+REF_DEV32B_STEP = 1758.6 / 28  # ~63 s/step (quantization-benchmark/README.md:39)
+
+
+def _bench_dev32b_full(rows, cfg, tfm):
+    """Dev-32B W4A8 per-step, full depth (VERDICT r4: measure Dev on the
+    chip that exists). W4A8 weights are ~15.5 GiB — right at one v5e's
+    16 GiB HBM, so this may honestly OOM; the slice section (separate
+    process — an OOM poisons this one) then carries the measurement."""
     try:
         params_dev = _random_w4a8_params(cfg.FLUX2_DEV)
         sec_dev = _steps_per_sec(cfg.FLUX2_DEV, params_dev, n=2)
         rows["dev32b_step_w4a8"] = {
             "value": round(sec_dev, 4),
             "unit": "s/step",
-            "vs_baseline": round(ref_step / sec_dev, 2),
+            "vs_baseline": round(REF_DEV32B_STEP / sec_dev, 2),
         }
-        return
     except Exception as e:  # pragma: no cover - HBM-dependent
         rows["dev32b_step_w4a8"] = {"error": str(e)[:120]}
-    params_dev = None  # drop the (possibly ~15.5 GiB) failed tree reference
-    _section_gc()  # ...so the collect can actually free it before the slice
+
+
+def _bench_dev32b_slice(rows, cfg, tfm):
+    """Quarter-depth Dev slice (2/8 double + 12/48 single at full 6144
+    width / 48 heads / 15360 joint dim): MEASURED per-step at Dev shapes,
+    full-depth step extrapolated as 4x the sliced per-layer cost."""
     try:
         import dataclasses as _dc
 
@@ -211,10 +227,23 @@ def _bench_dev32b(rows, cfg, tfm):
             "vs_baseline": None,
             "note": "2/8 double + 12/48 single blocks at full Dev width (measured)",
             "extrapolated_full_depth_s": round(sec_full, 4),
-            "extrapolated_vs_baseline": round(ref_step / sec_full, 2),
+            "extrapolated_vs_baseline": round(REF_DEV32B_STEP / sec_full, 2),
         }
     except Exception as e2:  # pragma: no cover
         rows["dev32b_step_w4a8_quarter_depth"] = {"error": str(e2)[:120]}
+
+
+def _time_encode(dec, params, cfg, toks, mask, layers, n=4):
+    """Median per-call encode wall with a per-call readback (lazy-error-proof)."""
+    dec.extract_hidden_layers(params, cfg, toks, mask, layers).block_until_ready()
+    times = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        out = dec.extract_hidden_layers(params, cfg, toks, mask, layers)
+        _assert_finite_readback(out)
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    return {"value": round(times[len(times) // 2], 4), "unit": "s", "vs_baseline": None}
 
 
 def _bench_mistral24b_encode(rows):
@@ -235,22 +264,35 @@ def _bench_mistral24b_encode(rows):
         mask = jnp.ones((1, 512), jnp.int32)
         # the REAL conditioning path (extract_hidden_layers is jitted with
         # static cfg/layers — one program, one dispatch)
-        dec.extract_hidden_layers(
-            mparams, tenc_cfg.MISTRAL_SMALL_3_2, toks, mask, (10, 20, 30)
-        ).block_until_ready()
-        t0 = time.perf_counter()
-        for _ in range(4):
-            out_e = dec.extract_hidden_layers(
-                mparams, tenc_cfg.MISTRAL_SMALL_3_2, toks, mask, (10, 20, 30)
-            )
-        out_e.block_until_ready()
-        rows["mistral24b_encode_512tok_w8a8"] = {
-            "value": round((time.perf_counter() - t0) / 4, 4),
-            "unit": "s",
-            "vs_baseline": None,
-        }
+        rows["mistral24b_encode_512tok_w8a8"] = _time_encode(
+            dec, mparams, tenc_cfg.MISTRAL_SMALL_3_2, toks, mask, (10, 20, 30)
+        )
     except Exception as e:  # pragma: no cover - HBM-dependent
         rows["mistral24b_encode_512tok_w8a8"] = {"error": str(e)[:120]}
+
+
+def _bench_mistral24b_encode_36l(rows):
+    """Deepest-fitting Mistral-24B slice: the full 40-layer W8A8 (11.4 GiB
+    weights) needs >4 GiB program workspace and misses one v5e's HBM
+    (bisected: 36 layers fit, 40 do not); runs in its OWN process after the
+    full attempt OOM'd, extrapolating linearly over layers."""
+    try:
+        import dataclasses as _dc
+
+        from flux2_tpu.models.text_encoders import config as tenc_cfg
+        from flux2_tpu.models.text_encoders import decoder as dec
+
+        cfg36 = _dc.replace(tenc_cfg.MISTRAL_SMALL_3_2, num_hidden_layers=36)
+        mp36 = _random_w8a8_decoder(cfg36)
+        mp36.pop("lm_head", None)
+        toks = jnp.ones((1, 512), jnp.int32)
+        mask = jnp.ones((1, 512), jnp.int32)
+        row = _time_encode(dec, mp36, cfg36, toks, mask, (10, 20, 30))
+        row["note"] = "36/40 layers (deepest single-chip fit); extrapolated x40/36"
+        row["extrapolated_full_depth_s"] = round(row["value"] * 40 / 36, 4)
+        rows["mistral24b_encode_512tok_w8a8_36L"] = row
+    except Exception as e2:  # pragma: no cover
+        rows["mistral24b_encode_512tok_w8a8_36L"] = {"error": str(e2)[:120]}
 
 
 def _bench_klein9b_kv(rows, cfg, tfm):
@@ -301,6 +343,7 @@ def _bench_klein9b_kv(rows, cfg, tfm):
             out_s = std_step(params9kv, out_s, ref_lat, t_in)
         out_s.block_until_ready()
         sec_std = (time.perf_counter() - t0) / 3
+        _assert_finite_readback(out_s)
 
         _, dkv, skv = extract(params9kv, hidden, ref_lat, t_in)
         jax.block_until_ready(dkv)
@@ -311,6 +354,7 @@ def _bench_klein9b_kv(rows, cfg, tfm):
             out_c = cached_step(params9kv, out_c, t_in, dkv, skv)
         out_c.block_until_ready()
         sec_cached = (time.perf_counter() - t0) / 3
+        _assert_finite_readback(out_c)
 
         rows["klein9bkv_i2i_step_cached_vs_std"] = {
             "value": round(sec_cached, 4),
@@ -353,17 +397,22 @@ def _bench_lora_train(rows, cfg, tfm):
         }
         key = jax.random.PRNGKey(5)
         lora, ost, m = step_fn(state.lora, state.opt_state, batch, key)
-        jax.block_until_ready(m["loss"])  # compile + first step
-        t0 = time.perf_counter()
+        float(m["loss"])  # compile + first step, readback-verified
+        times = []
         for _ in range(5):
             key, k = jax.random.split(key)
+            t0 = time.perf_counter()
             lora, ost, m = step_fn(lora, ost, batch, k)
-        jax.block_until_ready(m["loss"])
-        sec_train = (time.perf_counter() - t0) / 5
+            loss = float(m["loss"])  # per-step readback: real completion,
+            # lazy-error-proof, and median kills tunnel-stall outliers
+            times.append(time.perf_counter() - t0)
+        times.sort()
+        sec_train = times[len(times) // 2]
         rows["klein4b_lora_train_step_512px"] = {
             "value": round(sec_train, 4),
             "unit": "s/step",
             "vs_baseline": round(18.8 / sec_train, 2),
+            "last_loss": round(loss, 4),
         }
     except Exception as e:  # pragma: no cover - HBM-dependent
         rows["klein4b_lora_train_step_512px"] = {"error": str(e)[:120]}
@@ -384,12 +433,16 @@ def _run_section(name):
     rows = {}
     if name == "mistral24b_encode":
         _bench_mistral24b_encode(rows)
+    elif name == "mistral24b_encode_36L":
+        _bench_mistral24b_encode_36l(rows)
     elif name == "klein9b_kv":
         _bench_klein9b_kv(rows, cfg, tfm)
     elif name == "lora_train":
         _bench_lora_train(rows, cfg, tfm)
-    elif name == "dev32b":
-        _bench_dev32b(rows, cfg, tfm)
+    elif name == "dev32b_full":
+        _bench_dev32b_full(rows, cfg, tfm)
+    elif name == "dev32b_slice":
+        _bench_dev32b_slice(rows, cfg, tfm)
     else:
         raise SystemExit(f"unknown bench section {name}")
     print("BENCH_SECTION " + json.dumps(rows), flush=True)
@@ -560,8 +613,14 @@ def main():
     # r4 — after one RESOURCE_EXHAUSTED even previously-green sections
     # failed), and a fresh process is the only clean slate. The compile
     # cache is on, so each child pays backend init (~20 s), not recompiles.
-    for section in ("mistral24b_encode", "klein9b_kv", "lora_train", "dev32b"):
+    for section in ("mistral24b_encode", "klein9b_kv", "lora_train", "dev32b_full"):
         rows.update(_run_isolated(section))
+    if "error" in rows.get("mistral24b_encode_512tok_w8a8", {}):
+        rows.update(_run_isolated("mistral24b_encode_36L"))
+    if "error" in rows.get("dev32b_step_w4a8", {}):
+        # full depth missed HBM: measure the quarter-depth slice in ANOTHER
+        # fresh process (the OOM poisoned the previous one)
+        rows.update(_run_isolated("dev32b_slice"))
 
     print(
         json.dumps(
