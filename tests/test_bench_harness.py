@@ -1,0 +1,55 @@
+"""bench.py harness self-tests (hermetic, CPU).
+
+The bench is a judge-facing artifact: its honesty machinery (readback
+verification for the axon runtime's lazily-parked errors, subprocess
+section isolation) must not rot.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+import bench  # noqa: E402
+
+
+def test_assert_finite_readback_rejects_nan():
+    bench._assert_finite_readback(jnp.ones((4, 4)))
+    with pytest.raises(RuntimeError):
+        bench._assert_finite_readback(jnp.full((2, 2), jnp.nan))
+
+
+def test_random_param_builders_shapes():
+    """W8A8/W4A8 random builders must produce kernel-legal quantized leaves
+    (no dense transient) for a tiny config."""
+    from flux2_tpu.models.flux2 import config as cfg
+    from flux2_tpu.ops.quant import W4A8Tensor, W8A8Tensor
+
+    p8 = bench._random_w8a8_params(cfg.TINY_TEST)
+    leaves = [x for x in __import__("jax").tree_util.tree_leaves(
+        p8, is_leaf=lambda x: isinstance(x, (W8A8Tensor, W4A8Tensor)))]
+    assert any(isinstance(x, W8A8Tensor) for x in leaves)
+
+
+def test_section_subprocess_protocol_unknown_section():
+    """Children speak the BENCH_SECTION line protocol; unknown names fail
+    loudly instead of printing a bogus row."""
+    p = subprocess.run(
+        [sys.executable, os.path.join(os.path.dirname(bench.__file__), "bench.py"),
+         "--section", "no_such_section"],
+        capture_output=True, text=True, timeout=240,
+        env={**os.environ, "JAX_PLATFORMS": "cpu", "PALLAS_AXON_POOL_IPS": ""},
+    )
+    assert p.returncode != 0
+    assert "BENCH_SECTION" not in p.stdout
+
+
+def test_run_isolated_reports_missing_result():
+    out = bench._run_isolated("no_such_section", timeout_s=240)
+    (key, row), = out.items()
+    assert key == "no_such_section" and "error" in row
