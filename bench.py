@@ -150,6 +150,36 @@ def _random_w8a8_decoder(config):
     return jax.tree_util.tree_map_with_path(visit, shapes)
 
 
+def _random_w4a8_decoder(config):
+    """Random text-encoder params with W4A8 matmul leaves (quarter weight
+    HBM — the format that lets the full 40-layer Mistral-24B encoder fit
+    one v5e chip); embeddings/norms dense bf16."""
+    from flux2_tpu.models.text_encoders import decoder as dec
+    from flux2_tpu.ops.quant import W4A8_BLOCK, W4A8Tensor, _path_is_matmul
+
+    shapes = jax.eval_shape(
+        lambda k: dec.init_params(k, config, dtype=jnp.bfloat16), jax.random.PRNGKey(0)
+    )
+    counter = [0]
+
+    def visit(path, sd):
+        counter[0] += 1
+        key = jax.random.PRNGKey(counter[0])
+        if (
+            _path_is_matmul(path)
+            and sd.ndim >= 2
+            and sd.size >= (1 << 16)
+            and sd.shape[-2] % W4A8_BLOCK == 0
+        ):
+            *lead, k, n = sd.shape
+            q = jax.random.randint(key, (*lead, k // 2, n), 0, 256, jnp.uint8)
+            scale = jnp.full((*lead, k // W4A8_BLOCK, n), 0.02 / 7.0, jnp.float32)
+            return W4A8Tensor(q, scale, W4A8_BLOCK, k)
+        return (jax.random.normal(key, sd.shape, jnp.float32) * 0.02).astype(sd.dtype)
+
+    return jax.tree_util.tree_map_with_path(visit, shapes)
+
+
 def _device_watchdog(timeout_s: float = 180.0):
     """Fail LOUDLY (one honest JSON error line) instead of hanging forever
     when the device tunnel is wedged: backend init on a dead axon relay
@@ -233,6 +263,70 @@ def _bench_dev32b_slice(rows, cfg, tfm):
         rows["dev32b_step_w4a8_quarter_depth"] = {"error": str(e2)[:120]}
 
 
+def _bench_dev32b_half(rows, cfg, tfm):
+    """Half-depth Dev slice (4/8 double + 24/48 single at full width):
+    a second point on the depth axis to validate that the quarter-depth
+    x4 extrapolation is linear (embedder/epilogue cost amortizes)."""
+    try:
+        import dataclasses as _dc
+
+        dev_half = _dc.replace(cfg.FLUX2_DEV, num_layers=4, num_single_layers=24)
+        params_dh = _random_w4a8_params(dev_half)
+        sec_dh = _steps_per_sec(dev_half, params_dh, n=2)
+        rows["dev32b_step_w4a8_half_depth"] = {
+            "value": round(sec_dh, 4),
+            "unit": "s/step",
+            "vs_baseline": None,
+            "note": "4/8 double + 24/48 single blocks at full Dev width (measured)",
+            "extrapolated_full_depth_s": round(sec_dh * 2, 4),
+            "extrapolated_vs_baseline": round(REF_DEV32B_STEP / (sec_dh * 2), 2),
+        }
+    except Exception as e3:  # pragma: no cover
+        rows["dev32b_step_w4a8_half_depth"] = {"error": str(e3)[:120]}
+
+
+def _bench_tokenizer():
+    """A REAL fast tokenizer for the encoder-included e2e row (the bench
+    host has no downloaded checkpoints): a ByteLevel-BPE trained inline on
+    a few sentences, with the Qwen-style chat template — so the measured
+    path runs actual tokenize -> template render -> pad, not a hash stub.
+    Falls back to a byte-id stub only if `tokenizers` is unavailable."""
+    try:
+        import tokenizers
+        from transformers import PreTrainedTokenizerFast
+
+        tok = tokenizers.Tokenizer(tokenizers.models.BPE(unk_token=None))
+        tok.pre_tokenizer = tokenizers.pre_tokenizers.ByteLevel(add_prefix_space=False)
+        tok.decoder = tokenizers.decoders.ByteLevel()
+        trainer = tokenizers.trainers.BpeTrainer(
+            vocab_size=512, special_tokens=["<|im_start|>", "<|im_end|>", "<|pad|>"],
+            initial_alphabet=tokenizers.pre_tokenizers.ByteLevel.alphabet(),
+        )
+        tok.train_from_iterator(
+            ["a serene mountain lake at dawn, ultra detailed",
+             "system user assistant\n", "warm"],
+            trainer,
+        )
+        return PreTrainedTokenizerFast(
+            tokenizer_object=tok, pad_token="<|pad|>", eos_token="<|im_end|>",
+            chat_template=(
+                "{% for message in messages %}<|im_start|>{{ message.role }}\n"
+                "{{ message.content }}<|im_end|>\n{% endfor %}"
+                "{% if add_generation_prompt %}<|im_start|>assistant\n{% endif %}"
+            ),
+        )
+    except Exception:  # pragma: no cover - dependency-gated
+        class _ByteTokenizer:
+            pad_token_id = 0
+            eos_token_id = None
+
+            def apply_chat_template(self, messages, add_generation_prompt=False):
+                text = " ".join(m.get("content", "") for m in messages)
+                return [b % 1000 + 3 for b in text.encode()][:128]
+
+        return _ByteTokenizer()
+
+
 def _time_encode(dec, params, cfg, toks, mask, layers, n=4):
     """Median per-call encode wall with a per-call readback (lazy-error-proof)."""
     dec.extract_hidden_layers(params, cfg, toks, mask, layers).block_until_ready()
@@ -271,28 +365,50 @@ def _bench_mistral24b_encode(rows):
         rows["mistral24b_encode_512tok_w8a8"] = {"error": str(e)[:120]}
 
 
-def _bench_mistral24b_encode_36l(rows):
-    """Deepest-fitting Mistral-24B slice: the full 40-layer W8A8 (11.4 GiB
-    weights) needs >4 GiB program workspace and misses one v5e's HBM
-    (bisected: 36 layers fit, 40 do not); runs in its OWN process after the
-    full attempt OOM'd, extrapolating linearly over layers."""
+def _bench_mistral24b_encode_w4a8(rows):
+    """FULL-depth Mistral-24B encode, W4A8 runtime (~6 GiB weights — the
+    quarter-HBM format is what fits all 40 layers on one v5e chip; W8A8's
+    11.4 GiB + XLA workspace does not). Measured full depth — no
+    extrapolation. This is also the production Dev-on-one-chip encoder
+    configuration (the DiT coexists in the remaining HBM)."""
+    try:
+        from flux2_tpu.models.text_encoders import config as tenc_cfg
+        from flux2_tpu.models.text_encoders import decoder as dec
+
+        mparams = _random_w4a8_decoder(tenc_cfg.MISTRAL_SMALL_3_2)
+        mparams.pop("lm_head", None)
+        toks = jnp.ones((1, 512), jnp.int32)
+        mask = jnp.ones((1, 512), jnp.int32)
+        row = _time_encode(dec, mparams, tenc_cfg.MISTRAL_SMALL_3_2, toks, mask, (10, 20, 30))
+        row["note"] = "full 40 layers, W4A8 (measured, no extrapolation)"
+        rows["mistral24b_encode_512tok_w4a8"] = row
+    except Exception as e:  # pragma: no cover
+        rows["mistral24b_encode_512tok_w4a8"] = {"error": str(e)[:120]}
+
+
+def _bench_mistral24b_encode_w8a8_slice(rows, depth: int):
+    """Deepest-fitting W8A8 Mistral-24B slice at `depth` layers: the full
+    40-layer W8A8 (11.4 GiB weights) plus XLA workspace misses one v5e's
+    HBM, so the parent walks depths downward — each attempt in a FRESH
+    process (an OOM poisons the allocator) — and keeps the first fit,
+    extrapolating linearly over layers."""
     try:
         import dataclasses as _dc
 
         from flux2_tpu.models.text_encoders import config as tenc_cfg
         from flux2_tpu.models.text_encoders import decoder as dec
 
-        cfg36 = _dc.replace(tenc_cfg.MISTRAL_SMALL_3_2, num_hidden_layers=36)
-        mp36 = _random_w8a8_decoder(cfg36)
-        mp36.pop("lm_head", None)
+        cfgd = _dc.replace(tenc_cfg.MISTRAL_SMALL_3_2, num_hidden_layers=depth)
+        mpd = _random_w8a8_decoder(cfgd)
+        mpd.pop("lm_head", None)
         toks = jnp.ones((1, 512), jnp.int32)
         mask = jnp.ones((1, 512), jnp.int32)
-        row = _time_encode(dec, mp36, cfg36, toks, mask, (10, 20, 30))
-        row["note"] = "36/40 layers (deepest single-chip fit); extrapolated x40/36"
-        row["extrapolated_full_depth_s"] = round(row["value"] * 40 / 36, 4)
-        rows["mistral24b_encode_512tok_w8a8_36L"] = row
+        row = _time_encode(dec, mpd, cfgd, toks, mask, (10, 20, 30))
+        row["note"] = f"{depth}/40 layers (deepest single-chip W8A8 fit); extrapolated x40/{depth}"
+        row["extrapolated_full_depth_s"] = round(row["value"] * 40 / depth, 4)
+        rows[f"mistral24b_encode_512tok_w8a8_{depth}L"] = row
     except Exception as e2:  # pragma: no cover
-        rows["mistral24b_encode_512tok_w8a8_36L"] = {"error": str(e2)[:120]}
+        rows[f"mistral24b_encode_512tok_w8a8_{depth}L"] = {"error": str(e2)[:120]}
 
 
 def _bench_klein9b_kv(rows, cfg, tfm):
@@ -433,8 +549,10 @@ def _run_section(name):
     rows = {}
     if name == "mistral24b_encode":
         _bench_mistral24b_encode(rows)
-    elif name == "mistral24b_encode_36L":
-        _bench_mistral24b_encode_36l(rows)
+    elif name == "mistral24b_encode_w4a8":
+        _bench_mistral24b_encode_w4a8(rows)
+    elif name.startswith("mistral24b_encode_w8a8_slice_"):
+        _bench_mistral24b_encode_w8a8_slice(rows, int(name.rsplit("_", 1)[1]))
     elif name == "klein9b_kv":
         _bench_klein9b_kv(rows, cfg, tfm)
     elif name == "lora_train":
@@ -443,6 +561,8 @@ def _run_section(name):
         _bench_dev32b_full(rows, cfg, tfm)
     elif name == "dev32b_slice":
         _bench_dev32b_slice(rows, cfg, tfm)
+    elif name == "dev32b_half":
+        _bench_dev32b_half(rows, cfg, tfm)
     else:
         raise SystemExit(f"unknown bench section {name}")
     print("BENCH_SECTION " + json.dumps(rows), flush=True)
@@ -562,17 +682,9 @@ def main():
         from flux2_tpu.models.text_encoders import config as tenc_cfg
         from flux2_tpu.models.text_encoders import extractor as tenc_ext
 
-        class _BenchTokenizer:
-            pad_token_id = 0
-            eos_token_id = None
-
-            def apply_chat_template(self, messages, add_generation_prompt=False):
-                text = " ".join(m.get("content", "") for m in messages)
-                return [hash(w) % 1000 + 3 for w in text.split()][:64]
-
         eparams = _random_w8a8_decoder(tenc_cfg.QWEN3_4B)
         pipe.text_encoder = tenc_ext.qwen3_extractor(
-            eparams, tenc_cfg.QWEN3_4B, _BenchTokenizer()
+            eparams, tenc_cfg.QWEN3_4B, _bench_tokenizer()
         )
         pipe.generate(prompt="warm", height=1024, width=1024, num_steps=4, seed=0)
         e2e_enc, res_e = _median_e2e(
@@ -616,11 +728,22 @@ def main():
     for section in ("mistral24b_encode", "klein9b_kv", "lora_train", "dev32b_full"):
         rows.update(_run_isolated(section))
     if "error" in rows.get("mistral24b_encode_512tok_w8a8", {}):
-        rows.update(_run_isolated("mistral24b_encode_36L"))
+        # W8A8 full depth missed HBM: the full-depth W4A8 run (quarter
+        # weight HBM) carries a measured no-extrapolation number, and a
+        # descending-depth W8A8 bisect keeps a same-format point. Each
+        # attempt gets a FRESH process (OOM poisons the allocator).
+        rows.update(_run_isolated("mistral24b_encode_w4a8"))
+        for depth in (32, 28, 24):
+            key = f"mistral24b_encode_512tok_w8a8_{depth}L"
+            rows.update(_run_isolated(f"mistral24b_encode_w8a8_slice_{depth}"))
+            if "error" not in rows.get(key, {}):
+                break
     if "error" in rows.get("dev32b_step_w4a8", {}):
         # full depth missed HBM: measure the quarter-depth slice in ANOTHER
-        # fresh process (the OOM poisoned the previous one)
+        # fresh process (the OOM poisoned the previous one), plus a
+        # half-depth point to validate the linear-in-depth extrapolation
         rows.update(_run_isolated("dev32b_slice"))
+        rows.update(_run_isolated("dev32b_half"))
 
     print(
         json.dumps(

@@ -41,6 +41,37 @@ from flux2_tpu.ops import latents as lu
 from flux2_tpu.ops import scheduler as sch
 from flux2_tpu.ops.rope import rope_embeddings
 
+_jit_rope = jax.jit(rope_embeddings)
+
+
+@functools.lru_cache(maxsize=32)
+def _rope_cache(ids_bytes: bytes, n: int, dtype_str: str):
+    ids = np.frombuffer(ids_bytes, dtype=np.dtype(dtype_str)).reshape(n, -1)
+    return _jit_rope(jnp.asarray(ids))
+
+
+def cached_rope_embeddings(ids: np.ndarray):
+    """cos/sin for a host-side position-id table, computed as ONE jitted
+    dispatch and memoized per distinct table. Eager `rope_embeddings` is
+    ~25 separate device ops — on a tunneled chip that is ~25 round trips
+    per generate call (the same host-loop-boundary failure mode as the
+    round-4 encode fixes, docs/knowledge/decisions/jit-the-host-loop-
+    boundary.md); repeat calls at one resolution now cost zero device work."""
+    ids = np.ascontiguousarray(ids)
+    return _rope_cache(ids.tobytes(), ids.shape[0], str(ids.dtype))
+
+
+@functools.partial(jax.jit, static_argnames=("height", "width", "batch"))
+def _seeded_noise_seq(seed, height, width, batch):
+    """Seed -> packed initial-noise sequence as ONE compiled program (PRNG
+    key derivation, patchified normal draw, and sequence pack fused; seed is
+    a traced operand so new seeds don't recompile)."""
+    key = jax.random.PRNGKey(seed)
+    _, noise_key = jax.random.split(key)
+    noise_p = lu.generate_patchified_latents(noise_key, height, width, batch_size=batch)
+    return lu.pack_patchified_to_sequence(noise_p)
+
+
 # A step hook mutates the latent sequence inside the compiled scan — the
 # functional form of the reference's Flux2StepHook (Flux2Pipeline.swift:42-64).
 # Two accepted shapes:
@@ -403,10 +434,7 @@ class Flux2Pipeline:
             # batch composition)
             noise_seq = jnp.asarray(noise, jnp.float32)
         else:
-            key = jax.random.PRNGKey(seed)
-            key, noise_key = jax.random.split(key)
-            noise_p = lu.generate_patchified_latents(noise_key, height, width, batch_size=batch)
-            noise_seq = lu.pack_patchified_to_sequence(noise_p)
+            noise_seq = _seeded_noise_seq(seed, height, width, batch)
         if init_latents is not None and strength < 1.0:
             # img2img: mix encoded image with noise at the starting sigma.
             latents_seq = sch.scale_noise(init_latents, schedule.initial_sigma, noise_seq)
@@ -426,7 +454,7 @@ class Flux2Pipeline:
                 raise ValueError("reference_latents requires reference_ids")
             ids.append(np.asarray(reference_ids))
         combined_ids = np.concatenate(ids, axis=0)
-        cos, sin = rope_embeddings(jnp.asarray(combined_ids))
+        cos, sin = cached_rope_embeddings(combined_ids)
 
         # --- denoise (one compiled scan) ---
         t = time.perf_counter()
@@ -449,7 +477,7 @@ class Flux2Pipeline:
               cached_ids = np.concatenate(
                   [lu.text_position_ids(s_txt), lu.image_position_ids(height, width)], axis=0
               )
-              cos_c, sin_c = rope_embeddings(jnp.asarray(cached_ids))
+              cos_c, sin_c = cached_rope_embeddings(cached_ids)
               collect = (
                   checkpoint_interval is not None
                   and (schedule.num_steps - 1) // checkpoint_interval > 0

@@ -295,3 +295,26 @@ def test_generate_cancel_callable_form():
     with pytest.raises(GenerationCancelled):
         pipe.generate(embeddings=emb, height=64, width=64, num_steps=4, seed=0,
                       cancel=lambda: True)
+
+
+def test_repeat_generate_no_device_redispatch(pipe):
+    """The per-generate host glue (RoPE table, seeded noise) must not re-hit
+    the compiler or re-run eager device ops on repeat calls at one shape:
+    RoPE cos/sin are memoized per position-id table (one jitted dispatch on
+    first sight) and the seed rides as a traced operand of the noise program
+    (new seeds, zero recompiles). On a tunneled chip every extra dispatch is
+    a host round trip (docs/knowledge/decisions/jit-the-host-loop-boundary.md)."""
+    from flux2_tpu.pipeline import pipeline as pl
+
+    emb = _emb(pipe)
+    pipe.generate(embeddings=emb, height=64, width=64, num_steps=2, seed=1)
+    rope_compiles = pl._jit_rope._cache_size()
+    noise_compiles = pl._seeded_noise_seq._cache_size()
+    rope_memo = pl._rope_cache.cache_info().hits
+
+    for seed in (2, 3, 4):
+        pipe.generate(embeddings=emb, height=64, width=64, num_steps=2, seed=seed)
+
+    assert pl._jit_rope._cache_size() == rope_compiles, "RoPE recompiled at a seen shape"
+    assert pl._seeded_noise_seq._cache_size() == noise_compiles, "new seed recompiled noise"
+    assert pl._rope_cache.cache_info().hits >= rope_memo + 3, "RoPE table not memoized"
