@@ -120,7 +120,7 @@ class GenerationResult:
     # image is headed for a uint8 PNG anyway). Callers needing full-precision
     # floats should call Flux2Pipeline.decode_latents(result.latents, ...)
     image: np.ndarray  # [H, W, 3] float32 in [0, 1] (first batch element)
-    latents: np.ndarray  # final packed latents [B, S, 128]
+    latents_device: Any  # final packed latents [B, S, 128] (jax.Array, on device)
     seed: int
     num_steps: int
     duration_s: float
@@ -129,6 +129,17 @@ class GenerationResult:
     final_prompt: Optional[str] = None  # prompt actually encoded (after VLM rewrite)
     was_upsampled: bool = False
     memory_stats: Optional[Dict[str, Dict[str, float]]] = None  # per-phase HBM
+
+    @property
+    def latents(self) -> np.ndarray:
+        """Final packed latents [B, S, 128] as a host array.
+
+        Fetched LAZILY: most callers (CLI image writes, serve, chains) never
+        read the latents, and an eager np.asarray in generate() charged every
+        call a ~2 MB device->host fetch through the tunnel (~25 ms fixed
+        latency + ~45 MB/s — docs/knowledge/decisions/axon-microbenchmarks.md).
+        jax.Array caches its host copy, so repeat access transfers once."""
+        return np.asarray(self.latents_device)
 
 
 @dataclasses.dataclass
@@ -552,8 +563,13 @@ class Flux2Pipeline:
                 for slot, step in enumerate(
                     range(checkpoint_interval, schedule.num_steps, checkpoint_interval)
                 ):
-                    img_i = np.asarray(self.decode_latents(intermediates[slot], height, width))[0]
-                    on_checkpoint(step, img_i)
+                    # u8 + flat fetch like the final image (4x fewer bytes
+                    # and no trailing-dim-3 relayout); checkpoint images are
+                    # PNG-bound previews, 1/255 quantization is the contract.
+                    u8_i = np.asarray(
+                        self.decode_latents_u8(intermediates[slot], height, width, flatten=True)
+                    ).reshape(-1, height, width, 3)
+                    on_checkpoint(step, u8_i[0].astype(np.float32) / 255.0)
 
         # --- decode ---
         t = time.perf_counter()
@@ -562,9 +578,13 @@ class Flux2Pipeline:
         if decode:
             with self._mesh_ctx():
                 # uint8 leaves the device (4x less host transfer than f32;
-                # the image is headed for a uint8 PNG anyway), then restores
-                # the float [0,1] API contract host-side.
-                u8 = np.asarray(self.decode_latents_u8(final_seq, height, width))
+                # the image is headed for a uint8 PNG anyway) and FLAT
+                # (a trailing dim of 3 would pay a ~70 ms on-device relayout
+                # at fetch time — see _decode_latents_jit), then the host
+                # restores the [B, H, W, 3] float [0,1] API contract.
+                u8 = np.asarray(
+                    self.decode_latents_u8(final_seq, height, width, flatten=True)
+                ).reshape(-1, height, width, 3)
             images = u8.astype(np.float32) / 255.0
             image = images[0]
         prof.end("3. VAE Decoding")
@@ -573,7 +593,7 @@ class Flux2Pipeline:
 
         return GenerationResult(
             image=image,
-            latents=np.asarray(final_seq),
+            latents_device=final_seq,
             seed=seed,
             num_steps=schedule.num_steps,
             duration_s=time.perf_counter() - t0,
@@ -601,15 +621,21 @@ class Flux2Pipeline:
             compute_dtype=self.vae_compute_dtype,
         )
 
-    def decode_latents_u8(self, latents_seq: jnp.ndarray, height: int, width: int) -> jnp.ndarray:
-        """Packed sequence -> uint8 image [B, H, W, 3] (device-side convert)."""
+    def decode_latents_u8(
+        self, latents_seq: jnp.ndarray, height: int, width: int, flatten: bool = False
+    ) -> jnp.ndarray:
+        """Packed sequence -> uint8 image [B, H, W, 3] (device-side convert).
+
+        ``flatten=True`` returns [B, H*W*3] instead — the fetch-friendly
+        layout for callers about to np.asarray the result off-device
+        (host-side reshape restores the image; see _decode_latents_jit)."""
         tiled = bool(
             self.memory_profile is not None
             and max(height, width) > self.memory_profile.vae_tile_threshold_px
         )
         return _decode_latents_jit(
             self.vae_params, self.vae_config, latents_seq, height, width, tiled, True,
-            compute_dtype=self.vae_compute_dtype,
+            compute_dtype=self.vae_compute_dtype, flatten=flatten,
         )
 
     def encode_image_to_packed_sequence(
@@ -873,11 +899,12 @@ def _encode_image_jit(vae_params, vae_config, image, sample_posterior: bool = Fa
 
 @functools.partial(
     jax.jit,
-    static_argnames=("vae_config", "height", "width", "tiled", "as_uint8", "compute_dtype"),
+    static_argnames=("vae_config", "height", "width", "tiled", "as_uint8", "compute_dtype", "flatten"),
 )
 def _decode_latents_jit(
     vae_params, vae_config, latents_seq, height: int, width: int,
     tiled: bool = False, as_uint8: bool = False, compute_dtype=jnp.bfloat16,
+    flatten: bool = False,
 ):
     patched = lu.unpack_sequence_to_patchified(latents_seq, height, width)
     mean, var = vae_mod.get_batchnorm_stats(vae_params)
@@ -898,6 +925,14 @@ def _decode_latents_jit(
     img = img.transpose(0, 2, 3, 1)  # NCHW -> NHWC
     if as_uint8:
         img = jnp.clip(img * 255.0 + 0.5, 0.0, 255.0).astype(jnp.uint8)
+    if flatten:
+        # Fetch-friendly layout: a trailing dim of 3 keeps the on-device
+        # buffer lane-padded, and np.asarray pays a device relayout before
+        # the copy — measured 167.6 ms vs 96.7 ms for the identical 3 MB of
+        # 1024px u8 pixels through the tunnel. Flattening inside the program
+        # makes the relayout part of the (fused) epilogue; the host reshapes
+        # the dense bytes for free.
+        img = img.reshape(img.shape[0], -1)
     return img
 
 
