@@ -650,7 +650,17 @@ class Flux2Pipeline:
         """
         if key is None and sample_posterior:
             key = jax.random.PRNGKey(0)
-        x = jnp.asarray(image, jnp.float32)
+        x_np = np.asarray(image)
+        if x_np.dtype != np.uint8 and x_np.ndim == 3:
+            # Host->device uploads ride the same ~45 MB/s tunnel as fetches
+            # (axon-microbenchmarks.md): a 1024px f32 image is 12 MB (~270 ms)
+            # where the u8 it almost always came from (PIL load / resize,
+            # then /255) is 3 MB. Re-quantize only when BIT-LOSSLESS —
+            # arbitrary float arrays (tests, library callers) upload as-is.
+            q = np.rint(np.clip(x_np, 0.0, 1.0) * 255.0).astype(np.uint8)
+            if np.array_equal(q.astype(np.float32) / np.float32(255.0), x_np):
+                x_np = q
+        x = jnp.asarray(x_np if x_np.dtype == np.uint8 else np.asarray(x_np, np.float32))
         return _encode_image_jit(self.vae_params, self.vae_config, x, sample_posterior, key)
 
     def encode_reference_images(
@@ -887,8 +897,11 @@ def _denoise_kv_cached(
 
 @functools.partial(jax.jit, static_argnames=("vae_config", "sample_posterior"))
 def _encode_image_jit(vae_params, vae_config, image, sample_posterior: bool = False, key=None):
-    """[H, W, 3] in [0,1] -> packed normalized latents [1, S, 128], as one
-    compiled program (see Flux2Pipeline.encode_image_to_packed_sequence)."""
+    """[H, W, 3] in [0,1] (f32, or u8/255 uploaded raw) -> packed normalized
+    latents [1, S, 128], as one compiled program (see
+    Flux2Pipeline.encode_image_to_packed_sequence)."""
+    if image.dtype == jnp.uint8:
+        image = image.astype(jnp.float32) / 255.0
     x = image[None].transpose(0, 3, 1, 2) * 2.0 - 1.0
     z = vae_mod.encode(vae_params, x, vae_config, sample_posterior=sample_posterior, key=key)
     patched = lu.patchify_latents(z)
