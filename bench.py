@@ -26,6 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 REF_KLEIN4B_E2E = 25.3  # s, bf16 1024^2 4 steps (BASELINE.md)
+REF_KLEIN4B_E2E_Q8 = 27.9  # s, qint8 1024^2 4 steps (BASELINE.md)
 REF_KLEIN4B_STEP = 5.5  # s/step bf16
 REF_KLEIN4B_STEP_Q8 = 27.9 / 25.3 * 5.5  # ~6.07 s/step qint8
 REF_KLEIN4B_STEP_I4 = 30.3 / 25.3 * 5.5  # ~6.59 s/step int4
@@ -703,6 +704,24 @@ def main():
         pipe.text_encoder = None
     except Exception as e:  # pragma: no cover - HBM-dependent
         rows["klein4b_e2e_with_encoder"] = {"error": str(e)[:120]}
+    # --- Klein-4B e2e at W8A8 (the speed configuration on TPU: int8-MXU
+    # matmuls measured FASTER than bf16 at bs=1, where the reference's
+    # qint8 e2e is SLOWER than its bf16 — 27.9 vs 25.3 s). Runs LAST on
+    # this pipeline: quantizing replaces the bf16 params in place. ---
+    try:
+        pipe.transformer_params = quant.w8a8_params(pipe.transformer_params)
+        pipe.generate(embeddings=emb, height=1024, width=1024, num_steps=4, seed=0)
+        e2e_q, res_q = _median_e2e(
+            lambda i: pipe.generate(embeddings=emb, height=1024, width=1024, num_steps=4, seed=1 + i)
+        )
+        rows["klein4b_e2e_1024_4step_w8a8"] = {
+            "value": round(e2e_q, 3),
+            "unit": "s",
+            "vs_baseline": round(REF_KLEIN4B_E2E_Q8 / e2e_q, 2),
+            "phases": {k: round(v, 3) for k, v in res_q.phase_timings.items()},
+        }
+    except Exception as e:  # pragma: no cover - HBM-dependent
+        rows["klein4b_e2e_1024_4step_w8a8"] = {"error": str(e)[:120]}
     del pipe
     jax.clear_caches()
 
