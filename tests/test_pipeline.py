@@ -318,3 +318,29 @@ def test_repeat_generate_no_device_redispatch(pipe):
     assert pl._jit_rope._cache_size() == rope_compiles, "RoPE recompiled at a seen shape"
     assert pl._seeded_noise_seq._cache_size() == noise_compiles, "new seed recompiled noise"
     assert pl._rope_cache.cache_info().hits >= rope_memo + 3, "RoPE table not memoized"
+
+
+def test_encode_image_uploads_u8_when_lossless(pipe, monkeypatch):
+    """PIL-derived images (exact u8/255 floats) must ride the 4x-cheaper
+    uint8 upload; arbitrary floats must upload unchanged; both must produce
+    identical latents (axon-microbenchmarks.md transfer profile)."""
+    from flux2_tpu.pipeline import pipeline as pl
+
+    seen = []
+    real = pl._encode_image_jit
+
+    def spy(vp, vc, image, sample_posterior=False, key=None):
+        seen.append(image.dtype)
+        return real(vp, vc, image, sample_posterior, key)
+
+    monkeypatch.setattr(pl, "_encode_image_jit", spy)
+    u8 = np.arange(64 * 64 * 3, dtype=np.uint8).reshape(64, 64, 3)
+    lossless = u8.astype(np.float32) / 255.0
+    arbitrary = lossless + 1e-4
+
+    a = np.asarray(pipe.encode_image_to_packed_sequence(lossless))
+    b = np.asarray(pipe.encode_image_to_packed_sequence(u8))
+    pipe.encode_image_to_packed_sequence(arbitrary)
+
+    assert [str(d) for d in seen] == ["uint8", "uint8", "float32"]
+    np.testing.assert_array_equal(a, b)
