@@ -254,14 +254,39 @@ class Flux2Pipeline:
     # Phase 1: text encoding
     # ------------------------------------------------------------------
 
+    # Prompt-embedding LRU size. Entries live on device (~7.5 MB each for
+    # Klein-4B [1,512,7680] bf16), so the cache is kept small; the classical-
+    # CFG "" negative — re-encoded on EVERY base-model generate() in the
+    # reference (Flux2Pipeline.swift:1392-1404), ~2 s of encoder work per
+    # call on a tunneled chip — stays hot under LRU since every CFG call
+    # touches it.
+    PROMPT_CACHE_SIZE = 8
+
     def encode_prompt(self, prompt: str) -> jnp.ndarray:
         if self.text_encoder is None:
             raise ValueError("no text encoder attached; pass `embeddings=` to generate()")
+        # Cache keyed by (encoder identity, prompt): repeat prompts and the
+        # CFG "" negative skip the full encoder forward. The encoder object
+        # is held strongly in the sentinel slot, so an id() collision after
+        # GC cannot alias a stale entry; swapping text_encoder clears it.
+        cache = self.__dict__.setdefault("_prompt_cache", {})
+        if cache.get("_encoder") is not self.text_encoder:
+            cache.clear()
+            cache["_encoder"] = self.text_encoder
+        key = ("emb", prompt)
+        if key in cache:
+            cache[key] = cache.pop(key)  # re-insert: LRU recency
+            return cache[key]
         # under the mesh context so a sharded W8A8/W4A8 encoder keeps the
         # custom_partitioning kernel routing (GSPMD would otherwise
         # all-gather the int8 codes around each opaque pallas call)
         with self._mesh_ctx():
-            return self.text_encoder(prompt)
+            emb = self.text_encoder(prompt)
+        cache[key] = emb
+        while len(cache) > self.PROMPT_CACHE_SIZE + 1:  # +1: encoder sentinel
+            oldest = next(k for k in cache if k != "_encoder")
+            del cache[oldest]
+        return emb
 
     # -- VLM prompt services (interpret / upsample) ----------------------
 

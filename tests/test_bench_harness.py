@@ -85,6 +85,89 @@ def test_section_subprocess_protocol_unknown_section():
 
 
 def test_run_isolated_reports_missing_result():
-    out = bench._run_isolated("no_such_section", timeout_s=240)
-    (key, row), = out.items()
-    assert key == "no_such_section" and "error" in row
+    bench.ROWS.clear()
+    bench._run_isolated("no_such_section", cap_s=240)
+    assert "error" in bench.ROWS["no_such_section"]
+    bench.ROWS.clear()
+
+
+def test_emit_row_streams_and_records(capsys, tmp_path, monkeypatch):
+    """Rows must stream the moment they're measured (BENCH_ROW line + rows
+    file) so a killed run loses only unmeasured sections (VERDICT r4 #1)."""
+    rf = tmp_path / "rows.jsonl"
+    monkeypatch.setenv("FLUX2_BENCH_ROWS_FILE", str(rf))
+    bench.ROWS.clear()
+    bench.emit_row("x_row", {"value": 1.5, "unit": "s"})
+    out = capsys.readouterr().out
+    assert out.startswith("BENCH_ROW ")
+    assert json.loads(out[len("BENCH_ROW "):]) == {"x_row": {"value": 1.5, "unit": "s"}}
+    assert json.loads(rf.read_text().strip()) == {"x_row": {"value": 1.5, "unit": "s"}}
+    assert bench.ROWS["x_row"]["value"] == 1.5
+    bench.ROWS.clear()
+
+
+def test_consolidated_headline_and_final_once(capsys):
+    """The final line carries the headline e2e row; emit_final is
+    idempotent (atexit + signal handler may both fire)."""
+    bench.ROWS.clear()
+    bench._FINAL_DONE = False
+    bench.ROWS["klein4b_e2e_1024_4step"] = {"value": 1.5, "vs_baseline": 16.9}
+    doc = bench._consolidated()
+    assert doc["value"] == 1.5 and doc["vs_baseline"] == 16.9
+    assert doc["rows"]["klein4b_e2e_1024_4step"]["value"] == 1.5
+    bench.emit_final()
+    bench.emit_final()
+    out = capsys.readouterr().out
+    assert out.count('"metric"') == 1
+    bench.ROWS.clear()
+    bench._FINAL_DONE = False
+
+
+def test_budget_skip_is_honest(monkeypatch):
+    """Sections must skip with an explicit budget row once the global
+    budget is exhausted — never silently, never by dying."""
+    bench.ROWS.clear()
+    monkeypatch.setattr(bench, "_BUDGET_S", 0.0)
+    bench._run_isolated("dev32b_full", cap_s=60)
+    assert bench.ROWS["dev32b_full"]["skipped"] == "budget"
+    assert not bench._budgeted("klein4b_steps", lambda: None, est_s=10)
+    assert bench.ROWS["klein4b_steps"]["skipped"] == "budget"
+    bench.ROWS.clear()
+
+
+def test_dit_flops_analytic_sanity():
+    """MFU's analytic FLOPs: positive, linear in depth, superlinear in
+    sequence (attention term) — guards against unit slips in the formula."""
+    from flux2_tpu.models.flux2 import config as cfg
+
+    s = (1024 // 16) * (1024 // 16)
+    f4 = bench.dit_flops_per_step(cfg.KLEIN_4B, s)
+    # ~2*params*tokens ballpark: Klein-4B ~4e9 params, 4608 tokens
+    assert 2e13 < f4 < 2e14
+    f_deep = bench.dit_flops_per_step(
+        __import__("dataclasses").replace(cfg.KLEIN_4B, num_single_layers=40), s
+    )
+    assert f_deep > f4
+    f_2048 = bench.dit_flops_per_step(cfg.KLEIN_4B, 4 * s)
+    assert f_2048 > 4 * f4  # attention quadratic term
+
+
+def test_main_survives_sigterm_with_partial_rows(tmp_path):
+    """timeout(1)-style SIGTERM mid-run must still yield a parseable final
+    JSON line containing the already-measured rows."""
+    code = (
+        "import bench, json, os, signal\n"
+        "bench._install_dump_handlers()\n"
+        "bench.emit_row('early_row', {'value': 2.0})\n"
+        "os.kill(os.getpid(), signal.SIGTERM)\n"
+    )
+    p = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True, text=True, timeout=120,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+    )
+    last = [ln for ln in p.stdout.splitlines() if ln.startswith("{")][-1]
+    doc = json.loads(last)
+    assert doc["rows"]["early_row"]["value"] == 2.0
+    assert "metric" in doc
