@@ -550,6 +550,61 @@ def resolve_encoder_quantization(flag_value, yaml_value) -> str:
     }.get((yaml_value or "bf16").lower(), "bf16")
 
 
+def _build_random_pipeline(train_model):
+    """Random-init pipeline WITH a working text encoder for checkpoint-free
+    real-data runs (``--random-init`` + an existing dataset.path).
+
+    The encoder is random-init at the model family's REAL conditioning
+    shape (klein-4b -> Qwen3-4B [9,18,27] concat 7680, klein-9b -> Qwen3-8B)
+    and W8A8-quantized so DiT + VAE + encoder coexist in one chip's HBM;
+    tokenization runs a real inline-trained BPE + chat template
+    (utils.dev_tokenizer), so the measured path is the production one."""
+    import jax
+    import jax.numpy as jnp
+
+    from flux2_tpu.models.text_encoders import config as tenc_cfg
+    from flux2_tpu.models.text_encoders import decoder as dec
+    from flux2_tpu.models.text_encoders import extractor as tenc_ext
+    from flux2_tpu.ops import quant
+    from flux2_tpu.pipeline.pipeline import Flux2Pipeline
+    from flux2_tpu.utils.dev_tokenizer import inline_bpe_tokenizer
+
+    joint = train_model.transformer_config.joint_attention_dim
+    by_dim = {
+        3 * tenc_cfg.QWEN3_4B.hidden_size: (tenc_cfg.QWEN3_4B, "klein"),
+        3 * tenc_cfg.QWEN3_8B.hidden_size: (tenc_cfg.QWEN3_8B, "klein"),
+    }
+    if joint == 3 * tenc_cfg.MISTRAL_SMALL_3_2.hidden_size:
+        raise SystemExit(
+            "random-init real-data training for dev needs the Mistral-24B "
+            "encoder resident (multi-chip mesh); use a klein model for "
+            "single-chip checkpoint-free runs"
+        )
+    if joint in by_dim:
+        enc_cfg, recipe = by_dim[joint]
+        layers = tenc_ext.QWEN3_HIDDEN_LAYERS
+    else:
+        # tiny test configs: a 3-layer decoder at hidden = joint/3
+        if joint % 3:
+            raise SystemExit(f"joint_attention_dim {joint} is not 3*hidden")
+        enc_cfg = tenc_cfg.DecoderConfig(
+            vocab_size=512, hidden_size=joint // 3, intermediate_size=2 * joint // 3,
+            num_hidden_layers=3, num_attention_heads=2, num_key_value_heads=1,
+            head_dim=64, qk_norm=True,
+        )
+        recipe, layers = "klein", (1, 2, 3)
+    # encoder FIRST (quantize + free the dense transient before the DiT
+    # allocates — peak HBM ordering matters on one 16 GiB chip)
+    eparams = dec.init_params(jax.random.PRNGKey(7), enc_cfg, dtype=jnp.bfloat16)
+    eparams = quant.w8a8_params(eparams)
+    extractor = tenc_ext.EmbeddingExtractor(
+        eparams, enc_cfg, inline_bpe_tokenizer(), layers, recipe=recipe
+    )
+    pipe = Flux2Pipeline.from_random(model=train_model)
+    pipe.text_encoder = extractor
+    return pipe
+
+
 def run_training(args) -> None:
     import argparse
 
@@ -592,9 +647,22 @@ def run_training(args) -> None:
     # --- base model ---
     pipe = None
     if getattr(args, "random_init", False):
-        tconfig = train_model.transformer_config
-        base_params = tfm.init_params(jax.random.PRNGKey(0), tconfig, dtype=jnp.float32)
-        flog.warning("training against random-init base (smoke test)")
+        if cfg.dataset_dir and os.path.isdir(cfg.dataset_dir):
+            # random WEIGHTS but the REAL data path: image decode -> buckets
+            # -> VAE encode -> caption encode through the extractor recipe.
+            # Exercises every seam of the training stack without
+            # checkpoints; losses are real, outputs are untrained noise.
+            pipe = _build_random_pipeline(train_model)
+            base_params = pipe.transformer_params
+            tconfig = pipe.transformer_config
+            flog.warning(
+                "random-init weights + real dataset: full data path, "
+                "untrained outputs (checkpoint-free e2e mode)"
+            )
+        else:
+            tconfig = train_model.transformer_config
+            base_params = tfm.init_params(jax.random.PRNGKey(0), tconfig, dtype=jnp.float32)
+            flog.warning("training against random-init base (smoke test)")
     else:
         from flux2_tpu.cli.main import build_pipeline
 

@@ -544,3 +544,59 @@ def test_degradation_threshold_fires_without_early_stopping():
     assert not t.record(10, [ValidationRecord(step=10, prompt="p", scene=90, style=90)])
     assert not t.record(20, [ValidationRecord(step=20, prompt="p", scene=89, style=89)])
     assert t.record(30, [ValidationRecord(step=30, prompt="p", scene=10, style=10)])  # collapse
+
+
+@pytest.mark.slow
+def test_train_lora_random_init_real_dataset(tmp_path):
+    """--random-init with an EXISTING dataset.path runs the REAL data path
+    (image decode -> buckets -> VAE encode -> caption encode through the
+    inline-BPE extractor) instead of synthetic tensors — the checkpoint-free
+    e2e mode used for the cat-toy protocol (SimpleLoRATrainer.swift:244-350
+    + examples/cat-toy) on hosts without weights."""
+    from PIL import Image
+
+    from flux2_tpu.models.flux2 import config as cfg_mod
+
+    data = tmp_path / "train"
+    data.mkdir()
+    rng = np.random.RandomState(0)
+    for i in range(2):
+        Image.fromarray(rng.randint(0, 255, (96, 96, 3), np.uint8)).save(
+            data / f"{i}.jpeg"
+        )
+        (data / f"{i}.txt").write_text(f"a photo of [trigger] number {i}")
+    cfg_path = tmp_path / "t.yaml"
+    cfg_path.write_text(
+        "model: klein-4b\n"
+        "lora:\n  rank: 2\n"
+        f"dataset:\n  path: {data}\n  trigger_word: statue_cat_toy\n"
+        "training:\n  max_steps: 2\n  save_every: 2\n"
+        "memory:\n  cache_latents: false\n  cache_text_embeddings: false\n"
+        "  bucketing:\n    enabled: true\n    resolutions: [64]\n"
+        "validation:\n"
+        "  prompts:\n    - prompt: 'a statue cat toy on a beach'\n"
+        "      apply_trigger: true\n      is_512: false\n"
+        "  every_n_steps: 2\n  steps: 1\n  width: 64\n  height: 64\n"
+    )
+    tiny = cfg_mod.Flux2TransformerConfig(
+        num_layers=1, num_single_layers=1, num_attention_heads=2,
+        attention_head_dim=128, joint_attention_dim=96, guidance_embeds=False,
+    )
+    orig = cfg_mod.Flux2Model.transformer_config
+    try:
+        cfg_mod.Flux2Model.transformer_config = property(lambda self: tiny)
+        main([
+            "train-lora", "--config", str(cfg_path),
+            "--output-dir", str(tmp_path / "out"), "--random-init",
+        ])
+    finally:
+        cfg_mod.Flux2Model.transformer_config = orig
+    out = tmp_path / "out"
+    ckpt = out / "checkpoint_000002"
+    assert (ckpt / "lora.safetensors").exists()
+    assert (ckpt / "training_state.json").exists()
+    state = json.loads((ckpt / "training_state.json").read_text())
+    assert state["step"] == 2 and len(state["loss_history"]) == 2
+    # a validation image was rendered through the real (random) weights
+    vals = list(out.glob("validation/**/*.png")) + list(out.glob("**/val*__*.png"))
+    assert vals, f"no validation image under {out}"

@@ -261,6 +261,30 @@ def attempt_download(model: str) -> dict:
                 "error": str(e)[:200], "wall_s": round(time.perf_counter() - t0, 1)}
 
 
+def attempt_tekken_probe() -> dict:
+    """Probe for a real mistral tekken.json (hf_hub_download) and, when one
+    lands, validate TekkenTokenizer.from_tekken_json against it — the
+    real-merges check that stays blocked offline (VERDICT r4 item 7)."""
+    t0 = time.perf_counter()
+    try:
+        from huggingface_hub import hf_hub_download
+
+        path = hf_hub_download(
+            "mistralai/Mistral-Small-3.2-24B-Instruct-2506", "tekken.json"
+        )
+        from flux2_tpu.models.text_encoders.tekken import TekkenTokenizer
+
+        tok = TekkenTokenizer.from_tekken_json(path)
+        ids = tok.encode("a serene mountain lake at dawn")
+        rt = tok.decode(ids)
+        return {"outcome": "validated", "path": path, "n_tokens": len(ids),
+                "roundtrip_ok": "serene mountain" in rt,
+                "wall_s": round(time.perf_counter() - t0, 1)}
+    except Exception as e:
+        return {"outcome": "unavailable", "error": str(e)[:200],
+                "wall_s": round(time.perf_counter() - t0, 1)}
+
+
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     ap.add_argument("--reference-tree", default="/root/reference/docs/examples")
@@ -284,6 +308,7 @@ def main() -> int:
 
     if args.attempt_download:
         report["download_probe"] = attempt_download(args.attempt_download)
+        report["tekken_probe"] = attempt_tekken_probe()
 
     models = {m.strip() for m in args.models.split(",") if m.strip()}
     quants = {q.strip() for q in args.quantizations.split(",") if q.strip()}
