@@ -34,6 +34,23 @@ def _lazy_imports():
 # ---------------------------------------------------------------------------
 
 
+def _cache_should_enable(platforms: str, default_backend_fn) -> bool:
+    """Cache on iff the RESOLVED backend is a real accelerator.
+
+    The decision must key on the FIRST (primary) platform entry, not a
+    substring: tunneled-TPU hosts pin ``jax_platforms='axon,cpu'`` (CPU as
+    fallback), and a naive ``'cpu' in platforms`` guard disabled the cache
+    on exactly the hosts where TPU compiles cost minutes — every bench
+    section of rounds 1-4 recompiled from scratch in every process."""
+    first = platforms.split(",")[0].strip().lower() if platforms else ""
+    if first == "cpu":
+        return False
+    try:
+        return default_backend_fn() != "cpu"
+    except Exception:
+        return False
+
+
 def _enable_compile_cache():
     """Persistent XLA compilation cache: repeat shapes skip recompilation
     across processes (the warm-load analogue of the reference's
@@ -50,16 +67,8 @@ def _enable_compile_cache():
     import jax
 
     platforms = str(getattr(jax.config, "jax_platforms", None) or os.environ.get("JAX_PLATFORMS", ""))
-    if "cpu" in platforms:
+    if not _cache_should_enable(platforms, jax.default_backend):
         return
-    if not platforms:
-        # nothing pinned: resolve the backend (hosts with no TPU plugin
-        # auto-select CPU and must NOT write the portable-unsafe CPU cache)
-        try:
-            if jax.default_backend() == "cpu":
-                return
-        except Exception:
-            return
     cache_dir = os.environ.get(
         "FLUX2_COMPILE_CACHE", os.path.expanduser("~/.cache/flux2_tpu/xla_cache")
     )

@@ -600,3 +600,19 @@ def test_train_lora_random_init_real_dataset(tmp_path):
     # a validation image was rendered through the real (random) weights
     vals = list(out.glob("validation/**/*.png")) + list(out.glob("**/val*__*.png"))
     assert vals, f"no validation image under {out}"
+
+
+def test_compile_cache_enables_on_tunneled_tpu_hosts():
+    """Regression (r5): 'axon,cpu' hosts pin CPU as FALLBACK platform; the
+    old `'cpu' in platforms` guard disabled the persistent compile cache on
+    exactly the hosts where TPU compiles cost minutes (rounds 1-4 ran every
+    bench section cold). The decision keys on the primary platform + the
+    resolved backend."""
+    from flux2_tpu.cli.main import _cache_should_enable
+
+    assert _cache_should_enable("axon,cpu", lambda: "tpu")      # the bug
+    assert _cache_should_enable("tpu", lambda: "tpu")
+    assert _cache_should_enable("", lambda: "tpu")
+    assert not _cache_should_enable("cpu", lambda: "tpu")       # explicit cpu
+    assert not _cache_should_enable("", lambda: "cpu")          # resolved cpu
+    assert not _cache_should_enable("axon,cpu", lambda: (_ for _ in ()).throw(RuntimeError()))
