@@ -847,7 +847,9 @@ def _bench_lora_realdata(cfg, tfm):
         import tempfile
 
         tmp = tempfile.mkdtemp(prefix="bench_realdata_")
-        ycfg = YAMLTrainingConfig.from_yaml("examples/cat-toy/cat_toy_klein4b.yaml")
+        repo = os.path.dirname(os.path.abspath(__file__))
+        ycfg = YAMLTrainingConfig.from_yaml(
+            os.path.join(repo, "examples/cat-toy/cat_toy_klein4b.yaml"))
         ycfg = ycfg.override(output_dir=tmp, max_steps=10)
         import dataclasses as _dc
 

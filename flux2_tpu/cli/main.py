@@ -1018,7 +1018,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output-dir")
     p.add_argument("--resume")
     p.add_argument("--max-steps", type=int)
-    p.add_argument("--random-init", action="store_true", help="synthetic smoke run (no checkpoints)")
+    p.add_argument("--random-init", action="store_true",
+                   help="random weights; with an existing dataset.path runs the "
+                   "full real data path, else a synthetic smoke run")
+    p.add_argument("--dataset-dir", help="override the YAML's dataset.path")
     p.add_argument("--transformer-dir", help="base-variant transformer weights dir")
     p.add_argument("--vae-dir")
     p.add_argument("--encoder-dir")

@@ -626,7 +626,8 @@ def run_training(args) -> None:
     from flux2_tpu.utils.beacon import RuntimeBeacon
 
     cfg = YAMLTrainingConfig.from_yaml(args.config).override(
-        output_dir=args.output_dir, max_steps=args.max_steps
+        output_dir=args.output_dir, max_steps=args.max_steps,
+        dataset_dir=getattr(args, "dataset_dir", None),
     )
     requested = Flux2Model(cfg.model)
     # LoRA training MUST fine-tune the non-distilled base sibling
