@@ -1036,9 +1036,15 @@ def main():
     # are COLD-compile worst cases (9B KV compiles three multi-kiloToken
     # programs); warm-cache runs come in far under them, and the budget
     # check skips what no longer fits.
+    def _missing(row_key):
+        # fallback triggers on an in-section failure (row carries "error")
+        # AND on a section timeout/kill (row never emitted at all)
+        r = ROWS.get(row_key)
+        return r is None or "error" in r
+
     _run_isolated("klein9b_kv", cap_s=900)
     _run_isolated("dev32b_full", cap_s=900)
-    if "error" in ROWS.get("dev32b_step_w4a8", {}):
+    if _missing("dev32b_step_w4a8"):
         # full depth missed HBM: measure the quarter-depth slice in ANOTHER
         # fresh process (the OOM poisoned the previous one), plus a
         # half-depth point to validate the linear-in-depth extrapolation
@@ -1047,12 +1053,12 @@ def main():
     # W4A8 first: full 40 layers fit one chip (measured, no extrapolation)
     _run_isolated("mistral24b_encode_w4a8", cap_s=600)
     _run_isolated("mistral24b_encode", cap_s=600)
-    if "error" in ROWS.get("mistral24b_encode_512tok_w8a8", {}):
+    if _missing("mistral24b_encode_512tok_w8a8"):
         # W8A8 full depth missed HBM: a descending-depth bisect keeps a
         # same-format point; each attempt gets a FRESH process.
         for depth in (32, 28, 24):
             _run_isolated(f"mistral24b_encode_w8a8_slice_{depth}", cap_s=420)
-            if "error" not in ROWS.get(f"mistral24b_encode_512tok_w8a8_{depth}L", {}):
+            if not _missing(f"mistral24b_encode_512tok_w8a8_{depth}L"):
                 break
     _run_isolated("lora_train", cap_s=900)
     _run_isolated("lora_realdata", cap_s=900)
