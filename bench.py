@@ -9,7 +9,7 @@ already-captured rows (round-4 post-mortem: an all-at-the-end print lost an
 entire round's numbers to rc=124).
 
 Survivability contract (VERDICT r4 item 1):
-  - global wall budget: env ``FLUX2_BENCH_BUDGET_S`` (default 1500 s);
+  - global wall budget: env ``FLUX2_BENCH_BUDGET_S`` (default 3300 s);
     sections are skipped with honest ``{"skipped": "budget"}`` rows once the
     remaining budget cannot fit them,
   - SIGTERM/SIGINT/SIGALRM dump the consolidated JSON from whatever has been

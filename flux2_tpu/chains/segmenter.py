@@ -23,6 +23,7 @@ from typing import Dict, Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
+from flux2_tpu.utils.rngs import key_iter
 
 WORK_RES = 256
 CHANNELS = (24, 48, 96, 160)  # stem + 3 downsamples
@@ -49,7 +50,7 @@ def _gn_init(c):
 
 
 def init_params(key: jax.Array) -> Params:
-    keys = iter(jax.random.split(key, 64))
+    keys = key_iter(key, 64)
     p: Params = {"stem": _conv_init(next(keys), 3, 3, 3, CHANNELS[0])}
     for i in range(1, len(CHANNELS)):
         p[f"down{i}"] = {

@@ -39,6 +39,7 @@ from flux2_tpu.ops.attention import sdpa
 from flux2_tpu.ops.quant import q_matmul as mm
 from flux2_tpu.ops.normalization import gate, layer_norm, modulate, rms_norm
 from flux2_tpu.ops.rope import apply_rope
+from flux2_tpu.utils.rngs import key_iter
 
 Params = Dict[str, Any]
 
@@ -63,10 +64,10 @@ def init_params(
     hd = config.attention_head_dim
     mlp = config.mlp_hidden_dim
     nl, ns = config.num_layers, config.num_single_layers
-    keys = iter(jax.random.split(key, 64))
+    keys = key_iter(key, 64)
 
     def stack(n, f):
-        return jnp.stack([f(k) for k in jax.random.split(next(keys), n)])
+        return jnp.stack([f(k) for k in key_iter(next(keys), n)])
 
     params: Params = {
         "x_embedder": {"kernel": _linear(next(keys), config.in_channels, d, dtype)},

@@ -32,6 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from flux2_tpu.ops.normalization import group_norm
+from flux2_tpu.utils.rngs import key_iter
 
 Params = Dict[str, Any]
 
@@ -138,7 +139,7 @@ def _attn(key, c, dtype):
 
 
 def init_params(key: jax.Array, config: VAEConfig = FLUX2_VAE, dtype: jnp.dtype = jnp.float32) -> Params:
-    keys = iter(jax.random.split(key, 256))
+    keys = key_iter(key, 256)
     ch = config.block_out_channels
     lc = config.latent_channels
 

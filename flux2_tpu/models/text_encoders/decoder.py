@@ -33,6 +33,7 @@ import jax.numpy as jnp
 from flux2_tpu.models.text_encoders.config import DecoderConfig
 from flux2_tpu.ops.normalization import rms_norm
 from flux2_tpu.ops.quant import q_matmul as mm
+from flux2_tpu.utils.rngs import key_iter
 
 Params = Dict[str, Any]
 
@@ -49,14 +50,14 @@ def _linear(key, d_in, d_out, dtype):
 
 
 def init_params(key: jax.Array, cfg: DecoderConfig, dtype: jnp.dtype = jnp.bfloat16) -> Params:
-    keys = iter(jax.random.split(key, 16))
+    keys = key_iter(key, 16)
     h, hd = cfg.hidden_size, cfg.head_dim
     q_dim = cfg.num_attention_heads * hd
     kv_dim = cfg.num_key_value_heads * hd
     n = cfg.num_hidden_layers
 
     def stack(f):
-        return jnp.stack([f(k) for k in jax.random.split(next(keys), n)])
+        return jnp.stack([f(k) for k in key_iter(next(keys), n)])
 
     params: Params = {
         "embed_tokens": jax.random.normal(next(keys), (cfg.vocab_size, h), dtype=dtype) * jnp.asarray(0.02, dtype),

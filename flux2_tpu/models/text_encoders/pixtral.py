@@ -28,6 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from flux2_tpu.ops.normalization import rms_norm
+from flux2_tpu.utils.rngs import key_iter
 
 Params = Dict[str, Any]
 
@@ -65,7 +66,7 @@ def _lin(key, i, o, dtype):
 
 
 def init_params(key: jax.Array, cfg: PixtralVisionConfig = TINY_PIXTRAL, dtype=jnp.float32) -> Params:
-    keys = iter(jax.random.split(key, cfg.num_hidden_layers * 8 + 8))
+    keys = key_iter(key, cfg.num_hidden_layers * 8 + 8)
     h = cfg.hidden_size
     blocks = []
     for _ in range(cfg.num_hidden_layers):

@@ -37,6 +37,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from flux2_tpu.ops.normalization import rms_norm
+from flux2_tpu.utils.rngs import key_iter
 
 Params = Dict[str, Any]
 
@@ -137,7 +138,7 @@ def init_params(key: jax.Array, cfg: Qwen35TextConfig, dtype=jnp.float32) -> Par
     h = cfg.hidden_size
     layers: List[Params] = []
     for i in range(cfg.num_hidden_layers):
-        ks = iter(jax.random.split(keys[i], 12))
+        ks = key_iter(keys[i], 12)
         lp: Params = {
             "input_norm": jnp.ones((h,), dtype),
             "post_attn_norm": jnp.ones((h,), dtype),

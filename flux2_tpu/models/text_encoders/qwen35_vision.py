@@ -27,6 +27,7 @@ from typing import Any, Dict, List, Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from flux2_tpu.utils.rngs import key_iter
 
 Params = Dict[str, Any]
 
@@ -90,7 +91,7 @@ def _lin(key, i, o, dtype):
 
 
 def init_params(key: jax.Array, cfg: Qwen35VisionConfig = TINY_VISION, dtype=jnp.float32) -> Params:
-    keys = iter(jax.random.split(key, cfg.depth * 4 + 8))
+    keys = key_iter(key, cfg.depth * 4 + 8)
     h = cfg.hidden_size
     blocks = []
     for _ in range(cfg.depth):

@@ -955,10 +955,22 @@ def _decode_latents_jit(
         if jnp.issubdtype(x.dtype, jnp.floating) else x,
         vae_params,
     )
+    z = z.astype(compute_dtype)
     if tiled:
-        img = vae_mod.decode_tiled(vp, z.astype(compute_dtype), vae_config)
+        img = vae_mod.decode_tiled(vp, z, vae_config)
+    elif z.shape[0] > 1:
+        # Batched requests (serve micro-batching) decode image-by-image
+        # under lax.map: the decoder's upsampled feature maps are the HBM
+        # peak of the whole pipeline (128ch x 1024^2 x bs), and a bs=4
+        # dense decode RESOURCE_EXHAUSTs a 16 GiB chip that the bs=4
+        # denoise itself fits comfortably. Sequential decode keeps the
+        # peak at the bs=1 level for ~1 extra second per 3 images, and it
+        # is ONE compiled program (no per-image dispatch through the
+        # tunnel). The reference is strictly bs=1 (MemoryManager.swift:
+        # 169-180) so it never faces this.
+        img = jax.lax.map(lambda zi: vae_mod.decode(vp, zi[None], vae_config)[0], z)
     else:
-        img = vae_mod.decode(vp, z.astype(compute_dtype), vae_config)
+        img = vae_mod.decode(vp, z, vae_config)
     img = jnp.clip(img.astype(jnp.float32) * 0.5 + 0.5, 0.0, 1.0)
     img = img.transpose(0, 2, 3, 1)  # NCHW -> NHWC
     if as_uint8:

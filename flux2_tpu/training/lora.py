@@ -33,6 +33,7 @@ from typing import Any, Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+from flux2_tpu.utils.rngs import key_iter
 
 Params = Dict[str, Any]
 
@@ -83,7 +84,7 @@ def init_lora(
 ) -> Params:
     """LoRA pytree mirroring the targeted leaves: {group: {leaf: {a, b}}}."""
     lora: Params = {}
-    keys = iter(jax.random.split(key, len(config.targets)))
+    keys = key_iter(key, len(config.targets))
     for group, leaf in config.targets:
         w = params[group][leaf]  # [L, in, out]
         if hasattr(w, "shape"):

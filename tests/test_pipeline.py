@@ -215,6 +215,19 @@ def test_batched_generation(pipe):
     assert np.abs(res.images[0] - res.images[1]).max() > 1e-6
 
 
+def test_batched_decode_matches_per_image(pipe):
+    """bs>1 latents decode image-by-image under lax.map (the dense bs=4
+    decode RESOURCE_EXHAUSTs a 16 GiB chip); the batched result must equal
+    per-image decodes of the same latents."""
+    lat = jax.random.normal(jax.random.PRNGKey(5), (3, 16, 128))
+    batched = np.asarray(pipe.decode_latents(lat, 64, 64))
+    singles = np.stack(
+        [np.asarray(pipe.decode_latents(lat[i : i + 1], 64, 64))[0] for i in range(3)]
+    )
+    assert batched.shape == (3, 64, 64, 3)
+    np.testing.assert_allclose(batched, singles, atol=1e-5)
+
+
 def test_kv_cached_path_supports_step_hooks():
     """Chains (RePaint) work on klein-9b-kv too: hook runs inside both the
     extract step and the cached scan."""
