@@ -788,11 +788,15 @@ def _bench_lora_train(cfg, tfm):
 
 
 def _bench_serve_batched(cfg, quant):
-    """Serving throughput: batched generate at bs=4 vs bs=1 (same shapes,
-    W8A8). The serve micro-batcher coalesces concurrent /generate requests
-    into exactly this batched call (flux2_tpu/serve.py); the reference is
-    strictly bs=1 (MemoryManager.swift:169-180) so batching is capability
-    the TPU build adds — images/min is the honest serving metric."""
+    """Serving throughput under the micro-batcher's MXU-fill policy
+    (flux2_tpu/serve.py): batching pays only while the bs=1 step
+    UNDER-FILLS the MXU. Measured per-image: every batched point at 512px
+    and above LOSES (bs=1 already ~78% MFU at 1024px); 256px batches to a
+    bs=8 optimum (1.44-1.48x throughput). So the policy runs >=512px at
+    bs=1 and 256px at bs=8. The 1024px row records the measured bs=4
+    regression that motivates the cap; the 256px row records the batching
+    win. The reference is strictly bs=1 at any size
+    (MemoryManager.swift:169-180)."""
     try:
         from flux2_tpu.models.flux2.config import Flux2Model
         from flux2_tpu.pipeline.pipeline import Flux2Pipeline
@@ -800,24 +804,37 @@ def _bench_serve_batched(cfg, quant):
         pipe = Flux2Pipeline.from_random(model=Flux2Model.KLEIN_4B)
         pipe.transformer_params = quant.w8a8_params(pipe.transformer_params)
         D = cfg.KLEIN_4B.joint_attention_dim
-        emb1 = jax.random.normal(jax.random.PRNGKey(3), (1, 512, D), jnp.bfloat16)
-        emb4 = jax.random.normal(jax.random.PRNGKey(4), (4, 512, D), jnp.bfloat16)
-        pipe.generate(embeddings=emb1, height=1024, width=1024, num_steps=4, seed=0)
-        e2e1, _ = _median_e2e(
-            lambda i: pipe.generate(embeddings=emb1, height=1024, width=1024,
-                                    num_steps=4, seed=1 + i))
-        pipe.generate(embeddings=emb4, height=1024, width=1024, num_steps=4, seed=0)
-        e2e4, _ = _median_e2e(
-            lambda i: pipe.generate(embeddings=emb4, height=1024, width=1024,
-                                    num_steps=4, seed=1 + i))
+
+        def run(bs, px, seed0=3):
+            emb = jax.random.normal(jax.random.PRNGKey(seed0), (bs, 512, D), jnp.bfloat16)
+            pipe.generate(embeddings=emb, height=px, width=px, num_steps=4, seed=0)
+            e2e, _ = _median_e2e(
+                lambda i: pipe.generate(embeddings=emb, height=px, width=px,
+                                        num_steps=4, seed=1 + i))
+            return e2e
+
+        e2e1 = run(1, 1024)
+        e2e4 = run(4, 1024)
         emit_row("serve_batched_generate_1024_w8a8", {
-            "value": round(4 * 60.0 / e2e4, 2),
-            "unit": "images/min (bs=4)",
+            "value": round(60.0 / e2e1, 2),
+            "unit": "images/min (policy bs=1)",
             "bs1_s": round(e2e1, 3),
             "bs4_s": round(e2e4, 3),
-            "bs1_images_per_min": round(60.0 / e2e1, 2),
-            "batch_efficiency": round(e2e1 * 4 / e2e4 / 4, 2),
-            "vs_baseline": round((4 * 60.0 / e2e4) / (60.0 / REF_KLEIN4B_E2E_Q8), 2),
+            "bs4_images_per_min": round(4 * 60.0 / e2e4, 2),
+            "note": "MXU-fill policy serves 1024px at bs=1: bs=4 measured "
+                    "slower per image (step already ~78% MFU at bs=1)",
+            "vs_baseline": round((60.0 / e2e1) / (60.0 / REF_KLEIN4B_E2E_Q8), 2),
+        })
+        s1 = run(1, 256)
+        s8 = run(8, 256)
+        emit_row("serve_batched_generate_256_w8a8", {
+            "value": round(8 * 60.0 / s8, 2),
+            "unit": "images/min (policy bs=8)",
+            "bs1_s": round(s1, 3),
+            "bs8_s": round(s8, 3),
+            "bs1_images_per_min": round(60.0 / s1, 2),
+            "batch_speedup": round(8 * s1 / s8, 2),
+            "vs_baseline": None,
         })
     except Exception as e:  # pragma: no cover - HBM-dependent
         emit_row("serve_batched_generate_1024_w8a8", {"error": str(e)[:120]})

@@ -935,6 +935,14 @@ def _encode_image_jit(vae_params, vae_config, image, sample_posterior: bool = Fa
     return lu.pack_patchified_to_sequence(normed)
 
 
+# Largest total-pixel count decoded as ONE dense batched conv stack; above
+# it the decode runs image-by-image under lax.map (see _decode_latents_jit).
+# One megapixel is the proven-good peak: a bs=1 1024px decode fits a 16 GiB
+# chip with the DiT + encoder resident, a bs=4 one does not. Trace-time
+# constant: tests monkeypatch it together with a fresh shape.
+_DECODE_MAP_BUDGET_PIXELS = 1024 * 1024
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("vae_config", "height", "width", "tiled", "as_uint8", "compute_dtype", "flatten"),
@@ -958,16 +966,18 @@ def _decode_latents_jit(
     z = z.astype(compute_dtype)
     if tiled:
         img = vae_mod.decode_tiled(vp, z, vae_config)
-    elif z.shape[0] > 1:
-        # Batched requests (serve micro-batching) decode image-by-image
-        # under lax.map: the decoder's upsampled feature maps are the HBM
-        # peak of the whole pipeline (128ch x 1024^2 x bs), and a bs=4
-        # dense decode RESOURCE_EXHAUSTs a 16 GiB chip that the bs=4
-        # denoise itself fits comfortably. Sequential decode keeps the
-        # peak at the bs=1 level for ~1 extra second per 3 images, and it
-        # is ONE compiled program (no per-image dispatch through the
-        # tunnel). The reference is strictly bs=1 (MemoryManager.swift:
-        # 169-180) so it never faces this.
+    elif z.shape[0] * height * width > _DECODE_MAP_BUDGET_PIXELS:
+        # Batched requests (serve micro-batching) past ~1 megapixel total
+        # decode image-by-image under lax.map: the decoder's upsampled
+        # feature maps are the HBM peak of the whole pipeline
+        # (128ch x 1024^2 x bs), and a bs=4 dense decode at 1024px
+        # RESOURCE_EXHAUSTs a 16 GiB chip that the bs=4 denoise itself
+        # fits comfortably. Sequential decode keeps the peak at the
+        # bs=1-megapixel level (known-good), and it is ONE compiled
+        # program (no per-image dispatch through the tunnel). Below the
+        # budget (e.g. bs=4 at 512px) the dense batched decode is safe
+        # and batches the convs. The reference is strictly bs=1
+        # (MemoryManager.swift:169-180) so it never faces this.
         img = jax.lax.map(lambda zi: vae_mod.decode(vp, zi[None], vae_config)[0], z)
     else:
         img = vae_mod.decode(vp, z, vae_config)

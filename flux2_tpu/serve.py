@@ -46,8 +46,11 @@ program at a time; the compiled-fn cache makes repeat shapes fast.
 
 Micro-batching: concurrent /generate requests with the same
 (width, height, steps, guidance) coalesce into one batched generate call
-(batch follows the conditioning's leading axis) — throughput scales with
-batch while the chip runs one program.
+(batch follows the conditioning's leading axis). Batch size is capped by
+the MXU-fill rule: measured end-to-end on v5e, batching 256px is a 1.48x
+throughput win (bs=8 optimal), while EVERY batched point at 512px and
+above loses — the bs=1 step already saturates the chip (~78% MFU at
+1024px) — so requests above 512 image tokens intentionally run bs=1.
 
 Run: python -m flux2_tpu.serve --random-init --port 8080
 """
@@ -139,7 +142,7 @@ class Flux2Server:
         self,
         pipeline,
         embeddings_fn=None,
-        max_batch: int = 4,
+        max_batch: int = 8,
         batch_window_s: float = 0.05,
         max_queue: int = 64,
         max_wait_s: float = 10.0,
@@ -193,12 +196,31 @@ class Flux2Server:
             return base + (id(p),)
         return base
 
+    # Batching pays only while the bs=1 step UNDERFILLS the chip. Measured
+    # end-to-end per image (Klein-4B W8A8, v5e, 4 steps): 256px 0.198 s
+    # (bs=1) -> 0.134 s (bs=8, 1.48x) -> 0.150 s (bs=16, worse); 512px
+    # 0.302 s (bs=1) -> 0.327 s (bs=2) -> 0.328 s (bs=4) — every batched
+    # 512px point LOSES; 1024px bs=4 loses outright (the bs=1 step already
+    # runs ~78% MFU). So: images above SATURATION_TOKENS image tokens run
+    # bs=1; smaller ones batch until ~FILL_TOKENS total image tokens
+    # (256px -> bs=8, the measured optimum; bs=16 over-fills).
+    SATURATION_TOKENS = 512
+    FILL_TOKENS = 2048
+
+    def _batch_cap(self, key) -> int:
+        h, w = key[0], key[1]
+        img_tokens = max(1, (h // 16) * (w // 16))
+        if img_tokens > self.SATURATION_TOKENS:
+            return 1
+        return max(1, min(self.max_batch, self.FILL_TOKENS // img_tokens))
+
     def _pick_batch(self) -> list:
         """Cross-shape scheduling: run the LARGEST same-shape group (best
         chip utilization per program launch) unless the oldest request has
         aged past ``max_wait_s`` — then its group runs first (no starvation
-        behind a popular shape). Requests whose client already timed out
-        are dropped here instead of burning a batch."""
+        behind a popular shape). Group size is additionally capped by the
+        MXU-fill rule (see ``_batch_cap``). Requests whose client already
+        timed out are dropped here instead of burning a batch."""
         self._queue = [p for p in self._queue if not p.cancelled.is_set()]
         if not self._queue:
             return []
@@ -210,7 +232,7 @@ class Flux2Server:
             key = self._shape_key(oldest)
         else:
             key = max(groups, key=lambda k: (len(groups[k]), -groups[k][0].enqueued_at))
-        batch = groups[key][: self.max_batch]
+        batch = groups[key][: self._batch_cap(key)]
         for p in batch:
             self._queue.remove(p)
         self._running_batch = batch  # visible to cancel_all during the run

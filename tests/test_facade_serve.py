@@ -263,6 +263,21 @@ def test_serving_demo_page_and_queue_policy():
     with pytest.raises(QueueFullError):
         server.generate_png({"prompt": "x", "width": 64, "height": 64})
 
+    # MXU-fill batch cap: 512px+ (>512 img tokens) runs bs=1 even with a
+    # deep same-shape queue (measured: every batched point there loses
+    # throughput); 256px (256 tokens) batches to the measured bs=8
+    # optimum; tiny shapes keep the max_batch cap
+    server._queue = [pend(1024, 1024) for _ in range(4)]
+    assert len(server._pick_batch()) == 1
+    server8 = Flux2Server(pipe, None, max_batch=8)
+    server8.shutdown()
+    server8._queue = [pend(512, 512) for _ in range(8)]
+    assert len(server8._pick_batch()) == 1
+    server8._queue = [pend(256, 256) for _ in range(12)]
+    assert len(server8._pick_batch()) == 8
+    server8._queue = [pend(64, 64) for _ in range(12)]
+    assert len(server8._pick_batch()) == 8
+
     # demo page served at /
     server2 = Flux2Server(pipe, None)
     httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(server2))

@@ -215,17 +215,25 @@ def test_batched_generation(pipe):
     assert np.abs(res.images[0] - res.images[1]).max() > 1e-6
 
 
-def test_batched_decode_matches_per_image(pipe):
-    """bs>1 latents decode image-by-image under lax.map (the dense bs=4
-    decode RESOURCE_EXHAUSTs a 16 GiB chip); the batched result must equal
+def test_batched_decode_matches_per_image(pipe, monkeypatch):
+    """bs>1 latents past the megapixel budget decode image-by-image under
+    lax.map (the dense bs=4 1024px decode RESOURCE_EXHAUSTs a 16 GiB chip);
+    below it they decode as one dense conv stack. Both paths must equal
     per-image decodes of the same latents."""
+    import flux2_tpu.pipeline.pipeline as pl
+
     lat = jax.random.normal(jax.random.PRNGKey(5), (3, 16, 128))
-    batched = np.asarray(pipe.decode_latents(lat, 64, 64))
     singles = np.stack(
         [np.asarray(pipe.decode_latents(lat[i : i + 1], 64, 64))[0] for i in range(3)]
     )
-    assert batched.shape == (3, 64, 64, 3)
-    np.testing.assert_allclose(batched, singles, atol=1e-5)
+    dense = np.asarray(pipe.decode_latents(lat, 64, 64))  # 3*64*64 << budget
+    assert dense.shape == (3, 64, 64, 3)
+    np.testing.assert_allclose(dense, singles, atol=1e-5)
+    # force the lax.map path (fresh shape bs=2 so the jit cache can't serve
+    # a program traced under the default budget)
+    monkeypatch.setattr(pl, "_DECODE_MAP_BUDGET_PIXELS", 0)
+    mapped = np.asarray(pipe.decode_latents(lat[:2], 64, 64))
+    np.testing.assert_allclose(mapped, singles[:2], atol=1e-5)
 
 
 def test_kv_cached_path_supports_step_hooks():
