@@ -140,6 +140,12 @@ def _skip(name: str, why: str = "budget") -> None:
     emit_row(name, {"skipped": why, "remaining_budget_s": round(_remaining_s(), 1)})
 
 
+# One v5e chip has 16 GiB HBM; the axon tunnel backend reports
+# memory_stats()["bytes_limit"] == 0, so the feasibility pre-checks below
+# gate on this constant (override for bigger chips: FLUX2_BENCH_HBM_GIB).
+_HBM_GIB = float(os.environ.get("FLUX2_BENCH_HBM_GIB", "16"))
+
+
 # ---------------------------------------------------------------------------
 # Analytic FLOPs (MFU)
 # ---------------------------------------------------------------------------
@@ -1054,13 +1060,24 @@ def main():
     # programs); warm-cache runs come in far under them, and the budget
     # check skips what no longer fits.
     def _missing(row_key):
-        # fallback triggers on an in-section failure (row carries "error")
-        # AND on a section timeout/kill (row never emitted at all)
+        # fallback triggers on an in-section failure (row carries "error"),
+        # an honest feasibility/budget skip ("skipped"), AND on a section
+        # timeout/kill (row never emitted at all)
         r = ROWS.get(row_key)
-        return r is None or "error" in r
+        return r is None or "error" in r or "skipped" in r
 
     _run_isolated("klein9b_kv", cap_s=900)
-    _run_isolated("dev32b_full", cap_s=900)
+    # Feasibility pre-check: Dev-32B full-depth W4A8 weights are ~15.5 GiB;
+    # with the int8-matmul workspace it needs >16 GiB HBM (measured
+    # RESOURCE_EXHAUSTED on the 16 GiB v5e, r5; a blind attempt burns its
+    # whole cap compiling first). Attempt only on bigger chips.
+    if _HBM_GIB > 17.0:
+        _run_isolated("dev32b_full", cap_s=900)
+    else:
+        emit_row("dev32b_step_w4a8", {
+            "skipped": f"infeasible on {_HBM_GIB:g} GiB chip: W4A8 weights "
+                       "~15.5 GiB + int8 workspace (measured OOM r5); "
+                       "depth slices below carry the measurement"})
     if _missing("dev32b_step_w4a8"):
         # full depth missed HBM: measure the quarter-depth slice in ANOTHER
         # fresh process (the OOM poisoned the previous one), plus a
@@ -1069,11 +1086,23 @@ def main():
         _run_isolated("dev32b_half", cap_s=600)
     # W4A8 first: full 40 layers fit one chip (measured, no extrapolation)
     _run_isolated("mistral24b_encode_w4a8", cap_s=600)
-    _run_isolated("mistral24b_encode", cap_s=600)
+    # W8A8: full depth (11.4 GiB weights) and the 32L/28L slices all
+    # measured RESOURCE_EXHAUSTED on 16 GiB (r5 run3) — the int8 runtime's
+    # activation-quant workspace on top of weights misses HBM above 24
+    # layers. Go straight to the deepest measured fit on small chips.
+    if _HBM_GIB > 16.5:
+        _run_isolated("mistral24b_encode", cap_s=600)
+    else:
+        emit_row("mistral24b_encode_512tok_w8a8", {
+            "skipped": f"infeasible on {_HBM_GIB:g} GiB chip "
+                       "(measured OOM r5); 24L slice below carries the "
+                       "same-format point"})
     if _missing("mistral24b_encode_512tok_w8a8"):
         # W8A8 full depth missed HBM: a descending-depth bisect keeps a
         # same-format point; each attempt gets a FRESH process.
         for depth in (32, 28, 24):
+            if depth > 24 and _HBM_GIB <= 16.5:
+                continue  # measured OOM at 32L/28L on 16 GiB (r5 run3)
             _run_isolated(f"mistral24b_encode_w8a8_slice_{depth}", cap_s=420)
             if not _missing(f"mistral24b_encode_512tok_w8a8_{depth}L"):
                 break
