@@ -9,7 +9,7 @@ already-captured rows (round-4 post-mortem: an all-at-the-end print lost an
 entire round's numbers to rc=124).
 
 Survivability contract (VERDICT r4 item 1):
-  - global wall budget: env ``FLUX2_BENCH_BUDGET_S`` (default 3300 s);
+  - global wall budget: env ``FLUX2_BENCH_BUDGET_S`` (default 4800 s);
     sections are skipped with honest ``{"skipped": "budget"}`` rows once the
     remaining budget cannot fit them,
   - SIGTERM/SIGINT/SIGALRM dump the consolidated JSON from whatever has been
@@ -69,7 +69,7 @@ _T0 = time.monotonic()
 # skips sections that would have fit. Cold TPU compiles dominate the first
 # run; with the persistent compile cache working (r5 fix: it was disabled on
 # 'axon,cpu' hosts for rounds 1-4) repeat runs finish in a fraction of this.
-_BUDGET_S = float(os.environ.get("FLUX2_BENCH_BUDGET_S", "3300"))
+_BUDGET_S = float(os.environ.get("FLUX2_BENCH_BUDGET_S", "4800"))
 _FINAL_DONE = False
 _CURRENT_CHILD = None  # Popen of the in-flight section subprocess, if any
 
@@ -1082,10 +1082,10 @@ def main():
         # full depth missed HBM: measure the quarter-depth slice in ANOTHER
         # fresh process (the OOM poisoned the previous one), plus a
         # half-depth point to validate the linear-in-depth extrapolation
-        _run_isolated("dev32b_slice", cap_s=600)
-        _run_isolated("dev32b_half", cap_s=600)
+        _run_isolated("dev32b_slice", cap_s=900)
+        _run_isolated("dev32b_half", cap_s=900)
     # W4A8 first: full 40 layers fit one chip (measured, no extrapolation)
-    _run_isolated("mistral24b_encode_w4a8", cap_s=600)
+    _run_isolated("mistral24b_encode_w4a8", cap_s=900)
     # W8A8: full depth (11.4 GiB weights) and the 32L/28L slices all
     # measured RESOURCE_EXHAUSTED on 16 GiB (r5 run3) — the int8 runtime's
     # activation-quant workspace on top of weights misses HBM above 24
@@ -1103,12 +1103,12 @@ def main():
         for depth in (32, 28, 24):
             if depth > 24 and _HBM_GIB <= 16.5:
                 continue  # measured OOM at 32L/28L on 16 GiB (r5 run3)
-            _run_isolated(f"mistral24b_encode_w8a8_slice_{depth}", cap_s=420)
+            _run_isolated(f"mistral24b_encode_w8a8_slice_{depth}", cap_s=700)
             if not _missing(f"mistral24b_encode_512tok_w8a8_{depth}L"):
                 break
     _run_isolated("lora_train", cap_s=900)
     _run_isolated("lora_realdata", cap_s=900)
-    _run_isolated("serve_batched", cap_s=600)
+    _run_isolated("serve_batched", cap_s=900)
 
     emit_final()
 
